@@ -1,0 +1,251 @@
+"""Boundary conditions for the staggered grid.
+
+Capability parity: the reference's BC handling -- no-slip walls, moving lid,
+inflow/outflow, interior obstacle masks (SURVEY.md SS2 BC rows; BASELINE.json
+configs). The reference mount was empty (SURVEY.md SS0), so the exact ghost
+treatment is a pinned choice, documented here:
+
+  * WALL / INFLOW are velocity-Dirichlet faces. The *normal* velocity DOF
+    lives on the boundary face and is set directly. The *tangential*
+    components are enforced with linear-reflection ghost cells
+    ``ghost = 2*u_wall - u_interior`` (second-order at the wall).
+  * OUTFLOW is zero-gradient for all velocity components (``ghost = edge``;
+    boundary-normal DOF copied from its interior neighbor) and a homogeneous
+    Dirichlet pressure face in the Poisson operator (see ops/poisson.py).
+  * Interior obstacles are static solid-cell masks; every face touching a
+    solid cell carries zero velocity (first-order immersed boundary), and the
+    Poisson stencil sees a homogeneous Neumann condition at fluid/solid faces.
+
+All BC application is pure-functional (returns new arrays) so it composes
+with jit/scan/sharding. Pressure BCs are *folded into the Poisson operator
+coefficients* rather than applied per-sweep -- on TPU this keeps the inner
+relaxation loop a single fused stencil with no branching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Mapping, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import GridSpec, State
+
+Array = jax.Array
+Value = Union[float, Array]
+
+
+class BCKind(enum.Enum):
+    WALL = "wall"        # no-slip / moving wall: velocity Dirichlet
+    INFLOW = "inflow"    # prescribed velocity (profile allowed): Dirichlet
+    OUTFLOW = "outflow"  # zero-gradient velocity, p = 0 (Dirichlet) for pressure
+    SLIP = "slip"        # free-slip/symmetry: normal u = 0, tangential d/dn = 0
+
+
+# Faces where the *normal* velocity DOF is Dirichlet.
+_DIRICHLET_KINDS = (BCKind.WALL, BCKind.INFLOW, BCKind.SLIP)
+# Faces whose *tangential* ghost is a Dirichlet reflection (SLIP excluded:
+# tangential components are zero-gradient there).
+_TANGENTIAL_REFLECT_KINDS = (BCKind.WALL, BCKind.INFLOW)
+
+
+@dataclasses.dataclass(frozen=True)
+class BCSpec:
+    """Boundary condition on one domain face.
+
+    ``velocity`` is the prescribed wall/inlet velocity vector; each entry may
+    be a scalar or an array broadcastable to the face slice (e.g. a parabolic
+    inflow profile for the normal component). Ignored for OUTFLOW.
+    """
+
+    kind: BCKind
+    velocity: tuple[Value, ...] = ()
+
+    @staticmethod
+    def wall(velocity: tuple[Value, ...] = ()) -> "BCSpec":
+        return BCSpec(BCKind.WALL, velocity)
+
+    @staticmethod
+    def inflow(velocity: tuple[Value, ...]) -> "BCSpec":
+        return BCSpec(BCKind.INFLOW, velocity)
+
+    @staticmethod
+    def outflow() -> "BCSpec":
+        return BCSpec(BCKind.OUTFLOW)
+
+    @staticmethod
+    def slip() -> "BCSpec":
+        return BCSpec(BCKind.SLIP)
+
+    def component(self, comp: int, ndim: int) -> Value:
+        if not self.velocity:
+            return 0.0
+        if len(self.velocity) != ndim:
+            raise ValueError(
+                f"BC velocity {self.velocity} has wrong rank for ndim={ndim}"
+            )
+        return self.velocity[comp]
+
+
+# A BCTable maps (axis, side) -> BCSpec, side 0 = low face, 1 = high face.
+Face = tuple[int, int]
+BCTable = Mapping[Face, BCSpec]
+
+
+def validate_bcs(grid: GridSpec, bcs: BCTable) -> None:
+    for a in range(grid.ndim):
+        for side in (0, 1):
+            if (a, side) not in bcs:
+                raise ValueError(f"missing BC for face (axis={a}, side={side})")
+
+
+def no_slip_box(grid: GridSpec) -> dict[Face, BCSpec]:
+    """All-walls, zero-velocity BC table (the cavity starting point)."""
+    zeros = (0.0,) * grid.ndim
+    return {
+        (a, s): BCSpec.wall(zeros) for a in range(grid.ndim) for s in (0, 1)
+    }
+
+
+def _face_slice(arr: Array, axis: int, index: int) -> Array:
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = index
+    return arr[tuple(idx)]
+
+
+def _set_face(arr: Array, axis: int, index: int, value) -> Array:
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = index
+    return arr.at[tuple(idx)].set(value)
+
+
+def apply_velocity_bcs(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: tuple[Array, ...],
+    face_masks: Optional[tuple[Array, ...]] = None,
+) -> tuple[Array, ...]:
+    """Impose boundary values on the face-normal velocity DOFs.
+
+    Sets the boundary faces of each component along its own axis (Dirichlet
+    value for WALL/INFLOW, zero-gradient copy for OUTFLOW) and zeroes faces
+    blocked by the obstacle mask. Tangential ghost values are not stored --
+    they are reconstructed inside the stencils via :func:`pad_transverse`.
+    """
+    out = []
+    for a, comp in enumerate(u):
+        for side, index, inner in ((0, 0, 1), (1, -1, -2)):
+            bc = bcs[(a, side)]
+            if bc.kind in _DIRICHLET_KINDS:
+                val = bc.component(a, grid.ndim)
+                comp = _set_face(comp, a, index, jnp.asarray(val, grid.dtype))
+            elif bc.kind is BCKind.OUTFLOW:
+                comp = _set_face(comp, a, index, _face_slice(comp, a, inner))
+            else:  # pragma: no cover - enum is closed
+                raise NotImplementedError(bc.kind)
+        if face_masks is not None:
+            comp = comp * face_masks[a]
+        out.append(comp)
+    return tuple(out)
+
+
+def pad_transverse(
+    grid: GridSpec, bcs: BCTable, comp: int, arr: Array
+) -> Array:
+    """Ghost-pad velocity component ``comp`` by one cell along every axis
+    except its own staggering axis.
+
+    WALL/INFLOW: ``ghost = 2*u_bc - edge`` (reflection through the Dirichlet
+    wall value). OUTFLOW: ``ghost = edge`` (zero gradient). Along ``comp``'s
+    own axis the boundary DOFs are already in-array, so no padding is needed
+    (callers slice interior faces directly).
+    """
+    for t in range(grid.ndim):
+        if t == comp:
+            continue
+        lo_bc = bcs[(t, 0)]
+        hi_bc = bcs[(t, 1)]
+        edge_lo = _face_slice(arr, t, slice(0, 1))
+        edge_hi = _face_slice(arr, t, slice(-1, None))
+        if lo_bc.kind in _TANGENTIAL_REFLECT_KINDS:
+            val = jnp.asarray(lo_bc.component(comp, grid.ndim), grid.dtype)
+            ghost_lo = 2.0 * val - edge_lo
+        else:
+            ghost_lo = edge_lo
+        if hi_bc.kind in _TANGENTIAL_REFLECT_KINDS:
+            val = jnp.asarray(hi_bc.component(comp, grid.ndim), grid.dtype)
+            ghost_hi = 2.0 * val - edge_hi
+        else:
+            ghost_hi = edge_hi
+        ghost_lo = jnp.broadcast_to(ghost_lo, edge_lo.shape)
+        ghost_hi = jnp.broadcast_to(ghost_hi, edge_hi.shape)
+        arr = jnp.concatenate([ghost_lo, arr, ghost_hi], axis=t)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Obstacle masks
+# ---------------------------------------------------------------------------
+
+
+def face_masks_from_solid(
+    grid: GridSpec, solid: Optional[np.ndarray]
+) -> Optional[tuple[Array, ...]]:
+    """Per-component face masks (1 = open, 0 = blocked) from a solid-cell mask.
+
+    A face is blocked if *any* adjacent cell is solid (no-slip on obstacle
+    surfaces, first-order immersed boundary). Boundary faces follow their
+    single adjacent cell.
+    """
+    if solid is None:
+        return None
+    fluid = np.logical_not(np.asarray(solid, bool))
+    if fluid.shape != grid.shape:
+        raise ValueError(f"solid mask shape {fluid.shape} != grid {grid.shape}")
+    masks = []
+    for a in range(grid.ndim):
+        m = np.ones(grid.face_shape(a), dtype=bool)
+        lo = [slice(None)] * grid.ndim
+        hi = [slice(None)] * grid.ndim
+        mid = [slice(None)] * grid.ndim
+        lo[a] = slice(0, -1)
+        hi[a] = slice(1, None)
+        mid[a] = slice(1, -1)
+        m[tuple(mid)] = fluid[tuple(lo)] & fluid[tuple(hi)]
+        first = [slice(None)] * grid.ndim
+        last = [slice(None)] * grid.ndim
+        first[a] = 0
+        last[a] = -1
+        cf = [slice(None)] * grid.ndim
+        cl = [slice(None)] * grid.ndim
+        cf[a] = 0
+        cl[a] = -1
+        m[tuple(first)] = fluid[tuple(cf)]
+        m[tuple(last)] = fluid[tuple(cl)]
+        masks.append(jnp.asarray(m, grid.dtype))
+    return tuple(masks)
+
+
+def correction_face_masks(
+    grid: GridSpec, solid: Optional[np.ndarray]
+) -> Optional[tuple[Array, ...]]:
+    """Masks for the pressure-gradient velocity correction on *interior* faces.
+
+    Only faces between two fluid cells are corrected (solid cells hold a dummy
+    p=0 that must not leak into the velocity). Shapes match the interior face
+    slabs used by the corrector: component ``a`` -> ``grid.shape - e_a``.
+    """
+    if solid is None:
+        return None
+    fluid = np.logical_not(np.asarray(solid, bool))
+    masks = []
+    for a in range(grid.ndim):
+        lo = [slice(None)] * grid.ndim
+        hi = [slice(None)] * grid.ndim
+        lo[a] = slice(0, -1)
+        hi[a] = slice(1, None)
+        masks.append(jnp.asarray(fluid[tuple(lo)] & fluid[tuple(hi)], grid.dtype))
+    return tuple(masks)

@@ -1,0 +1,63 @@
+"""Benchmark/validation case registry.
+
+One entry per BASELINE.json config (SURVEY.md SS2 "Config/CLI" row):
+  cavity        -- 2D lid-driven cavity, Re=100, 64x64 (config #1)
+  channel       -- 2D Poiseuille channel, inflow/outflow, 256x64 (config #2)
+  cylinder      -- 2D flow past a cylinder, Re=200, 512x256 (config #3)
+  cavity_hi_re  -- 2D cavity, Re=10k, 2048^2, matrix-free CG (config #4)
+  cavity3d      -- 3D lid-driven cavity, 256^3 (config #5)
+
+Each builder accepts overrides so tests can shrink grids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..grid import GridSpec, State
+from ..solver import Simulation
+
+from .cavity import build_cavity, build_cavity3d
+from .channel import build_channel
+from .cylinder import build_cylinder
+
+
+@dataclasses.dataclass(eq=False)
+class Case:
+    name: str
+    sim: Simulation
+    suggested_steps: int
+    description: str = ""
+
+    def initial_state(self) -> State:
+        return self.sim.initial_state()
+
+
+_REGISTRY: dict[str, Callable[..., Case]] = {
+    "cavity": build_cavity,
+    "cavity_hi_re": lambda **kw: build_cavity(
+        **{
+            "shape": (2048, 2048),
+            "re": 10_000.0,
+            "poisson_method": "cg",
+            "upwind_gamma": 0.8,
+            **kw,
+        }
+    ),
+    "cavity3d": build_cavity3d,
+    "channel": build_channel,
+    "cylinder": build_cylinder,
+}
+
+
+def available_cases() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def make_case(name: str, **overrides) -> Case:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown case {name!r}; available: {available_cases()}")
+    return _REGISTRY[name](**overrides)

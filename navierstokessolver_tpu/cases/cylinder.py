@@ -1,0 +1,81 @@
+"""Flow past a circular cylinder at Re=200 (vortex shedding).
+
+BASELINE.json config #3 (512x256, obstacle mask). Domain 16x8 diameters,
+cylinder D=1 centered at (4, 4) with a tiny vertical offset to break symmetry
+and trigger shedding deterministically. Oracle: Strouhal ~ 0.19-0.20.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..bcs import BCSpec
+from ..grid import GridSpec, State
+from ..ops.poisson import PoissonConfig
+from ..solver import SimParams, Simulation
+from .cavity import _stable_dt
+
+
+def cylinder_mask(grid: GridSpec, center, radius: float) -> np.ndarray:
+    """Solid-cell mask: cell centers inside the circle."""
+    coords = np.meshgrid(
+        *[np.asarray(grid.cell_centers(a)) for a in range(grid.ndim)],
+        indexing="ij",
+    )
+    r2 = sum((c - c0) ** 2 for c, c0 in zip(coords, center))
+    return r2 <= radius * radius
+
+
+def build_cylinder(
+    shape=(512, 256),
+    lengths=(16.0, 8.0),
+    re: float = 200.0,
+    u_in: float = 1.0,
+    diameter: float = 1.0,
+    center=(4.0, 4.003),  # slight y-offset seeds the shedding instability
+    dt: float | None = None,
+    poisson_method: str = "cg",
+    poisson_tol: float = 1e-5,
+    poisson_iters: int = 2000,
+    upwind_gamma: float = 0.2,
+    dtype=None,
+):
+    from . import Case
+
+    grid = GridSpec(shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32)
+    nu = u_in * diameter / re
+    solid = cylinder_mask(grid, center, diameter / 2.0)
+    bcs = {
+        (0, 0): BCSpec.inflow((u_in, 0.0)),
+        (0, 1): BCSpec.outflow(),
+        (1, 0): BCSpec.slip(),
+        (1, 1): BCSpec.slip(),
+    }
+    dt = dt if dt is not None else _stable_dt(grid, nu, 1.8 * u_in, upwind_gamma)
+    params = SimParams(
+        dt=dt,
+        nu=nu,
+        upwind_gamma=upwind_gamma,
+        poisson=PoissonConfig(
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
+        ),
+    )
+    sim = Simulation.build(grid, bcs, params, solid=solid)
+    return Case(
+        name="cylinder",
+        sim=sim,
+        suggested_steps=int(150.0 / dt),  # enough shedding periods for St
+        description=f"cylinder Re={re} {shape}",
+    )
+
+
+def impulsive_start_state(sim: Simulation, u_in: float = 1.0) -> State:
+    """Uniform free-stream initial condition (masked in the solid)."""
+    grid = sim.grid
+    st = sim.initial_state()
+    u0 = jnp.full(grid.face_shape(0), u_in, dtype=grid.dtype)
+    from .. import bcs as bcs_mod
+
+    u = bcs_mod.apply_velocity_bcs(grid, sim.bcs, (u0, st.u[1]), sim.face_masks)
+    return State(u=u, p=st.p)

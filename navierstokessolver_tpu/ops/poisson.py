@@ -1,0 +1,330 @@
+"""Pressure Poisson operator and iterative solvers.
+
+Capability parity: the reference's pressure projection step with Jacobi,
+Gauss-Seidel and SOR relaxation (SURVEY.md SS2, [VERIFIED-DRIVER]
+"Jacobi/Gauss-Seidel/SOR in the reference"), plus the driver-mandated
+matrix-free CG upgrade "with the same convergence semantics".
+
+Design notes (TPU-first):
+  * All boundary conditions and obstacle masks are *folded into static
+    per-cell coefficient arrays* built once per case (Neumann at walls/inflow
+    and at fluid/solid faces; homogeneous Dirichlet at outflow faces). The
+    inner iteration is then a single unmasked 5/7-point stencil -- no
+    branching, fully fusible by XLA and expressible as one Pallas kernel.
+  * Gauss-Seidel/SOR use *red-black* coloring -- the parallelizable ordering
+    with the same fixed point as the reference's (presumably lexicographic)
+    sweeps; per-iteration trajectories differ, converged states match
+    (SURVEY.md SS2 note).
+  * Stopping criterion (pinned choice, SURVEY.md SS0.3 TODO): relative L2
+    residual ``||b - A p||_2 / max(||b||_2, tiny) <= tol``, identical across
+    all four methods so "Poisson iters to fixed residual" is comparable.
+  * Pure-Neumann problems (e.g. the closed cavity) are singular; the RHS and
+    iterates are deflated by their fluid-cell mean, pinning the constant mode.
+  * Everything runs inside ``lax.while_loop`` under jit: no host round-trips;
+    under sharding, the norm reductions lower to ``psum`` over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bcs import BCKind, BCTable
+from ..grid import GridSpec
+
+Array = jax.Array
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PoissonOp:
+    """Matrix-free masked Laplacian ``A p = diag*p + sum_d c_d * p_neighbor_d``.
+
+    ``lo[a]``/``hi[a]`` are the neighbor coupling coefficients toward the
+    low/high side along axis ``a`` (zero across Neumann/solid faces).
+    ``fluid`` is 1 on fluid cells, 0 on solid. ``singular`` marks a pure-
+    Neumann (nullspace = constants) problem.
+    """
+
+    diag: Array
+    lo: tuple[Array, ...]
+    hi: tuple[Array, ...]
+    fluid: Array
+    singular: bool
+    inv_fluid_count: float
+
+    def tree_flatten(self):
+        return (
+            (self.diag, self.lo, self.hi, self.fluid),
+            (self.singular, self.inv_fluid_count),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        diag, lo, hi, fluid = children
+        return cls(diag, tuple(lo), tuple(hi), fluid, aux[0], aux[1])
+
+
+def build_poisson_op(
+    grid: GridSpec, bcs: BCTable, solid: Optional[np.ndarray] = None
+) -> PoissonOp:
+    """Build the static coefficient arrays for the pressure Poisson equation.
+
+    Per axis ``a`` and side, the coupling across a face is ``1/h_a^2`` when the
+    neighbor is a fluid cell; 0 across domain walls/inflow and solid neighbors
+    (Neumann dp/dn = 0); outflow faces contribute ``-2/h_a^2`` to the diagonal
+    (ghost ``p = -p`` so the face value is 0). Solid cells get the identity row
+    (p pinned to 0 there).
+    """
+    nd = grid.ndim
+    h = grid.spacing
+    fluid = np.ones(grid.shape, dtype=bool)
+    if solid is not None:
+        fluid &= np.logical_not(np.asarray(solid, bool))
+
+    diag = np.zeros(grid.shape, dtype=np.float64)
+    lo_c = []
+    hi_c = []
+    for a in range(nd):
+        w = 1.0 / (h[a] * h[a])
+        lo = np.zeros(grid.shape, dtype=np.float64)
+        hi = np.zeros(grid.shape, dtype=np.float64)
+
+        def shifted(side: int) -> np.ndarray:
+            """Whether the neighbor on `side` along axis a exists and is fluid."""
+            nb = np.zeros(grid.shape, dtype=bool)
+            src = [slice(None)] * nd
+            dst = [slice(None)] * nd
+            if side == 0:
+                dst[a] = slice(1, None)
+                src[a] = slice(0, -1)
+            else:
+                dst[a] = slice(0, -1)
+                src[a] = slice(1, None)
+            nb[tuple(dst)] = fluid[tuple(src)]
+            return nb
+
+        lo[shifted(0)] = w
+        hi[shifted(1)] = w
+        # Domain-boundary cells: outflow face => Dirichlet p=0 ghost.
+        for side, coeff in ((0, lo), (1, hi)):
+            face = [slice(None)] * nd
+            face[a] = 0 if side == 0 else -1
+            if bcs[(a, side)].kind is BCKind.OUTFLOW:
+                diag[tuple(face)] -= 2.0 * w
+            # WALL/INFLOW: Neumann -> no coupling, no diagonal contribution.
+        diag -= lo + hi
+        lo_c.append(lo)
+        hi_c.append(hi)
+
+    # Solid cells: identity row.
+    diag[~fluid] = 1.0
+    for a in range(nd):
+        lo_c[a][~fluid] = 0.0
+        hi_c[a][~fluid] = 0.0
+
+    singular = not any(
+        bcs[(a, s)].kind is BCKind.OUTFLOW for a in range(nd) for s in (0, 1)
+    )
+    dt = grid.dtype
+    return PoissonOp(
+        diag=jnp.asarray(diag, dt),
+        lo=tuple(jnp.asarray(c, dt) for c in lo_c),
+        hi=tuple(jnp.asarray(c, dt) for c in hi_c),
+        fluid=jnp.asarray(fluid, dt),
+        singular=singular,
+        inv_fluid_count=float(1.0 / fluid.sum()),
+    )
+
+
+def _neighbor_sum(op: PoissonOp, p: Array) -> Array:
+    """``sum_d c_d * p_neighbor_d`` via zero-padded shifts (coefs kill pads)."""
+    nd = p.ndim
+    out = jnp.zeros_like(p)
+    for a in range(nd):
+        pad_lo = [(0, 0)] * nd
+        pad_lo[a] = (1, 0)
+        pad_hi = [(0, 0)] * nd
+        pad_hi[a] = (0, 1)
+        sl_lo = [slice(None)] * nd
+        sl_lo[a] = slice(0, -1)
+        sl_hi = [slice(None)] * nd
+        sl_hi[a] = slice(1, None)
+        p_lo = jnp.pad(p, pad_lo)[tuple(sl_lo)]   # neighbor at index-1
+        p_hi = jnp.pad(p, pad_hi)[tuple(sl_hi)]   # neighbor at index+1
+        out = out + op.lo[a] * p_lo + op.hi[a] * p_hi
+    return out
+
+
+def apply_A(op: PoissonOp, p: Array) -> Array:
+    return op.diag * p + _neighbor_sum(op, p)
+
+
+def deflate(op: PoissonOp, x: Array) -> Array:
+    """Remove the constant nullspace component over fluid cells (singular case)."""
+    if not op.singular:
+        return x
+    mean = jnp.sum(x * op.fluid) * op.inv_fluid_count
+    return (x - mean) * op.fluid
+
+
+def residual_norm(op: PoissonOp, p: Array, b: Array) -> Array:
+    r = (b - apply_A(op, p)) * op.fluid
+    return jnp.sqrt(jnp.sum(r * r))
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonConfig:
+    method: str = "cg"          # "jacobi" | "gs" | "sor" | "cg"
+    tol: float = 1e-5            # relative L2 residual
+    max_iters: int = 500
+    omega: Optional[float] = None  # SOR relaxation; None -> auto-optimal
+    check_every: int = 1         # residual check cadence for relaxation methods
+    # Jacobi damping. Plain (w=1) Jacobi is *not convergent* for the pure-
+    # Neumann pressure problem: the iteration matrix is row-stochastic on a
+    # bipartite grid graph, so the checkerboard mode has eigenvalue exactly -1
+    # and oscillates forever. Damping moves it to 1-2w; the fixed point (the
+    # reference-fidelity converged state) is unchanged. w=1 restores the
+    # textbook sweep for Dirichlet problems.
+    jacobi_weight: float = 0.8
+
+
+def _auto_omega(grid: GridSpec) -> float:
+    """Textbook optimal SOR omega for the Laplacian on the coarsest axis."""
+    n = min(grid.shape)
+    import math
+
+    return 2.0 / (1.0 + math.sin(math.pi / n))
+
+
+def solve_poisson(
+    op: PoissonOp,
+    b: Array,
+    p0: Array,
+    grid: GridSpec,
+    cfg: PoissonConfig,
+) -> tuple[Array, Array, Array]:
+    """Solve ``A p = b``; returns ``(p, iters, final_relative_residual)``.
+
+    jit-safe: fixed-structure ``lax.while_loop`` with iteration cap.
+    """
+    dt = grid.dtype
+    b = b * op.fluid
+    b = deflate(op, b) if op.singular else b
+    p0 = (p0 * op.fluid).astype(dt)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
+    inv_bnorm = 1.0 / jnp.maximum(bnorm, tiny)
+    tol = jnp.asarray(cfg.tol, dt)
+
+    if cfg.method == "cg":
+        return _solve_cg(op, b, p0, inv_bnorm, tol, cfg.max_iters)
+    if cfg.method in ("jacobi", "gs", "sor"):
+        if cfg.method == "jacobi":
+            w = cfg.jacobi_weight
+            sweep = lambda p: _jacobi_sweep(op, p, b, w)
+        else:
+            omega = 1.0 if cfg.method == "gs" else (
+                cfg.omega if cfg.omega is not None else _auto_omega(grid)
+            )
+            masks = _rb_masks(op)
+            sweep = lambda p: _rb_sweep(op, p, b, masks, omega)
+        return _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg)
+    raise ValueError(f"unknown poisson method {cfg.method!r}")
+
+
+def _jacobi_sweep(op: PoissonOp, p: Array, b: Array, weight: float = 1.0) -> Array:
+    p_new = (b - _neighbor_sum(op, p)) / op.diag
+    if weight != 1.0:
+        p_new = (1.0 - weight) * p + weight * p_new
+    return p_new * op.fluid
+
+
+def _rb_masks(op: PoissonOp) -> tuple[Array, Array]:
+    shape = op.diag.shape
+    idx_sum = sum(
+        jax.lax.broadcasted_iota(jnp.int32, shape, d) for d in range(len(shape))
+    )
+    red = (idx_sum % 2 == 0).astype(op.diag.dtype)
+    return red, 1.0 - red
+
+
+def _rb_sweep(
+    op: PoissonOp, p: Array, b: Array, masks: tuple[Array, Array], omega: float
+) -> Array:
+    for color in masks:
+        gs = (b - _neighbor_sum(op, p)) / op.diag
+        p_new = (1.0 - omega) * p + omega * gs
+        p = jnp.where(color > 0, p_new, p) * op.fluid
+    return p
+
+
+def _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg):
+    check = max(1, int(cfg.check_every))
+
+    def cond(carry):
+        p, k, res = carry
+        return jnp.logical_and(k < cfg.max_iters, res > tol)
+
+    def body(carry):
+        p, k, _ = carry
+        for _ in range(check):
+            p = sweep(p)
+        if op.singular:
+            p = deflate(op, p)
+        res = residual_norm(op, p, b) * inv_bnorm
+        return p, k + check, res
+
+    res0 = residual_norm(op, p0, b) * inv_bnorm
+    p, iters, res = jax.lax.while_loop(cond, body, (p0, jnp.int32(0), res0))
+    return p, iters, res
+
+
+def _solve_cg(op, b, p0, inv_bnorm, tol, max_iters):
+    """Matrix-free conjugate gradients on the masked Laplacian.
+
+    The discrete Laplacian here is negative (semi-)definite, so CG runs on the
+    negated system ``(-A) p = (-b)`` (SPD on the fluid subspace, with the
+    constant mode deflated in the singular pure-Neumann case). Same convergence
+    semantics as the relaxation solvers: terminates on the relative L2 residual
+    of ``b - A p``, whose norm equals that of the negated recurrence residual.
+    """
+
+    def dot(x, y):
+        return jnp.sum(x * y)
+
+    def matvec(x):
+        ax = -apply_A(op, x) * op.fluid
+        return deflate(op, ax) if op.singular else ax
+
+    b = -b
+    r0 = (b - matvec(p0)) * op.fluid
+    r0 = deflate(op, r0) if op.singular else r0
+    d0 = r0
+    rs0 = dot(r0, r0)
+
+    def cond(carry):
+        p, r, d, rs, k = carry
+        return jnp.logical_and(k < max_iters, jnp.sqrt(rs) * inv_bnorm > tol)
+
+    def body(carry):
+        p, r, d, rs, k = carry
+        Ad = matvec(d)
+        alpha = rs / jnp.maximum(dot(d, Ad), jnp.asarray(1e-30, d.dtype))
+        p = p + alpha * d
+        r = r - alpha * Ad
+        rs_new = dot(r, r)
+        beta = rs_new / jnp.maximum(rs, jnp.asarray(1e-30, d.dtype))
+        d = r + beta * d
+        return p, r, d, rs_new, k + 1
+
+    p, r, d, rs, iters = jax.lax.while_loop(
+        cond, body, (p0, r0, d0, rs0, jnp.int32(0))
+    )
+    if op.singular:
+        p = deflate(op, p)
+    return p, iters, jnp.sqrt(rs) * inv_bnorm

@@ -1,0 +1,222 @@
+"""Finite-difference stencils on the staggered grid (pure-jnp reference path).
+
+Capability parity: the reference's "explicit advection-diffusion stencil
+update" and the divergence/gradient pieces of the projection step
+(SURVEY.md SS2 rows: advection, diffusion, divergence, velocity correction).
+The reference's advection discretization is unknown (SURVEY.md SS0.3 TODO);
+this module pins a documented choice: *advective-form central differences
+blended with first-order donor-cell upwinding* via ``upwind_gamma`` in [0, 1]
+(gamma = 0 -> pure central, the classic staggered-grid default; gamma > 0 for
+high-Re robustness).
+
+These jnp implementations are the permanent reference semantics; the fused
+Pallas kernels (ops/pallas_kernels.py) are validated against them
+(SURVEY.md SS5 "race detection / sanitizers" story).
+
+All functions are shape-polymorphic over 2D/3D: velocity is a tuple of
+face-normal components, component ``a`` staggered along axis ``a``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..bcs import BCTable, pad_transverse
+from ..grid import GridSpec
+
+Array = jax.Array
+
+
+def _sl(ndim: int, axis: int, s: slice) -> tuple:
+    idx = [slice(None)] * ndim
+    idx[axis] = s
+    return tuple(idx)
+
+
+def divergence(grid: GridSpec, u: Sequence[Array]) -> Array:
+    """Cell-centered divergence of a staggered velocity field."""
+    h = grid.spacing
+    nd = grid.ndim
+    out = None
+    for a, comp in enumerate(u):
+        d = (
+            comp[_sl(nd, a, slice(1, None))] - comp[_sl(nd, a, slice(0, -1))]
+        ) / h[a]
+        out = d if out is None else out + d
+    return out
+
+
+def pressure_gradient(grid: GridSpec, p: Array, axis: int) -> Array:
+    """dp/dx_axis at the *interior* faces along ``axis`` (shape - e_axis)."""
+    nd = grid.ndim
+    return (
+        p[_sl(nd, axis, slice(1, None))] - p[_sl(nd, axis, slice(0, -1))]
+    ) / grid.spacing[axis]
+
+
+def correct_velocity(
+    grid: GridSpec,
+    u: Sequence[Array],
+    p: Array,
+    scale,
+    corr_masks=None,
+) -> tuple[Array, ...]:
+    """Projection corrector: ``u -= scale * grad(p)`` on interior faces.
+
+    ``scale`` is ``dt / rho``. Boundary-face DOFs are left untouched (they are
+    re-imposed by apply_velocity_bcs); obstacle-adjacent faces are masked.
+    """
+    nd = grid.ndim
+    out = []
+    for a, comp in enumerate(u):
+        g = pressure_gradient(grid, p, a)
+        if corr_masks is not None:
+            g = g * corr_masks[a]
+        interior = _sl(nd, a, slice(1, -1))
+        out.append(comp.at[interior].add(-scale * g))
+    return tuple(out)
+
+
+def laplacian_component(
+    grid: GridSpec, bcs: BCTable, comp: int, arr: Array
+) -> Array:
+    """Viscous Laplacian of velocity component ``comp`` at its interior faces.
+
+    Along the staggering axis the boundary DOFs are in-array; along transverse
+    axes ghost cells come from :func:`pad_transverse`. Result shape: interior
+    faces along ``comp`` (n_comp - 1), full extent elsewhere.
+    """
+    nd = grid.ndim
+    h = grid.spacing
+    padded = pad_transverse(grid, bcs, comp, arr)
+    # Center slice of the padded array matching interior faces of `comp`.
+    center_idx = []
+    for ax in range(nd):
+        if ax == comp:
+            center_idx.append(slice(1, -1))
+        else:
+            center_idx.append(slice(1, -1))
+    # Note: padded is padded on transverse axes only; along `comp` slice(1,-1)
+    # selects interior faces of the raw array.
+    center = padded[tuple(center_idx)]
+    out = jnp.zeros_like(center)
+    for ax in range(nd):
+        idx_m = list(center_idx)
+        idx_p = list(center_idx)
+        if ax == comp:
+            idx_m[ax] = slice(0, -2)
+            idx_p[ax] = slice(2, None)
+        else:
+            idx_m[ax] = slice(0, -2)
+            idx_p[ax] = slice(2, None)
+        out = out + (
+            padded[tuple(idx_p)] - 2.0 * center + padded[tuple(idx_m)]
+        ) / (h[ax] * h[ax])
+    return out
+
+
+def _transverse_velocity_at(
+    grid: GridSpec, u: Sequence[Array], comp: int, trans: int
+) -> Array:
+    """Average component ``trans`` onto the interior-face locations of
+    component ``comp`` (4-point average in 2D, per-axis pair averages in ND)."""
+    nd = grid.ndim
+    ut = u[trans]
+    # Average adjacent cells along `comp`'s axis: cell pairs -> interior faces.
+    m = 0.5 * (
+        ut[_sl(nd, comp, slice(0, -1))] + ut[_sl(nd, comp, slice(1, None))]
+    )
+    # Average adjacent faces along `trans`'s axis: faces -> cell centers.
+    m = 0.5 * (m[_sl(nd, trans, slice(0, -1))] + m[_sl(nd, trans, slice(1, None))])
+    return m
+
+
+def advection_component(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: Sequence[Array],
+    comp: int,
+    upwind_gamma: float = 0.0,
+) -> Array:
+    """Advective-form (u . grad) u_comp at interior faces of ``comp``.
+
+    Central differences blended with donor-cell upwinding:
+      ``d = gamma * upwind + (1 - gamma) * central``.
+    """
+    nd = grid.ndim
+    h = grid.spacing
+    arr = u[comp]
+    padded = pad_transverse(grid, bcs, comp, arr)
+    center_idx = tuple(slice(1, -1) for _ in range(nd))
+    center = padded[tuple(center_idx)]
+
+    out = jnp.zeros_like(center)
+    for ax in range(nd):
+        idx_m = list(center_idx)
+        idx_p = list(center_idx)
+        idx_m[ax] = slice(0, -2)
+        idx_p[ax] = slice(2, None)
+        um = padded[tuple(idx_m)]
+        up = padded[tuple(idx_p)]
+        central = (up - um) / (2.0 * h[ax])
+        if ax == comp:
+            vel = center
+        else:
+            vel = _transverse_velocity_at(grid, u, comp, ax)
+        if upwind_gamma > 0.0:
+            fwd = (up - center) / h[ax]
+            bwd = (center - um) / h[ax]
+            upw = jnp.where(vel > 0.0, bwd, fwd)
+            d = upwind_gamma * upw + (1.0 - upwind_gamma) * central
+        else:
+            d = central
+        out = out + vel * d
+    return out
+
+
+def predictor(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: Sequence[Array],
+    dt,
+    nu: float,
+    upwind_gamma: float = 0.0,
+    forcing: Sequence[Array] | None = None,
+) -> tuple[Array, ...]:
+    """Explicit advection-diffusion predictor: ``u* = u + dt*(-adv + nu*lap [+ f])``.
+
+    Updates interior faces only; boundary DOFs are re-imposed by the BC pass.
+    """
+    nd = grid.ndim
+    out = []
+    for a, comp in enumerate(u):
+        adv = advection_component(grid, bcs, u, a, upwind_gamma)
+        lap = laplacian_component(grid, bcs, a, comp)
+        rhs = -adv + nu * lap
+        if forcing is not None and forcing[a] is not None:
+            rhs = rhs + forcing[a]
+        interior = _sl(nd, a, slice(1, -1))
+        out.append(comp.at[interior].add(dt * rhs))
+    return tuple(out)
+
+
+def vorticity_2d(grid: GridSpec, u: Sequence[Array]) -> Array:
+    """z-vorticity dv/dx - du/dy at interior grid nodes ((nx-1, ny-1))."""
+    if grid.ndim != 2:
+        raise ValueError("vorticity_2d is 2D only")
+    dx, dy = grid.spacing
+    uu, vv = u
+    dvdx = (vv[1:, 1:-1] - vv[:-1, 1:-1]) / dx
+    dudy = (uu[1:-1, 1:] - uu[1:-1, :-1]) / dy
+    return dvdx - dudy
+
+
+def max_cfl(grid: GridSpec, u: Sequence[Array], dt) -> Array:
+    """max over axes of |u| dt / h (advective CFL number)."""
+    cfl = jnp.asarray(0.0, grid.dtype)
+    for a, comp in enumerate(u):
+        cfl = jnp.maximum(cfl, jnp.max(jnp.abs(comp)) * dt / grid.spacing[a])
+    return cfl

@@ -1,0 +1,149 @@
+"""Chorin projection time stepper: predictor -> Poisson -> corrector.
+
+Capability parity: the reference's time-step driver (SURVEY.md SS3.1 call
+stack): explicit advection-diffusion predictor, pressure Poisson solve,
+velocity correction, BC re-application, periodic output. TPU-first design:
+the whole step is pure-functional; ``run_scan`` wraps N steps in one
+jit-compiled ``lax.scan`` with zero host round-trips (BASELINE.json north
+star), and the pressure from step k warm-starts the Poisson solve at k+1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bcs as bcs_mod
+from .bcs import BCTable
+from .grid import GridSpec, State, zero_state
+from .ops import poisson as poisson_mod
+from .ops import stencils
+from .ops.poisson import PoissonConfig, PoissonOp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Static physical/numerical parameters of a run."""
+
+    dt: float
+    nu: float
+    rho: float = 1.0
+    upwind_gamma: float = 0.0
+    poisson: PoissonConfig = dataclasses.field(default_factory=PoissonConfig)
+
+
+class StepDiagnostics(NamedTuple):
+    poisson_iters: Array   # iterations the pressure solve took
+    poisson_res: Array     # final relative residual
+    max_div: Array         # max |div u| after projection
+    max_cfl: Array         # advective CFL of the accepted step
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: usable as a jit static
+class Simulation:
+    """Bundles the static pieces of a problem; exposes pure step functions.
+
+    All members are either Python statics or device arrays captured as jit
+    constants, so ``make_step_fn()`` returns a closure that jit/scan/shard
+    cleanly.
+    """
+
+    grid: GridSpec
+    bcs: BCTable
+    params: SimParams
+    op: PoissonOp
+    face_masks: Optional[tuple[Array, ...]]
+    corr_masks: Optional[tuple[Array, ...]]
+    forcing: Optional[tuple[Array, ...]] = None
+
+    @staticmethod
+    def build(
+        grid: GridSpec,
+        bcs: BCTable,
+        params: SimParams,
+        solid: Optional[np.ndarray] = None,
+        forcing: Optional[tuple[Array, ...]] = None,
+    ) -> "Simulation":
+        bcs_mod.validate_bcs(grid, bcs)
+        return Simulation(
+            grid=grid,
+            bcs=bcs,
+            params=params,
+            op=poisson_mod.build_poisson_op(grid, bcs, solid),
+            face_masks=bcs_mod.face_masks_from_solid(grid, solid),
+            corr_masks=bcs_mod.correction_face_masks(grid, solid),
+            forcing=forcing,
+        )
+
+    # -- single step ---------------------------------------------------------
+
+    def initial_state(self) -> State:
+        st = zero_state(self.grid)
+        u = bcs_mod.apply_velocity_bcs(self.grid, self.bcs, st.u, self.face_masks)
+        return State(u=u, p=st.p)
+
+    def step(self, state: State) -> tuple[State, StepDiagnostics]:
+        g, b, pr = self.grid, self.bcs, self.params
+        u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
+        # 1. explicit advection-diffusion predictor
+        u_star = stencils.predictor(
+            g, b, u, pr.dt, pr.nu, pr.upwind_gamma, self.forcing
+        )
+        u_star = bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
+        # 2. pressure Poisson: lap p = (rho/dt) div u*
+        rhs = stencils.divergence(g, u_star) * (pr.rho / pr.dt) * self.op.fluid
+        p, iters, res = poisson_mod.solve_poisson(
+            self.op, rhs, state.p, g, pr.poisson
+        )
+        # 3. velocity correction + BCs
+        u_new = stencils.correct_velocity(
+            g, u_star, p, pr.dt / pr.rho, self.corr_masks
+        )
+        u_new = bcs_mod.apply_velocity_bcs(g, b, u_new, self.face_masks)
+        new_state = State(u=u_new, p=p)
+        div = stencils.divergence(g, u_new) * self.op.fluid
+        diag = StepDiagnostics(
+            poisson_iters=iters,
+            poisson_res=res,
+            max_div=jnp.max(jnp.abs(div)),
+            max_cfl=stencils.max_cfl(g, u_new, pr.dt),
+        )
+        return new_state, diag
+
+    def make_step_fn(self):
+        def step_fn(state: State, _=None):
+            return self.step(state)
+
+        return step_fn
+
+    # -- scan runner ---------------------------------------------------------
+
+    def run_scan(self, state: State, n_steps: int) -> tuple[State, StepDiagnostics]:
+        """Advance ``n_steps`` inside a single jitted ``lax.scan``.
+
+        Returns the final state and per-step stacked diagnostics. Compiles
+        once per (shape, n_steps).
+        """
+        return _run_scan_jit(self, state, n_steps)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _run_scan_jit(sim: Simulation, state: State, n_steps: int):
+    # `sim` is hashable-by-id static; its arrays become jit constants.
+    step_fn = sim.make_step_fn()
+    return jax.lax.scan(step_fn, state, xs=None, length=n_steps)
+
+
+def steady_state_delta(prev: State, new: State, dt: float) -> float:
+    """max |u_new - u_prev| / dt -- host-side steady-state check between chunks."""
+    d = 0.0
+    for a, b in zip(prev.u, new.u):
+        d = max(d, float(jnp.max(jnp.abs(a - b))))
+    return d / dt
