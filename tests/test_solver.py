@@ -1,0 +1,55 @@
+"""Step-level property tests (SURVEY.md SS4 Property tier): every accepted
+step leaves max |div u| below tolerance; diagnostics are well-formed; the
+obstacle case keeps solids velocity-free."""
+
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu.cases import make_case
+from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+
+
+def test_divergence_free_every_step():
+    case = make_case("cavity", shape=(32, 32))
+    st = case.initial_state()
+    st, diag = case.sim.run_scan(st, 50)
+    assert diag.max_div.shape == (50,)
+    assert float(np.max(np.asarray(diag.max_div))) < 1e-3
+    assert np.all(np.asarray(diag.poisson_res) <= 1.1e-5)
+
+
+def test_cfl_stays_bounded():
+    case = make_case("cavity", shape=(32, 32))
+    st = case.initial_state()
+    st, diag = case.sim.run_scan(st, 50)
+    assert float(np.max(np.asarray(diag.max_cfl))) < 1.0
+
+
+def test_obstacle_stays_solid():
+    case = make_case(
+        "cylinder", shape=(96, 48), lengths=(12.0, 6.0), center=(3.0, 3.01)
+    )
+    sim = case.sim
+    st = impulsive_start_state(sim)
+    st, diag = sim.run_scan(st, 100)
+    masks = sim.face_masks
+    for a in range(2):
+        blocked = np.asarray(masks[a]) == 0.0
+        vals = np.asarray(st.u[a])[blocked]
+        assert np.abs(vals).max() == 0.0
+    assert np.isfinite(np.asarray(st.p)).all()
+    # wake recirculation behind the cylinder (flow actually separates)
+    u = np.asarray(st.u[0])
+    assert u[28:40, 20:28].min() < 0.0
+
+
+def test_3d_cavity_smoke():
+    case = make_case("cavity3d", shape=(12, 12, 12), re=100.0)
+    st = case.initial_state()
+    st, diag = case.sim.run_scan(st, 20)
+    assert float(diag.max_div[-1]) < 1e-3
+    for a in range(3):
+        assert np.isfinite(np.asarray(st.u[a])).all()
+    # lid drives interior flow in +x near the top
+    u = np.asarray(st.u[0])
+    assert u[6, 6, -1] > 0.0 or u[6, 6, -2] > 0.0
