@@ -110,16 +110,33 @@ def no_slip_box(grid: GridSpec) -> dict[Face, BCSpec]:
     }
 
 
-def _face_slice(arr: Array, axis: int, index: int) -> Array:
+def _face_slice(arr: Array, axis: int, index) -> Array:
     idx = [slice(None)] * arr.ndim
     idx[axis] = index
     return arr[tuple(idx)]
 
 
-def _set_face(arr: Array, axis: int, index: int, value) -> Array:
-    idx = [slice(None)] * arr.ndim
-    idx[axis] = index
-    return arr.at[tuple(idx)].set(value)
+def _set_face(arr: Array, axis: int, side: int, value) -> Array:
+    """Replace the boundary slab (side 0 = first, 1 = last) along ``axis``.
+
+    Implemented with slice+concatenate, NOT ``.at[].set``: scatter ops are
+    mis-partitioned under sharding constraints on this backend (verified by
+    a minimal repro; concat lowers to halo-free slicing and is exact), and
+    concat is the friendlier form for the TPU partitioner anyway.
+    """
+    nd = arr.ndim
+    value = jnp.asarray(value, arr.dtype)
+    if value.ndim == nd - 1:  # profile given without the keepdim axis
+        value = jnp.expand_dims(value, axis)
+    slab_shape = list(arr.shape)
+    slab_shape[axis] = 1
+    slab = jnp.broadcast_to(value, tuple(slab_shape))
+    rest = [slice(None)] * nd
+    if side == 0:
+        rest[axis] = slice(1, None)
+        return jnp.concatenate([slab, arr[tuple(rest)]], axis=axis)
+    rest[axis] = slice(0, -1)
+    return jnp.concatenate([arr[tuple(rest)], slab], axis=axis)
 
 
 def apply_velocity_bcs(
@@ -137,13 +154,13 @@ def apply_velocity_bcs(
     """
     out = []
     for a, comp in enumerate(u):
-        for side, index, inner in ((0, 0, 1), (1, -1, -2)):
+        for side, inner in ((0, slice(1, 2)), (1, slice(-2, -1))):
             bc = bcs[(a, side)]
             if bc.kind in _DIRICHLET_KINDS:
                 val = bc.component(a, grid.ndim)
-                comp = _set_face(comp, a, index, jnp.asarray(val, grid.dtype))
+                comp = _set_face(comp, a, side, val)
             elif bc.kind is BCKind.OUTFLOW:
-                comp = _set_face(comp, a, index, _face_slice(comp, a, inner))
+                comp = _set_face(comp, a, side, _face_slice(comp, a, inner))
             else:  # pragma: no cover - enum is closed
                 raise NotImplementedError(bc.kind)
         if face_masks is not None:

@@ -36,6 +36,22 @@ def _sl(ndim: int, axis: int, s: slice) -> tuple:
     return tuple(idx)
 
 
+def _add_interior(arr: Array, axis: int, delta: Array) -> Array:
+    """``arr[1:-1 along axis] += delta`` via slice+concat.
+
+    Scatter (``.at[].add``) is avoided on purpose: it is mis-partitioned
+    under sharding constraints on this backend (see bcs._set_face note) and
+    concat maps better onto the TPU partitioner/Pallas anyway.
+    """
+    nd = arr.ndim
+    first = _sl(nd, axis, slice(0, 1))
+    mid = _sl(nd, axis, slice(1, -1))
+    last = _sl(nd, axis, slice(-1, None))
+    return jnp.concatenate(
+        [arr[first], arr[mid] + delta, arr[last]], axis=axis
+    )
+
+
 def divergence(grid: GridSpec, u: Sequence[Array]) -> Array:
     """Cell-centered divergence of a staggered velocity field."""
     h = grid.spacing
@@ -75,8 +91,7 @@ def correct_velocity(
         g = pressure_gradient(grid, p, a)
         if corr_masks is not None:
             g = g * corr_masks[a]
-        interior = _sl(nd, a, slice(1, -1))
-        out.append(comp.at[interior].add(-scale * g))
+        out.append(_add_interior(comp, a, -scale * g))
     return tuple(out)
 
 
@@ -198,8 +213,7 @@ def predictor(
         rhs = -adv + nu * lap
         if forcing is not None and forcing[a] is not None:
             rhs = rhs + forcing[a]
-        interior = _sl(nd, a, slice(1, -1))
-        out.append(comp.at[interior].add(dt * rhs))
+        out.append(_add_interior(comp, a, dt * rhs))
     return tuple(out)
 
 

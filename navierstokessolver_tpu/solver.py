@@ -62,6 +62,11 @@ class Simulation:
     face_masks: Optional[tuple[Array, ...]]
     corr_masks: Optional[tuple[Array, ...]]
     forcing: Optional[tuple[Array, ...]] = None
+    # Domain-decomposition shardings (a State-shaped pytree of NamedSharding).
+    # Applied as with_sharding_constraint at step entry/exit: GSPMD then lays
+    # out every stencil as halo exchanges over the mesh (supports uneven
+    # staggered dims, which device_put/out_shardings reject).
+    shardings: Optional[State] = None
 
     @staticmethod
     def build(
@@ -89,8 +94,14 @@ class Simulation:
         u = bcs_mod.apply_velocity_bcs(self.grid, self.bcs, st.u, self.face_masks)
         return State(u=u, p=st.p)
 
+    def _constrain(self, state: State) -> State:
+        if self.shardings is None:
+            return state
+        return jax.lax.with_sharding_constraint(state, self.shardings)
+
     def step(self, state: State) -> tuple[State, StepDiagnostics]:
         g, b, pr = self.grid, self.bcs, self.params
+        state = self._constrain(state)
         u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
         # 1. explicit advection-diffusion predictor
         u_star = stencils.predictor(
@@ -107,8 +118,8 @@ class Simulation:
             g, u_star, p, pr.dt / pr.rho, self.corr_masks
         )
         u_new = bcs_mod.apply_velocity_bcs(g, b, u_new, self.face_masks)
-        new_state = State(u=u_new, p=p)
-        div = stencils.divergence(g, u_new) * self.op.fluid
+        new_state = self._constrain(State(u=u_new, p=p))
+        div = stencils.divergence(g, new_state.u) * self.op.fluid
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,

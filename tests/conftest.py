@@ -7,7 +7,9 @@ test domain decomposition without a TPU pod. Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox pre-sets JAX_PLATFORMS=axon (the TPU tunnel); tests must run on
+# CPU with virtual devices, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize hook sets jax_platforms="axon,cpu" programmatically
+# (env vars are ignored); override it back to CPU before any backend init.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
 # Compilation on this host is slow (1 core); cache compiled executables on

@@ -1,0 +1,88 @@
+"""Distributed tier (SURVEY.md SS4): 1-device vs n-device sharded runs agree
+on the same config, on a virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu.cases import make_case
+from navierstokessolver_tpu.parallel import (
+    make_mesh,
+    shard_state,
+    sharded_simulation,
+)
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@requires_8
+def test_1d_decomposition_matches_single_device():
+    case = make_case("cavity", shape=(32, 32))
+    sim = case.sim
+    st = case.initial_state()
+    ref, diag_ref = sim.run_scan(st, 30)
+
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    st_sh = shard_state(case.initial_state(), mesh, sim.grid)
+    out, diag = sim_sh.run_scan(st_sh, 30)
+
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u[1]), np.asarray(ref.u[1]), atol=5e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p), atol=5e-4)
+    # Output really is sharded over the mesh (not silently gathered).
+    assert len(out.p.sharding.device_set) == 8
+
+
+@requires_8
+def test_2d_pencil_decomposition():
+    case = make_case("cavity", shape=(32, 32))
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 10)
+
+    mesh = make_mesh((2, 4))
+    sim_sh = sharded_simulation(sim, mesh)
+    st_sh = shard_state(case.initial_state(), mesh, sim.grid)
+    out, _ = sim_sh.run_scan(st_sh, 10)
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=5e-5
+    )
+    assert len(out.p.sharding.device_set) == 8
+
+
+@requires_8
+def test_obstacle_case_sharded():
+    case = make_case(
+        "cylinder", shape=(96, 48), lengths=(12.0, 6.0), center=(3.0, 3.01)
+    )
+    sim = case.sim
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+
+    st = impulsive_start_state(sim)
+    ref, _ = sim.run_scan(st, 10)
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    out, _ = sim_sh.run_scan(shard_state(st, mesh, sim.grid), 10)
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=1e-4
+    )
+
+
+@requires_8
+def test_3d_decomposition():
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 5)
+    mesh = make_mesh((2, 2, 2))
+    sim_sh = sharded_simulation(sim, mesh)
+    out, _ = sim_sh.run_scan(shard_state(case.initial_state(), mesh, sim.grid), 5)
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=5e-5
+    )
