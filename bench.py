@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line for the driver.
+
+Metric (BASELINE.json): cell updates/sec (MLUPS)/chip for the full projection
+step loop. One lattice update = one complete time step for one cell
+(predictor + pressure Poisson to fixed residual + correction). Baseline for
+``vs_baseline`` is the driver's north-star target of 1 GLUPS/chip on v5e
+(the reference publishes no numbers; BASELINE.md).
+
+Extra diagnostics (wall-clock/step, Poisson iters) go to stderr; stdout is
+exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="cavity")
+    ap.add_argument("--nx", type=int, default=2048)
+    ap.add_argument("--ny", type=int, default=2048)
+    ap.add_argument("--re", type=float, default=10_000.0)
+    ap.add_argument("--poisson", default="cg")
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--warmup", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+
+    from navierstokessolver_tpu.cases import make_case
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+
+    kw = dict(shape=(args.nx, args.ny), re=args.re, poisson_method=args.poisson,
+              poisson_tol=args.tol)
+    if args.case in ("cavity", "cavity_hi_re"):
+        case = make_case("cavity", upwind_gamma=0.8 if args.re > 1000 else 0.0, **kw)
+    else:
+        case = make_case(args.case, **kw)
+    sim = case.sim
+    n_cells = sim.grid.num_cells()
+
+    state = case.initial_state()
+    t0 = time.perf_counter()
+    state, diag = sim.run_scan(state, args.warmup)
+    jax.block_until_ready(state.p)
+    t_warm = time.perf_counter() - t0
+    print(
+        f"[bench] warmup {args.warmup} steps (incl. compile): {t_warm:.1f}s; "
+        f"poisson iters last={int(diag.poisson_iters[-1])}",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    state, diag = sim.run_scan(state, args.steps)
+    jax.block_until_ready(state.p)
+    elapsed = time.perf_counter() - t0
+
+    import numpy as np
+
+    iters = np.asarray(diag.poisson_iters)
+    mlups = n_cells * args.steps / elapsed / 1e6
+    ms_per_step = elapsed / args.steps * 1e3
+    print(
+        f"[bench] {args.steps} steps in {elapsed:.3f}s -> {ms_per_step:.2f} ms/step, "
+        f"{mlups:.1f} MLUPS; poisson iters mean={iters.mean():.1f} "
+        f"min={iters.min()} max={iters.max()}; "
+        f"final res={float(diag.poisson_res[-1]):.2e} "
+        f"max_div={float(diag.max_div[-1]):.2e}",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": f"2d_step_loop_mlups_{args.nx}x{args.ny}_{args.poisson}",
+        "value": round(mlups, 1),
+        "unit": "MLUPS/chip",
+        "vs_baseline": round(mlups / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Command-line driver (SURVEY.md SS2 "Config/CLI" row; layer L7).
+
+Runs a registered case end-to-end: chunked jit-scanned stepping with
+structured window logs, async snapshot streaming, periodic checkpoints and
+``--resume``.
+
+Examples:
+  python -m navierstokessolver_tpu.cli --case cavity --steps 2000
+  python -m navierstokessolver_tpu.cli --case cylinder --steps 20000 \
+      --snapshot-every 500 --out out/cyl --vtk
+  python -m navierstokessolver_tpu.cli --case cavity --resume out/cavity/ckpt.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def parse_shape(s):
+    return tuple(int(x) for x in s.split(",")) if s else None
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="navierstokessolver_tpu")
+    ap.add_argument("--case", default="cavity")
+    ap.add_argument("--shape", type=parse_shape, default=None,
+                    help="grid cells per axis, e.g. 128,128")
+    ap.add_argument("--re", type=float, default=None)
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: the case's suggested step count")
+    ap.add_argument("--poisson", default=None,
+                    help="jacobi | gs | sor | cg | fft")
+    ap.add_argument("--poisson-tol", type=float, default=None)
+    ap.add_argument("--upwind-gamma", type=float, default=None)
+    ap.add_argument("--chunk", type=int, default=200,
+                    help="steps per jitted scan chunk / logging window")
+    ap.add_argument("--out", default=None, help="output directory")
+    ap.add_argument("--snapshot-every", type=int, default=0,
+                    help="steps between snapshots (0 = off)")
+    ap.add_argument("--vtk", action="store_true",
+                    help="also write legacy VTK files for ParaView")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--resume", default=None, help="checkpoint path")
+    ap.add_argument("--csv", default=None, help="CSV metrics path")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard over the first N devices (0 = single device)")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    from . import io as io_mod
+    from .cases import make_case
+    from .utils.metrics import StepLogger, WindowStats
+
+    overrides = {}
+    if args.shape is not None:
+        overrides["shape"] = args.shape
+    if args.re is not None:
+        overrides["re"] = args.re
+    if args.dt is not None:
+        overrides["dt"] = args.dt
+    if args.poisson is not None:
+        overrides["poisson_method"] = args.poisson
+    if args.poisson_tol is not None:
+        overrides["poisson_tol"] = args.poisson_tol
+    if args.upwind_gamma is not None:
+        overrides["upwind_gamma"] = args.upwind_gamma
+
+    case = make_case(args.case, **overrides)
+    sim = case.sim
+    n_steps = args.steps if args.steps is not None else case.suggested_steps
+    out_dir = args.out or os.path.join("out", args.case)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.devices > 1:
+        from .parallel import make_mesh, shard_state, sharded_simulation
+
+        mesh = make_mesh(args.devices)
+        sim = sharded_simulation(sim, mesh)
+
+    cfg_hash = io_mod.config_hash(sim.grid, sim.params)
+    step0 = 0
+    state = case.initial_state()
+    if args.resume:
+        state, step0 = io_mod.load_checkpoint(args.resume, sim.grid, cfg_hash)
+        print(f"[cli] resumed from {args.resume} at step {step0}", file=sys.stderr)
+    if args.devices > 1:
+        state = shard_state(state, mesh, sim.grid)
+
+    logger = StepLogger(csv_path=args.csv)
+    writer = None
+    if args.snapshot_every > 0:
+        writer = io_mod.AsyncSnapshotWriter(out_dir, sim.grid, vtk=args.vtk)
+
+    print(
+        f"[cli] case={args.case} grid={sim.grid.shape} dt={sim.params.dt:.3e} "
+        f"nu={sim.params.nu:.3e} poisson={sim.params.poisson.method} "
+        f"steps={n_steps} device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+    step = step0
+    next_snap = step + args.snapshot_every if args.snapshot_every else None
+    try:
+        while step < step0 + n_steps:
+            chunk = min(args.chunk, step0 + n_steps - step)
+            t0 = time.perf_counter()
+            state, diag = sim.run_scan(state, chunk)
+            jax.block_until_ready(state.p)
+            wall = time.perf_counter() - t0
+            step += chunk
+            logger.log(WindowStats.from_diag(
+                diag, step=step, dt=sim.params.dt, wall_s=wall,
+                n_cells=sim.grid.num_cells(),
+            ))
+            if writer is not None and next_snap is not None and step >= next_snap:
+                writer.enqueue(state, step, step * sim.params.dt)
+                next_snap += args.snapshot_every
+            if args.checkpoint_every and step % args.checkpoint_every < chunk:
+                io_mod.save_checkpoint(
+                    os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash
+                )
+    finally:
+        if writer is not None:
+            writer.close()
+    if args.checkpoint_every:
+        io_mod.save_checkpoint(
+            os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash
+        )
+    print(f"[cli] done at step {step}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,195 @@
+"""Snapshot, checkpoint and async host-streaming I/O.
+
+Capability parity: the reference's periodic field dumps for visualization
+(SURVEY.md SS2 "Snapshot I/O", SS3.3) plus checkpoint/resume (SURVEY.md SS5).
+TPU-first design: the step loop never blocks on disk -- snapshots are
+enqueued as device arrays and a host writer thread performs the
+device->host copy and serialization concurrently with the next `run_scan`
+chunk (dispatch-ahead; BASELINE.json north star "without stalling the step
+loop").
+
+Formats:
+  * snapshots: ``.npz`` (fields + metadata) and optional legacy-ASCII
+    ``.vtk`` structured-points files for ParaView.
+  * checkpoints: ``.npz`` with the full State, step counter and a config
+    hash; ``load_checkpoint`` refuses mismatched configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import queue
+import threading
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .grid import GridSpec, State, interpolate_to_centers
+from .ops.stencils import vorticity_2d
+
+
+# ---------------------------------------------------------------------------
+# Snapshots
+# ---------------------------------------------------------------------------
+
+
+def snapshot_arrays(grid: GridSpec, state: State) -> dict[str, np.ndarray]:
+    """Assemble host-side arrays for a snapshot (cell-centered velocity,
+    pressure, vorticity in 2D)."""
+    out: dict[str, np.ndarray] = {}
+    centered = interpolate_to_centers(grid, state.u)
+    for a, c in enumerate(centered):
+        out[f"u{'xyz'[a]}"] = np.asarray(c)
+    out["p"] = np.asarray(state.p)
+    for a, c in enumerate(state.u):
+        out[f"u{'xyz'[a]}_face"] = np.asarray(c)
+    if grid.ndim == 2:
+        out["vorticity"] = np.asarray(vorticity_2d(grid, state.u))
+    return out
+
+
+def write_snapshot(
+    path: str,
+    grid: GridSpec,
+    state: State,
+    step: int,
+    time: float,
+    vtk: bool = False,
+) -> None:
+    arrays = snapshot_arrays(grid, state)
+    meta = dict(
+        step=int(step),
+        time=float(time),
+        shape=list(grid.shape),
+        lengths=list(grid.lengths),
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    if vtk:
+        write_vtk(os.path.splitext(path)[0] + ".vtk", grid, arrays, meta)
+
+
+def write_vtk(path: str, grid: GridSpec, arrays: dict, meta: dict) -> None:
+    """Legacy-ASCII VTK structured-points file (cell data), ParaView-ready."""
+    nd = grid.ndim
+    dims = list(grid.shape) + [1] * (3 - nd)
+    sp = list(grid.spacing) + [1.0] * (3 - nd)
+    n = int(np.prod(grid.shape))
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n")
+        f.write(f"navierstokessolver_tpu step={meta['step']} t={meta['time']}\n")
+        f.write("ASCII\nDATASET STRUCTURED_POINTS\n")
+        f.write(f"DIMENSIONS {dims[0]} {dims[1]} {dims[2]}\n")
+        f.write("ORIGIN 0 0 0\n")
+        f.write(f"SPACING {sp[0]} {sp[1]} {sp[2]}\n")
+        f.write(f"POINT_DATA {n}\n")
+        comps = [arrays.get(f"u{'xyz'[a]}") for a in range(nd)]
+        f.write("VECTORS velocity float\n")
+        flat = [c.reshape(-1, order="F") for c in comps]
+        zeros = np.zeros_like(flat[0])
+        while len(flat) < 3:
+            flat.append(zeros)
+        for row in zip(*flat):
+            f.write(f"{row[0]:.6g} {row[1]:.6g} {row[2]:.6g}\n")
+        f.write("SCALARS pressure float 1\nLOOKUP_TABLE default\n")
+        for v in arrays["p"].reshape(-1, order="F"):
+            f.write(f"{v:.6g}\n")
+        if "vorticity" in arrays and nd == 2:
+            w = arrays["vorticity"]
+            wp = np.zeros(grid.shape, w.dtype)
+            wp[:-1, :-1] = w  # node -> cell (drop last row/col)
+            f.write("SCALARS vorticity float 1\nLOOKUP_TABLE default\n")
+            for v in wp.reshape(-1, order="F"):
+                f.write(f"{v:.6g}\n")
+
+
+class AsyncSnapshotWriter:
+    """Background writer: the sim thread enqueues on-device states; this
+    thread pulls them to host and serializes, overlapping with compute."""
+
+    def __init__(self, out_dir: str, grid: GridSpec, vtk: bool = False,
+                 max_pending: int = 4):
+        self.out_dir = out_dir
+        self.grid = grid
+        self.vtk = vtk
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def enqueue(self, state: State, step: int, time: float) -> None:
+        if self._err is not None:
+            raise RuntimeError("snapshot writer failed") from self._err
+        # Keep the arrays on device; the writer thread does the host copy.
+        self._q.put((state, int(step), float(time)))
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            state, step, time = item
+            try:
+                path = os.path.join(self.out_dir, f"snap_{step:08d}.npz")
+                write_snapshot(path, self.grid, state, step, time, self.vtk)
+            except BaseException as e:  # surfaced on next enqueue/close
+                self._err = e
+                return
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise RuntimeError("snapshot writer failed") from self._err
+
+
+# ---------------------------------------------------------------------------
+# Checkpoints
+# ---------------------------------------------------------------------------
+
+
+def config_hash(grid: GridSpec, params) -> str:
+    blob = json.dumps(
+        dict(
+            shape=list(grid.shape),
+            lengths=list(grid.lengths),
+            dtype=str(np.dtype(grid.dtype)) if grid.dtype else "float32",
+            dt=params.dt,
+            nu=params.nu,
+            rho=params.rho,
+            upwind_gamma=params.upwind_gamma,
+            poisson=dataclasses.asdict(params.poisson),
+        ),
+        sort_keys=True,
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def save_checkpoint(path: str, state: State, step: int, cfg_hash: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {f"u{a}": np.asarray(c) for a, c in enumerate(state.u)}
+    arrays["p"] = np.asarray(state.p)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, step=np.int64(step), cfg=np.bytes_(cfg_hash.encode()), **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, grid: GridSpec, cfg_hash: Optional[str] = None):
+    """Returns (state, step). Raises on config-hash mismatch when given."""
+    with np.load(path) as z:
+        saved = bytes(z["cfg"]).decode()
+        if cfg_hash is not None and saved != cfg_hash:
+            raise ValueError(
+                f"checkpoint config hash {saved} != current {cfg_hash}; "
+                "refusing to resume a different configuration"
+            )
+        u = tuple(
+            jax.numpy.asarray(z[f"u{a}"], grid.dtype) for a in range(grid.ndim)
+        )
+        p = jax.numpy.asarray(z["p"], grid.dtype)
+        step = int(z["step"])
+    return State(u=u, p=p), step

@@ -1,0 +1,125 @@
+"""FFT-based DCT-II / inverse along one axis (TPU-friendly, jit/vmap-safe).
+
+Building block for the direct spectral pressure solve (ops/fft_poisson.py).
+Uses the classic even-odd reordering so a length-n real DCT costs one
+length-n complex FFT (Makhoul 1980) -- all ops are slices/concats/FFTs that
+XLA maps well onto TPU.
+
+Conventions (unnormalized, matching scipy.fft.dct type 2):
+  DCT2(x)_k = 2 * sum_i x_i cos(pi k (2i+1) / (2n))
+  idct2 is its exact inverse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _sl(nd, axis, s):
+    idx = [slice(None)] * nd
+    idx[axis] = s
+    return tuple(idx)
+
+
+def dct2(x: Array, axis: int = -1) -> Array:
+    """Type-II DCT along ``axis`` (unnormalized, scipy-compatible)."""
+    n = x.shape[axis]
+    nd = x.ndim
+    axis = axis % nd
+    # even-odd reorder: v = [x0, x2, ..., | ..., x3, x1]
+    ev = x[_sl(nd, axis, slice(0, None, 2))]
+    od = x[_sl(nd, axis, slice(1, None, 2))]
+    v = jnp.concatenate([ev, jnp.flip(od, axis)], axis=axis)
+    V = jnp.fft.fft(v, axis=axis)
+    k = np.arange(n)
+    w = 2.0 * np.exp(-1j * np.pi * k / (2 * n))
+    shape = [1] * nd
+    shape[axis] = n
+    w = jnp.asarray(w.reshape(shape))
+    return jnp.real(w * V).astype(x.dtype)
+
+
+def idct2(X: Array, axis: int = -1) -> Array:
+    """Inverse of :func:`dct2` along ``axis``."""
+    n = X.shape[axis]
+    nd = X.ndim
+    axis = axis % nd
+    dtype = X.dtype
+    k = np.arange(n)
+    w = 0.5 * np.exp(1j * np.pi * k / (2 * n))
+    shape = [1] * nd
+    shape[axis] = n
+    w = jnp.asarray(w.reshape(shape))
+    # X_flip_k = X_{n-k} (k>=1), 0 at k=0
+    Xf = jnp.flip(X, axis)
+    zero = jnp.zeros_like(X[_sl(nd, axis, slice(0, 1))])
+    Xf = jnp.concatenate([zero, Xf[_sl(nd, axis, slice(0, -1))]], axis=axis)
+    c = w * (X - 1j * Xf)
+    v = jnp.real(jnp.fft.ifft(c, axis=axis))
+    # de-interleave: x[2i] = v[i], x[2i+1] = v[n-1-i]
+    half = (n + 1) // 2
+    ev = v[_sl(nd, axis, slice(0, half))]          # -> x[0], x[2], ...
+    od = jnp.flip(v[_sl(nd, axis, slice(half, None))], axis)  # -> x[1], x[3], ...
+    if n % 2 == 0:
+        x = jnp.stack([ev, od], axis=axis + 1)
+        new_shape = list(X.shape)
+        new_shape[axis] = n
+        x = x.reshape(new_shape)
+    else:
+        # odd n: interleave the first half-1 pairs, append the last even entry
+        ev_main = ev[_sl(nd, axis, slice(0, half - 1))]
+        x = jnp.stack([ev_main, od], axis=axis + 1)
+        new_shape = list(X.shape)
+        new_shape[axis] = n - 1
+        x = x.reshape(new_shape)
+        x = jnp.concatenate([x, ev[_sl(nd, axis, slice(half - 1, None))]], axis=axis)
+    return x.astype(dtype)
+
+
+def dct2_matrix(n: int) -> np.ndarray:
+    """Dense DCT-II matrix: X = C @ x, C[k,i] = 2 cos(pi k (2i+1)/(2n)).
+
+    On TPU, applying the DCT as a matmul runs on the MXU and beats the
+    (complex-emulated) FFT path by a wide margin for n up to several
+    thousand -- the transform is where the FLOPs are, so feed the systolic
+    array (pallas_guide: MXU section).
+    """
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return 2.0 * np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+
+
+def idct2_matrix(n: int) -> np.ndarray:
+    """Dense inverse: x = M @ X, M[i,k] = (1/n) * (1/2 if k==0 else cos(...))."""
+    i = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    m = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) / n
+    m[:, 0] = 0.5 / n
+    return m
+
+
+def apply_along_axis(mat: Array, x: Array, axis: int) -> Array:
+    """``y[..., k, ...] = sum_i mat[k, i] x[..., i, ...]`` on the MXU.
+
+    float32 with HIGHEST precision so the direct solve stays exact to
+    single-precision roundoff (default TPU f32 matmul rounds through bf16).
+    """
+    y = jnp.tensordot(
+        mat, x, axes=([1], [axis]), precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.moveaxis(y, 0, axis)
+
+
+def neumann_eigenvalues(n: int, h: float) -> np.ndarray:
+    """Eigenvalues of the 1D cell-centered Neumann Laplacian under DCT-II.
+
+    Our ghost treatment (ghost = edge, ops/poisson.py) gives exactly the
+    matrix whose eigenvectors are cos(pi k (2i+1)/(2n)):
+      lambda_k = -(4/h^2) sin^2(pi k / (2n)).
+    """
+    k = np.arange(n)
+    return -(4.0 / (h * h)) * np.sin(np.pi * k / (2 * n)) ** 2

@@ -1,0 +1,121 @@
+"""Direct spectral (DCT) pressure Poisson solver.
+
+TPU-native upgrade beyond the reference's relaxation solvers (SURVEY.md SS2
+mandates "matrix-free CG with the same convergence semantics"; this goes
+further): for obstacle-free rectangular domains whose pressure BCs are all
+homogeneous Neumann (walls/inflow/slip -- i.e. every closed-box cavity
+config), the discrete Laplacian diagonalizes under a tensor DCT-II, so the
+projection solve is EXACT in one O(n log n) application: forward DCT per
+axis, divide by eigenvalue sums, inverse DCT. No iteration, no convergence
+question -- residual is reported post-hoc in the same relative-L2 norm as
+the iterative solvers.
+
+Falls back unavailable (is_applicable() False) when an outflow face or an
+obstacle mask is present; Simulation then uses the iterative path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bcs import BCKind, BCTable
+from ..grid import GridSpec
+from . import dct as dct_mod
+from .poisson import PoissonOp, apply_A, residual_norm
+
+Array = jax.Array
+
+
+def is_applicable(grid: GridSpec, bcs: BCTable, solid) -> bool:
+    if solid is not None and np.any(solid):
+        return False
+    return all(
+        bcs[(a, s)].kind is not BCKind.OUTFLOW
+        for a in range(grid.ndim)
+        for s in (0, 1)
+    )
+
+
+@dataclasses.dataclass(eq=False)
+class DCTPoissonSolver:
+    """Precomputed inverse-eigenvalue tensor for the all-Neumann Laplacian.
+
+    ``mode="matmul"`` (default) applies the per-axis DCTs as dense matmuls on
+    the MXU (dct.apply_along_axis) -- on TPU this is much faster than the
+    complex-emulated FFT path for any practical n. ``mode="fft"`` keeps the
+    O(n log n) path for very large or CPU-bound runs.
+    """
+
+    grid: GridSpec
+    inv_eig: Array  # 1/(sum_a lambda_a(k_a)), 0 at the k=0...0 constant mode
+    fwd: tuple[Array, ...] = ()   # per-axis DCT-II matrices (matmul mode)
+    inv: tuple[Array, ...] = ()   # per-axis inverse matrices
+    mode: str = "matmul"
+
+    @staticmethod
+    def build(grid: GridSpec, mode: str = "matmul") -> "DCTPoissonSolver":
+        lam = [
+            dct_mod.neumann_eigenvalues(n, h)
+            for n, h in zip(grid.shape, grid.spacing)
+        ]
+        total = np.zeros(grid.shape, dtype=np.float64)
+        for a, l in enumerate(lam):
+            shape = [1] * grid.ndim
+            shape[a] = grid.shape[a]
+            total = total + l.reshape(shape)
+        inv = np.zeros_like(total)
+        nz = total != 0.0
+        inv[nz] = 1.0 / total[nz]  # constant mode pinned to 0 (deflation)
+        fwd = ()
+        invm = ()
+        if mode == "matmul":
+            fwd = tuple(
+                jnp.asarray(dct_mod.dct2_matrix(n), grid.dtype)
+                for n in grid.shape
+            )
+            invm = tuple(
+                jnp.asarray(dct_mod.idct2_matrix(n), grid.dtype)
+                for n in grid.shape
+            )
+        return DCTPoissonSolver(
+            grid=grid,
+            inv_eig=jnp.asarray(inv, grid.dtype),
+            fwd=fwd,
+            inv=invm,
+            mode=mode,
+        )
+
+    def solve(self, b: Array) -> Array:
+        """Exact solve of ``lap p = b`` (mean-zero branch), mean(p) = 0."""
+        x = b
+        if self.mode == "matmul":
+            for a in range(self.grid.ndim):
+                x = dct_mod.apply_along_axis(self.fwd[a], x, a)
+            x = x * self.inv_eig
+            for a in range(self.grid.ndim):
+                x = dct_mod.apply_along_axis(self.inv[a], x, a)
+            return x
+        for a in range(self.grid.ndim):
+            x = dct_mod.dct2(x, axis=a)
+        x = x * self.inv_eig
+        for a in range(self.grid.ndim):
+            x = dct_mod.idct2(x, axis=a)
+        return x
+
+
+def solve_with_residual(
+    solver: DCTPoissonSolver, op: PoissonOp, b: Array
+) -> tuple[Array, Array, Array]:
+    """Solve and report (p, iters=1, relative residual) for diagnostics,
+    using the same norm as the iterative solvers (ops/poisson.py)."""
+    mean = jnp.mean(b)
+    p = solver.solve(b - mean)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, b.dtype)
+    res = residual_norm(op, p, b - mean) / jnp.maximum(bnorm, tiny)
+    return p, jnp.int32(1), res

@@ -67,6 +67,8 @@ class Simulation:
     # out every stencil as halo exchanges over the mesh (supports uneven
     # staggered dims, which device_put/out_shardings reject).
     shardings: Optional[State] = None
+    # Direct spectral solver (set when params.poisson.method == "fft").
+    dct_solver: Optional[object] = None
 
     @staticmethod
     def build(
@@ -77,6 +79,17 @@ class Simulation:
         forcing: Optional[tuple[Array, ...]] = None,
     ) -> "Simulation":
         bcs_mod.validate_bcs(grid, bcs)
+        dct_solver = None
+        if params.poisson.method == "fft":
+            from .ops import fft_poisson
+
+            if not fft_poisson.is_applicable(grid, bcs, solid):
+                raise ValueError(
+                    "poisson method 'fft' needs an obstacle-free domain with "
+                    "all-Neumann pressure BCs (no outflow faces); use an "
+                    "iterative method for this case"
+                )
+            dct_solver = fft_poisson.DCTPoissonSolver.build(grid)
         return Simulation(
             grid=grid,
             bcs=bcs,
@@ -85,6 +98,7 @@ class Simulation:
             face_masks=bcs_mod.face_masks_from_solid(grid, solid),
             corr_masks=bcs_mod.correction_face_masks(grid, solid),
             forcing=forcing,
+            dct_solver=dct_solver,
         )
 
     # -- single step ---------------------------------------------------------
@@ -110,9 +124,16 @@ class Simulation:
         u_star = bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
         # 2. pressure Poisson: lap p = (rho/dt) div u*
         rhs = stencils.divergence(g, u_star) * (pr.rho / pr.dt) * self.op.fluid
-        p, iters, res = poisson_mod.solve_poisson(
-            self.op, rhs, state.p, g, pr.poisson
-        )
+        if self.dct_solver is not None:
+            from .ops import fft_poisson
+
+            p, iters, res = fft_poisson.solve_with_residual(
+                self.dct_solver, self.op, rhs
+            )
+        else:
+            p, iters, res = poisson_mod.solve_poisson(
+                self.op, rhs, state.p, g, pr.poisson
+            )
         # 3. velocity correction + BCs
         u_new = stencils.correct_velocity(
             g, u_star, p, pr.dt / pr.rho, self.corr_masks

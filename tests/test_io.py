@@ -1,0 +1,95 @@
+"""I/O tier: snapshots (npz/VTK), async writer, checkpoint/resume
+(SURVEY.md SS5 checkpoint/resume + async snapshot streaming)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu import io as io_mod
+from navierstokessolver_tpu.cases import make_case
+
+
+@pytest.fixture(scope="module")
+def sim_state():
+    case = make_case("cavity", shape=(16, 16))
+    st = case.initial_state()
+    st, _ = case.sim.run_scan(st, 20)
+    return case, st
+
+
+def test_snapshot_npz_roundtrip(tmp_path, sim_state):
+    case, st = sim_state
+    path = str(tmp_path / "snap.npz")
+    io_mod.write_snapshot(path, case.sim.grid, st, step=20, time=0.2)
+    with np.load(path) as z:
+        assert z["p"].shape == (16, 16)
+        assert z["ux"].shape == (16, 16)
+        assert z["vorticity"].shape == (15, 15)
+        assert "__meta__" in z
+
+
+def test_snapshot_vtk(tmp_path, sim_state):
+    case, st = sim_state
+    path = str(tmp_path / "snap.npz")
+    io_mod.write_snapshot(path, case.sim.grid, st, step=20, time=0.2, vtk=True)
+    vtk = str(tmp_path / "snap.vtk")
+    text = open(vtk).read()
+    assert "DATASET STRUCTURED_POINTS" in text
+    assert "VECTORS velocity float" in text
+    assert "SCALARS pressure float 1" in text
+
+
+def test_async_writer(tmp_path, sim_state):
+    case, st = sim_state
+    w = io_mod.AsyncSnapshotWriter(str(tmp_path), case.sim.grid)
+    for k in range(3):
+        w.enqueue(st, step=k, time=k * 0.01)
+    w.close()
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["snap_00000000.npz", "snap_00000001.npz", "snap_00000002.npz"]
+
+
+def test_checkpoint_roundtrip(tmp_path, sim_state):
+    case, st = sim_state
+    sim = case.sim
+    h = io_mod.config_hash(sim.grid, sim.params)
+    path = str(tmp_path / "ckpt.npz")
+    io_mod.save_checkpoint(path, st, step=20, cfg_hash=h)
+    st2, step = io_mod.load_checkpoint(path, sim.grid, h)
+    assert step == 20
+    np.testing.assert_array_equal(np.asarray(st2.p), np.asarray(st.p))
+    # resuming continues identically to an unbroken run
+    a, _ = sim.run_scan(st, 10)
+    b, _ = sim.run_scan(st2, 10)
+    np.testing.assert_allclose(np.asarray(a.u[0]), np.asarray(b.u[0]), atol=1e-7)
+
+
+def test_checkpoint_config_mismatch(tmp_path, sim_state):
+    case, st = sim_state
+    sim = case.sim
+    path = str(tmp_path / "ckpt.npz")
+    io_mod.save_checkpoint(path, st, step=5, cfg_hash="deadbeef")
+    with pytest.raises(ValueError, match="config hash"):
+        io_mod.load_checkpoint(path, sim.grid, "cafebabe")
+
+
+def test_cli_end_to_end(tmp_path):
+    from navierstokessolver_tpu.cli import main
+
+    out = str(tmp_path / "run")
+    rc = main([
+        "--case", "cavity", "--shape", "16,16", "--steps", "40",
+        "--chunk", "20", "--out", out, "--snapshot-every", "20",
+        "--checkpoint-every", "20",
+    ])
+    assert rc == 0
+    files = os.listdir(out)
+    assert "ckpt.npz" in files
+    assert any(f.startswith("snap_") for f in files)
+    # resume from the checkpoint
+    rc = main([
+        "--case", "cavity", "--shape", "16,16", "--steps", "20",
+        "--chunk", "20", "--out", out, "--resume", os.path.join(out, "ckpt.npz"),
+    ])
+    assert rc == 0
