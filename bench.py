@@ -33,6 +33,10 @@ def main() -> None:
 
     import jax
 
+    # Compiles go through a slow remote tunnel on this box; cache them.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from navierstokessolver_tpu.cases import make_case
 
     dev = jax.devices()[0]
@@ -47,29 +51,38 @@ def main() -> None:
     sim = case.sim
     n_cells = sim.grid.num_cells()
 
+    # Warmup and measurement reuse the SAME chunk length: run_scan compiles
+    # per static scan length, so a different measured length would fold a
+    # fresh multi-minute compile into the timing.
+    chunk = args.steps
+    n_chunks = max(1, args.warmup // chunk) if args.warmup else 1
+
     state = case.initial_state()
     t0 = time.perf_counter()
-    state, diag = sim.run_scan(state, args.warmup)
+    state, diag = sim.run_scan(state, chunk)
     jax.block_until_ready(state.p)
     t_warm = time.perf_counter() - t0
     print(
-        f"[bench] warmup {args.warmup} steps (incl. compile): {t_warm:.1f}s; "
+        f"[bench] warmup chunk of {chunk} steps (incl. compile): {t_warm:.1f}s; "
         f"poisson iters last={int(diag.poisson_iters[-1])}",
         file=sys.stderr,
     )
+    for _ in range(n_chunks - 1):
+        state, diag = sim.run_scan(state, chunk)
+    jax.block_until_ready(state.p)
 
     t0 = time.perf_counter()
-    state, diag = sim.run_scan(state, args.steps)
+    state, diag = sim.run_scan(state, chunk)
     jax.block_until_ready(state.p)
     elapsed = time.perf_counter() - t0
 
     import numpy as np
 
     iters = np.asarray(diag.poisson_iters)
-    mlups = n_cells * args.steps / elapsed / 1e6
-    ms_per_step = elapsed / args.steps * 1e3
+    mlups = n_cells * chunk / elapsed / 1e6
+    ms_per_step = elapsed / chunk * 1e3
     print(
-        f"[bench] {args.steps} steps in {elapsed:.3f}s -> {ms_per_step:.2f} ms/step, "
+        f"[bench] {chunk} steps in {elapsed:.3f}s -> {ms_per_step:.2f} ms/step, "
         f"{mlups:.1f} MLUPS; poisson iters mean={iters.mean():.1f} "
         f"min={iters.min()} max={iters.max()}; "
         f"final res={float(diag.poisson_res[-1]):.2e} "

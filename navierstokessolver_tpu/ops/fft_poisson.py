@@ -82,6 +82,11 @@ class DCTPoissonSolver:
                 jnp.asarray(dct_mod.idct2_matrix(n), grid.dtype)
                 for n in grid.shape
             )
+            # Spectral multiplier stored in REVERSED axis order: the matmul
+            # chain below leaves the spectrum axis-reversed (each tensordot
+            # puts its result axis first), and the inverse chain reverses it
+            # back -- zero explicit transposes, everything stays on the MXU.
+            inv = np.transpose(inv, tuple(range(grid.ndim - 1, -1, -1)))
         return DCTPoissonSolver(
             grid=grid,
             inv_eig=jnp.asarray(inv, grid.dtype),
@@ -92,18 +97,24 @@ class DCTPoissonSolver:
 
     def solve(self, b: Array) -> Array:
         """Exact solve of ``lap p = b`` (mean-zero branch), mean(p) = 0."""
+        nd = self.grid.ndim
+        hi = jax.lax.Precision.HIGHEST
         x = b
         if self.mode == "matmul":
-            for a in range(self.grid.ndim):
-                x = dct_mod.apply_along_axis(self.fwd[a], x, a)
+            # Forward: after the chain the axes read (k_{nd-1}, ..., k_0).
+            for a in range(nd):
+                x = jnp.tensordot(self.fwd[a], x, axes=([1], [a]), precision=hi)
             x = x * self.inv_eig
-            for a in range(self.grid.ndim):
-                x = dct_mod.apply_along_axis(self.inv[a], x, a)
+            # Inverse: unwinds the reversal, returning natural axis order.
+            for a in range(nd - 1, -1, -1):
+                x = jnp.tensordot(
+                    self.inv[a], x, axes=([1], [nd - 1 - a]), precision=hi
+                )
             return x
-        for a in range(self.grid.ndim):
+        for a in range(nd):
             x = dct_mod.dct2(x, axis=a)
         x = x * self.inv_eig
-        for a in range(self.grid.ndim):
+        for a in range(nd):
             x = dct_mod.idct2(x, axis=a)
         return x
 
