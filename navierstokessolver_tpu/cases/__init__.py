@@ -42,7 +42,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
         **{
             "shape": (2048, 2048),
             "re": 10_000.0,
-            "poisson_method": "cg",
+            "poisson_method": "fft",
             "upwind_gamma": 0.8,
             **kw,
         }

@@ -27,7 +27,7 @@ def build_cavity(
     re: float = 100.0,
     lid: float = 1.0,
     dt: float | None = None,
-    poisson_method: str = "cg",
+    poisson_method: str = "fft",  # closed box: the direct solve always applies
     poisson_tol: float = 1e-5,
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.0,

@@ -29,7 +29,7 @@ def build_channel(
     re: float = 100.0,
     u_max: float = 1.0,
     dt: float | None = None,
-    poisson_method: str = "cg",
+    poisson_method: str = "mg",
     poisson_tol: float = 1e-5,
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.0,

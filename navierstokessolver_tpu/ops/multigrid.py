@@ -1,0 +1,201 @@
+"""Geometric multigrid pressure solver (V-cycles, red-black smoothing).
+
+Fills the gap the spectral solver can't: obstacle masks and outflow
+(Dirichlet) faces, where unpreconditioned CG needs O(n) iterations. The
+hierarchy rediscretizes the masked Laplacian on 2x-coarsened grids
+(discretization coarse approximation): a coarse cell is solid only when ALL
+its children are solid, so thin fluid channels stay connected. Transfers are
+scatter-free (reshape-mean restriction, repeat prolongation) and the whole
+cycle is a fixed unrolled structure inside ``lax.while_loop`` -- jit/scan/
+GSPMD-friendly like everything else.
+
+Stopping rule: same relative-L2 residual as ops/poisson.py, so "Poisson
+iters to fixed residual" (BASELINE metric) compares across methods; iters
+are reported in V-cycles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bcs import BCTable
+from ..grid import GridSpec
+from .poisson import (
+    PoissonOp,
+    _rb_masks,
+    _rb_sweep,
+    apply_A,
+    build_poisson_op,
+    deflate,
+    residual_norm,
+)
+
+Array = jax.Array
+
+
+def _coarsen_solid(solid: np.ndarray) -> np.ndarray:
+    """Coarse cell is solid iff all 2^d children are solid."""
+    nd = solid.ndim
+    out = solid
+    for a in range(nd):
+        n = out.shape[a]
+        sh = list(out.shape)
+        sh[a] = n // 2
+        sh.insert(a + 1, 2)
+        out = out.reshape(sh).all(axis=a + 1)
+    return out
+
+
+def _can_coarsen(shape: tuple[int, ...], min_size: int = 4) -> bool:
+    return all(n % 2 == 0 and n // 2 >= min_size for n in shape)
+
+
+def _restrict(r: Array) -> Array:
+    """Full-weighting (2^d-child average) restriction, scatter-free."""
+    nd = r.ndim
+    out = r
+    for a in range(nd):
+        n = out.shape[a]
+        sh = list(out.shape)
+        sh[a] = n // 2
+        sh.insert(a + 1, 2)
+        out = out.reshape(sh).mean(axis=a + 1)
+    return out
+
+
+def _prolong(e: Array) -> Array:
+    """Tensor-product (bi/tri)linear prolongation for cell-centered grids.
+
+    Along each axis, fine cells 2i / 2i+1 get 0.75*c[i] + 0.25*c[i -/+ 1]
+    (edge-replicated: the homogeneous-Neumann-consistent choice). Linear
+    interpolation is what restores the textbook O(0.1-0.3) V-cycle rate --
+    piecewise-constant injection degrades it to ~0.9 (measured).
+    Scatter-free: shifts + stack/reshape interleave.
+    """
+    nd = e.ndim
+    out = e
+    for a in range(nd):
+        sl_first = [slice(None)] * nd
+        sl_first[a] = slice(0, 1)
+        sl_last = [slice(None)] * nd
+        sl_last[a] = slice(-1, None)
+        sl_m = [slice(None)] * nd
+        sl_m[a] = slice(0, -1)
+        sl_p = [slice(None)] * nd
+        sl_p[a] = slice(1, None)
+        cm = jnp.concatenate([out[tuple(sl_first)], out[tuple(sl_m)]], axis=a)
+        cp = jnp.concatenate([out[tuple(sl_p)], out[tuple(sl_last)]], axis=a)
+        lo = 0.75 * out + 0.25 * cm   # fine cell 2i
+        hi = 0.75 * out + 0.25 * cp   # fine cell 2i+1
+        st = jnp.stack([lo, hi], axis=a + 1)
+        shape = list(out.shape)
+        shape[a] *= 2
+        out = st.reshape(shape)
+    return out
+
+
+@dataclasses.dataclass(eq=False)
+class MGPoissonSolver:
+    """V-cycle hierarchy for one (grid, bcs, solid) problem."""
+
+    grid: GridSpec
+    ops: list[PoissonOp]
+    masks: list[tuple[Array, Array]]   # red/black masks per level
+    pre: int = 2
+    post: int = 2
+    coarse_iters: int = 40
+    omega: float = 1.0                 # smoother relaxation (RB-GS)
+
+    @staticmethod
+    def build(
+        grid: GridSpec,
+        bcs: BCTable,
+        solid: Optional[np.ndarray] = None,
+        pre: int = 2,
+        post: int = 2,
+        coarse_iters: int = 40,
+    ) -> "MGPoissonSolver":
+        ops = []
+        masks = []
+        g = grid
+        s = None if solid is None else np.asarray(solid, bool)
+        while True:
+            op = build_poisson_op(g, bcs, s)
+            ops.append(op)
+            masks.append(_rb_masks(op))
+            if not _can_coarsen(g.shape):
+                break
+            g = GridSpec(
+                shape=tuple(n // 2 for n in g.shape),
+                lengths=g.lengths,
+                dtype=g.dtype,
+            )
+            s = None if s is None else _coarsen_solid(s)
+        return MGPoissonSolver(
+            grid=grid, ops=ops, masks=masks, pre=pre, post=post,
+            coarse_iters=coarse_iters,
+        )
+
+    # -- one V-cycle (statically unrolled over levels) ----------------------
+
+    def _smooth(self, level: int, x: Array, b: Array, n: int) -> Array:
+        # fori_loop, NOT a Python loop: unrolled sweeps (esp. the 40-sweep
+        # coarse solve) blow the XLA graph up enough that CPU compiles of the
+        # enclosing scan hang for an hour+. A rolled loop compiles in seconds
+        # and runs identically.
+        op = self.ops[level]
+        masks = self.masks[level]
+        omega = self.omega
+        return jax.lax.fori_loop(
+            0, n, lambda i, p: _rb_sweep(op, p, b, masks, omega), x
+        )
+
+    def _v_cycle(self, level: int, x: Array, b: Array) -> Array:
+        op = self.ops[level]
+        if level == len(self.ops) - 1:
+            return self._smooth(level, x, b, self.coarse_iters)
+        x = self._smooth(level, x, b, self.pre)
+        r = (b - apply_A(op, x)) * op.fluid
+        rc = _restrict(r) * self.ops[level + 1].fluid
+        ec = jnp.zeros_like(rc)
+        ec = self._v_cycle(level + 1, ec, rc)
+        x = (x + _prolong(ec)) * op.fluid
+        return self._smooth(level, x, b, self.post)
+
+    def solve(
+        self, b: Array, p0: Array, tol: float, max_cycles: int
+    ) -> tuple[Array, Array, Array]:
+        """Returns (p, cycles, relative residual) -- same semantics as
+        ops/poisson.solve_poisson."""
+        op = self.ops[0]
+        dt = b.dtype
+        b = b * op.fluid
+        b = deflate(op, b) if op.singular else b
+        p0 = p0 * op.fluid
+        bnorm = jnp.sqrt(jnp.sum(b * b))
+        tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
+        inv_bnorm = 1.0 / jnp.maximum(bnorm, tiny)
+        tol = jnp.asarray(tol, dt)
+
+        def cond(carry):
+            p, k, res = carry
+            return jnp.logical_and(k < max_cycles, res > tol)
+
+        def body(carry):
+            p, k, _ = carry
+            p = self._v_cycle(0, p, b)
+            if op.singular:
+                p = deflate(op, p)
+            res = residual_norm(op, p, b) * inv_bnorm
+            return p, k + 1, res
+
+        res0 = residual_norm(op, p0, b) * inv_bnorm
+        p, cycles, res = jax.lax.while_loop(
+            cond, body, (p0, jnp.int32(0), res0)
+        )
+        return p, cycles, res

@@ -37,6 +37,12 @@ class SimParams:
     rho: float = 1.0
     upwind_gamma: float = 0.0
     poisson: PoissonConfig = dataclasses.field(default_factory=PoissonConfig)
+    # Use the fused Pallas predictor kernel (2D float32, unsharded runs).
+    use_pallas: bool = False
+    # CFL-adaptive stepping: when set, each step uses
+    # dt_k = min(dt, cfl * min_a(h_a / max|u_a|)) computed on device
+    # (`dt` then acts as the cap / diffusive limit). None = fixed dt.
+    cfl: Optional[float] = None
 
 
 class StepDiagnostics(NamedTuple):
@@ -44,6 +50,7 @@ class StepDiagnostics(NamedTuple):
     poisson_res: Array     # final relative residual
     max_div: Array         # max |div u| after projection
     max_cfl: Array         # advective CFL of the accepted step
+    dt: Array              # dt actually used (varies under CFL-adaptive mode)
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: usable as a jit static
@@ -69,6 +76,10 @@ class Simulation:
     shardings: Optional[State] = None
     # Direct spectral solver (set when params.poisson.method == "fft").
     dct_solver: Optional[object] = None
+    # Geometric multigrid solver (set when params.poisson.method == "mg").
+    mg_solver: Optional[object] = None
+    # Run Pallas kernels in interpret mode (CPU testing only).
+    pallas_interpret: bool = False
 
     @staticmethod
     def build(
@@ -90,6 +101,11 @@ class Simulation:
                     "iterative method for this case"
                 )
             dct_solver = fft_poisson.DCTPoissonSolver.build(grid)
+        mg_solver = None
+        if params.poisson.method == "mg":
+            from .ops import multigrid
+
+            mg_solver = multigrid.MGPoissonSolver.build(grid, bcs, solid)
         return Simulation(
             grid=grid,
             bcs=bcs,
@@ -99,6 +115,7 @@ class Simulation:
             corr_masks=bcs_mod.correction_face_masks(grid, solid),
             forcing=forcing,
             dct_solver=dct_solver,
+            mg_solver=mg_solver,
         )
 
     # -- single step ---------------------------------------------------------
@@ -108,45 +125,88 @@ class Simulation:
         u = bcs_mod.apply_velocity_bcs(self.grid, self.bcs, st.u, self.face_masks)
         return State(u=u, p=st.p)
 
+    def _pallas_ok(self) -> bool:
+        """Fused predictor applies to unsharded 2D float32 runs w/o forcing.
+        (Sharded runs keep the jnp path: a pallas_call under GSPMD would need
+        shard_map plumbing -- planned, not wired yet.)"""
+        if not self.params.use_pallas or self.forcing is not None:
+            return False
+        if self.shardings is not None:
+            return False
+        from .ops import pallas_kernels
+
+        return pallas_kernels.predictor_2d_applicable(self.grid)
+
     def _constrain(self, state: State) -> State:
         if self.shardings is None:
             return state
         return jax.lax.with_sharding_constraint(state, self.shardings)
 
+    def _step_dt(self, u):
+        """Per-step dt: fixed, or CFL-limited from the current velocity."""
+        pr = self.params
+        dt = jnp.asarray(pr.dt, self.grid.dtype)
+        if pr.cfl is None:
+            return dt
+        h = self.grid.spacing
+        inv = jnp.asarray(1e-12, self.grid.dtype)
+        for a, comp in enumerate(u):
+            inv = jnp.maximum(inv, jnp.max(jnp.abs(comp)) / h[a])
+        return jnp.minimum(dt, pr.cfl / inv)
+
     def step(self, state: State) -> tuple[State, StepDiagnostics]:
         g, b, pr = self.grid, self.bcs, self.params
         state = self._constrain(state)
-        u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
+        with jax.named_scope("bcs"):
+            u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
+        dt = self._step_dt(u)
         # 1. explicit advection-diffusion predictor
-        u_star = stencils.predictor(
-            g, b, u, pr.dt, pr.nu, pr.upwind_gamma, self.forcing
-        )
-        u_star = bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
-        # 2. pressure Poisson: lap p = (rho/dt) div u*
-        rhs = stencils.divergence(g, u_star) * (pr.rho / pr.dt) * self.op.fluid
-        if self.dct_solver is not None:
-            from .ops import fft_poisson
+        with jax.named_scope("predictor"):
+            if self._pallas_ok():
+                from .ops import pallas_kernels
 
-            p, iters, res = fft_poisson.solve_with_residual(
-                self.dct_solver, self.op, rhs
-            )
-        else:
-            p, iters, res = poisson_mod.solve_poisson(
-                self.op, rhs, state.p, g, pr.poisson
-            )
+                u_star = pallas_kernels.predictor_2d(
+                    g, b, u, dt, pr.nu, pr.upwind_gamma,
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                u_star = stencils.predictor(
+                    g, b, u, dt, pr.nu, pr.upwind_gamma, self.forcing
+                )
+            u_star = bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
+        # 2. pressure Poisson: lap p = (rho/dt) div u*
+        with jax.named_scope("poisson"):
+            rhs = stencils.divergence(g, u_star) * (pr.rho / dt) * self.op.fluid
+            if self.dct_solver is not None:
+                from .ops import fft_poisson
+
+                p, iters, res = fft_poisson.solve_with_residual(
+                    self.dct_solver, self.op, rhs
+                )
+            elif self.mg_solver is not None:
+                p, iters, res = self.mg_solver.solve(
+                    rhs, state.p, pr.poisson.tol, pr.poisson.max_iters
+                )
+            else:
+                p, iters, res = poisson_mod.solve_poisson(
+                    self.op, rhs, state.p, g, pr.poisson
+                )
         # 3. velocity correction + BCs
-        u_new = stencils.correct_velocity(
-            g, u_star, p, pr.dt / pr.rho, self.corr_masks
-        )
-        u_new = bcs_mod.apply_velocity_bcs(g, b, u_new, self.face_masks)
+        with jax.named_scope("correction"):
+            u_new = stencils.correct_velocity(
+                g, u_star, p, dt / pr.rho, self.corr_masks
+            )
+            u_new = bcs_mod.apply_velocity_bcs(g, b, u_new, self.face_masks)
         new_state = self._constrain(State(u=u_new, p=p))
-        div = stencils.divergence(g, new_state.u) * self.op.fluid
-        diag = StepDiagnostics(
-            poisson_iters=iters,
-            poisson_res=res,
-            max_div=jnp.max(jnp.abs(div)),
-            max_cfl=stencils.max_cfl(g, u_new, pr.dt),
-        )
+        with jax.named_scope("diagnostics"):
+            div = stencils.divergence(g, new_state.u) * self.op.fluid
+            diag = StepDiagnostics(
+                poisson_iters=iters,
+                poisson_res=res,
+                max_div=jnp.max(jnp.abs(div)),
+                max_cfl=stencils.max_cfl(g, new_state.u, dt),
+                dt=dt,
+            )
         return new_state, diag
 
     def make_step_fn(self):

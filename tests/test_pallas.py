@@ -1,0 +1,97 @@
+"""Pallas kernel parity vs the jnp reference path, in interpret mode on CPU
+(SURVEY.md SS5: kernels validated against jnp reference implementations --
+the TPU sanitizer story)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu import GridSpec, no_slip_box
+from navierstokessolver_tpu.bcs import BCSpec, apply_velocity_bcs
+from navierstokessolver_tpu.ops import stencils
+from navierstokessolver_tpu.ops.pallas_kernels import predictor_2d
+
+
+def _random_state(grid, bcs, seed=0):
+    r = np.random.default_rng(seed)
+    u = tuple(
+        jnp.asarray(r.normal(size=grid.face_shape(a)), grid.dtype)
+        for a in range(2)
+    )
+    return apply_velocity_bcs(grid, bcs, u)
+
+
+def _compare(grid, bcs, gamma, seed=0, atol=2e-5):
+    u = _random_state(grid, bcs, seed)
+    dt, nu = 1e-3, 0.05
+    ref = stencils.predictor(grid, bcs, u, dt, nu, gamma)
+    got = predictor_2d(grid, bcs, u, dt, nu, gamma, tile=16, interpret=True)
+    for a in range(2):
+        # interior faces only: boundary faces are BC-pass territory
+        sl = [slice(None)] * 2
+        sl[a] = slice(1, -1)
+        np.testing.assert_allclose(
+            np.asarray(got[a])[tuple(sl)],
+            np.asarray(ref[a])[tuple(sl)],
+            atol=atol,
+            err_msg=f"component {a} gamma={gamma}",
+        )
+
+
+def test_parity_cavity_central():
+    g = GridSpec(shape=(24, 16), lengths=(1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(1, 1)] = BCSpec.wall((1.0, 0.0))
+    _compare(g, bcs, gamma=0.0)
+
+
+def test_parity_cavity_upwind():
+    g = GridSpec(shape=(24, 16), lengths=(1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(1, 1)] = BCSpec.wall((1.0, 0.0))
+    _compare(g, bcs, gamma=0.7, seed=3)
+
+
+def test_parity_channel_bcs():
+    g = GridSpec(shape=(32, 8), lengths=(4.0, 1.0))
+    profile = jnp.linspace(0.1, 1.0, 8)
+    bcs = {
+        (0, 0): BCSpec.inflow((profile, 0.0)),
+        (0, 1): BCSpec.outflow(),
+        (1, 0): BCSpec.wall((0.0, 0.0)),
+        (1, 1): BCSpec.wall((0.0, 0.0)),
+    }
+    _compare(g, bcs, gamma=0.3, seed=5)
+
+
+def test_parity_slip_bcs():
+    g = GridSpec(shape=(16, 16), lengths=(1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(1, 0)] = BCSpec.slip()
+    bcs[(1, 1)] = BCSpec.slip()
+    _compare(g, bcs, gamma=0.0, seed=7)
+
+
+def test_parity_anisotropic_grid():
+    g = GridSpec(shape=(40, 24), lengths=(2.0, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(1, 1)] = BCSpec.wall((2.0, 0.0))
+    _compare(g, bcs, gamma=0.5, seed=11)
+
+
+def test_step_with_pallas_matches_reference():
+    """Full projection step with the fused predictor vs the jnp step."""
+    from navierstokessolver_tpu.cases import make_case
+    import dataclasses
+
+    case = make_case("cavity", shape=(32, 32))
+    sim = case.sim
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_pallas = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    st = case.initial_state()
+    a, _ = sim.run_scan(st, 20)
+    b, _ = sim_pallas.run_scan(st, 20)
+    np.testing.assert_allclose(
+        np.asarray(a.u[0]), np.asarray(b.u[0]), atol=5e-5
+    )
+    np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p), atol=5e-4)

@@ -122,3 +122,56 @@ def test_sor_auto_omega_beats_gs(neumann_setup):
     _, k_gs, _ = solve_poisson(op, b, p0, g, PoissonConfig("gs", 1e-5, 20000))
     _, k_sor, _ = solve_poisson(op, b, p0, g, PoissonConfig("sor", 1e-5, 20000))
     assert int(k_sor) < int(k_gs)
+
+
+def test_multigrid_matches_cg_with_obstacle():
+    from navierstokessolver_tpu.ops.multigrid import MGPoissonSolver
+
+    g = GridSpec(shape=(64, 32), lengths=(2.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.outflow()
+    solid = np.zeros(g.shape, bool)
+    solid[20:28, 12:20] = True
+    op = build_poisson_op(g, bcs, solid)
+    mg = MGPoissonSolver.build(g, bcs, solid)
+    assert len(mg.ops) >= 3  # actually coarsened
+    r = np.random.default_rng(0)
+    b = jnp.asarray((r.normal(size=g.shape) * ~solid).astype(np.float32))
+    # tol 1e-5: this problem's float32 residual floor sits near 7e-6.
+    p_mg, cycles, res = mg.solve(b, jnp.zeros(g.shape, g.dtype), 1e-5, 100)
+    assert float(res) < 1e-5
+    assert int(cycles) < 25, int(cycles)
+    p_cg, it_cg, _ = solve_poisson(
+        op, b, jnp.zeros(g.shape, g.dtype), g, PoissonConfig("cg", 1e-7, 20000)
+    )
+    np.testing.assert_allclose(np.asarray(p_mg), np.asarray(p_cg), atol=2e-4)
+    # MG cycles are far fewer than CG iterations (each cycle ~6 sweeps)
+    assert int(cycles) * 6 < int(it_cg)
+
+
+def test_multigrid_singular_cavity():
+    from navierstokessolver_tpu.ops.multigrid import MGPoissonSolver
+
+    g = GridSpec(shape=(32, 32), lengths=(1.0, 1.0))
+    bcs = no_slip_box(g)
+    mg = MGPoissonSolver.build(g, bcs)
+    op = build_poisson_op(g, bcs)
+    r = np.random.default_rng(1)
+    b = r.normal(size=g.shape).astype(np.float32)
+    b -= b.mean()
+    p, cycles, res = mg.solve(jnp.asarray(b), jnp.zeros(g.shape, g.dtype), 1e-5, 60)
+    assert float(res) < 1e-5
+    assert int(cycles) < 30
+
+
+def test_mg_end_to_end_cylinder_smoke():
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case(
+        "cylinder", shape=(96, 48), lengths=(12.0, 6.0), center=(3.0, 3.01),
+        poisson_method="mg",
+    )
+    st = case.initial_state()
+    st, diag = case.sim.run_scan(st, 20)
+    assert float(diag.max_div[-1]) < 1e-3
+    assert np.isfinite(np.asarray(st.p)).all()

@@ -53,3 +53,20 @@ def test_3d_cavity_smoke():
     # lid drives interior flow in +x near the top
     u = np.asarray(st.u[0])
     assert u[6, 6, -1] > 0.0 or u[6, 6, -2] > 0.0
+
+
+def test_cfl_adaptive_dt():
+    import dataclasses
+
+    case = make_case("cavity", shape=(32, 32))
+    sim = case.sim
+    params = dataclasses.replace(sim.params, cfl=0.3, dt=sim.params.dt)
+    sim_ad = dataclasses.replace(sim, params=params)
+    st = case.initial_state()
+    st, diag = sim_ad.run_scan(st, 50)
+    dts = np.asarray(diag.dt)
+    assert dts.shape == (50,)
+    assert (dts <= sim.params.dt + 1e-9).all()
+    # lid speed 1, h = 1/32 -> advective limit kicks in below the cap
+    assert dts.min() < sim.params.dt
+    assert float(np.max(np.asarray(diag.max_cfl))) < 0.5
