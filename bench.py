@@ -24,6 +24,7 @@ def main() -> None:
     ap.add_argument("--case", default="cavity")
     ap.add_argument("--nx", type=int, default=2048)
     ap.add_argument("--ny", type=int, default=2048)
+    ap.add_argument("--nz", type=int, default=0, help=">0 switches to 3D")
     ap.add_argument("--re", type=float, default=10_000.0)
     ap.add_argument("--poisson", default="cg")
     ap.add_argument("--tol", type=float, default=1e-5)
@@ -42,10 +43,12 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
-    kw = dict(shape=(args.nx, args.ny), re=args.re, poisson_method=args.poisson,
+    shape = (args.nx, args.ny, args.nz) if args.nz else (args.nx, args.ny)
+    kw = dict(shape=shape, re=args.re, poisson_method=args.poisson,
               poisson_tol=args.tol)
-    if args.case in ("cavity", "cavity_hi_re"):
-        case = make_case("cavity", upwind_gamma=0.8 if args.re > 1000 else 0.0, **kw)
+    if args.case in ("cavity", "cavity_hi_re", "cavity3d"):
+        case = make_case("cavity" if not args.nz else "cavity3d",
+                         upwind_gamma=0.8 if args.re > 1000 else 0.0, **kw)
     else:
         case = make_case(args.case, **kw)
     sim = case.sim
@@ -90,8 +93,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    dims = f"{args.nx}x{args.ny}" + (f"x{args.nz}" if args.nz else "")
+    nd = "3d" if args.nz else "2d"
     print(json.dumps({
-        "metric": f"2d_step_loop_mlups_{args.nx}x{args.ny}_{args.poisson}",
+        "metric": f"{nd}_step_loop_mlups_{dims}_{args.poisson}",
         "value": round(mlups, 1),
         "unit": "MLUPS/chip",
         "vs_baseline": round(mlups / 1000.0, 4),

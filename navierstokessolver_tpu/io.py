@@ -74,8 +74,34 @@ def write_snapshot(
 
 
 def write_vtk(path: str, grid: GridSpec, arrays: dict, meta: dict) -> None:
-    """Legacy-ASCII VTK structured-points file (cell data), ParaView-ready."""
+    """Legacy VTK structured-points file, ParaView-ready.
+
+    Uses the native C++ binary codec (navierstokessolver_tpu.native) when the
+    toolchain is available -- big-endian conversion + Fortran-order gather in
+    native code; falls back to the portable ASCII writer below.
+    """
     nd = grid.ndim
+    try:
+        from . import native
+
+        scalars = {"pressure": arrays["p"]}
+        if "vorticity" in arrays and nd == 2:
+            w = arrays["vorticity"]
+            wp = np.zeros(grid.shape, w.dtype)
+            wp[:-1, :-1] = w
+            scalars["vorticity"] = wp
+        ok = native.write_vtk_binary(
+            path,
+            grid.shape,
+            grid.spacing,
+            [arrays[f"u{'xyz'[a]}"] for a in range(nd)],
+            scalars,
+            f"navierstokessolver_tpu step={meta['step']} t={meta['time']}",
+        )
+        if ok:
+            return
+    except Exception:
+        pass  # fall through to the ASCII writer
     dims = list(grid.shape) + [1] * (3 - nd)
     sp = list(grid.spacing) + [1.0] * (3 - nd)
     n = int(np.prod(grid.shape))

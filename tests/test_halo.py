@@ -1,0 +1,71 @@
+"""Explicit shard_map+ppermute Poisson solve vs the single-device solvers
+(SURVEY.md SS5 halo-exchange design)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu import GridSpec, no_slip_box
+from navierstokessolver_tpu.bcs import BCSpec
+from navierstokessolver_tpu.ops.poisson import (
+    PoissonConfig,
+    build_poisson_op,
+    deflate,
+    solve_poisson,
+)
+from navierstokessolver_tpu.parallel import make_mesh
+from navierstokessolver_tpu.parallel.halo import ShardedPoissonSolver
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@requires_8
+@pytest.mark.parametrize("method", ["jacobi", "sor", "cg"])
+def test_sharded_solve_matches_single_device(method):
+    g = GridSpec(shape=(64, 32), lengths=(1.0, 0.5))
+    bcs = no_slip_box(g)
+    op = build_poisson_op(g, bcs)
+    mesh = make_mesh(8)
+    cfg = PoissonConfig(method=method, tol=1e-5, max_iters=30000)
+    solver = ShardedPoissonSolver.build(g, op, mesh, cfg)
+    r = np.random.default_rng(0)
+    b = r.normal(size=g.shape).astype(np.float32)
+    b -= b.mean()
+    b = jnp.asarray(b)
+    p_sh, it_sh, res_sh = solver.solve(b, jnp.zeros(g.shape, g.dtype))
+    assert float(res_sh) <= 1.1e-5, (method, float(res_sh), int(it_sh))
+    p_ref, it_ref, _ = solve_poisson(op, b, jnp.zeros(g.shape, g.dtype), g, cfg)
+    d = np.asarray(deflate(op, p_sh)) - np.asarray(deflate(op, p_ref))
+    assert np.abs(d).max() < 5e-4, (method, np.abs(d).max())
+    # really distributed
+    assert len(p_sh.sharding.device_set) == 8
+
+
+@requires_8
+def test_sharded_solve_dirichlet_obstacle():
+    g = GridSpec(shape=(64, 16), lengths=(2.0, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.outflow()
+    solid = np.zeros(g.shape, bool)
+    solid[24:32, 6:10] = True
+    op = build_poisson_op(g, bcs, solid)
+    mesh = make_mesh(8)
+    cfg = PoissonConfig(method="cg", tol=1e-6, max_iters=20000)
+    solver = ShardedPoissonSolver.build(g, op, mesh, cfg)
+    r = np.random.default_rng(1)
+    b = jnp.asarray((r.normal(size=g.shape) * ~solid).astype(np.float32))
+    p_sh, _, res = solver.solve(b, jnp.zeros(g.shape, g.dtype))
+    p_ref, _, _ = solve_poisson(op, b, jnp.zeros(g.shape, g.dtype), g, cfg)
+    assert float(res) < 1.1e-6
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=5e-4)
+
+
+@requires_8
+def test_build_rejects_bad_mesh():
+    g = GridSpec(shape=(30, 16), lengths=(1.0, 0.5))  # 30 % 8 != 0
+    op = build_poisson_op(g, no_slip_box(g))
+    with pytest.raises(ValueError, match="divide"):
+        ShardedPoissonSolver.build(g, op, make_mesh(8), PoissonConfig())

@@ -34,10 +34,11 @@ def test_snapshot_vtk(tmp_path, sim_state):
     path = str(tmp_path / "snap.npz")
     io_mod.write_snapshot(path, case.sim.grid, st, step=20, time=0.2, vtk=True)
     vtk = str(tmp_path / "snap.vtk")
-    text = open(vtk).read()
-    assert "DATASET STRUCTURED_POINTS" in text
-    assert "VECTORS velocity float" in text
-    assert "SCALARS pressure float 1" in text
+    # Header is ASCII in both the native BINARY codec and the text fallback.
+    data = open(vtk, "rb").read()
+    assert b"DATASET STRUCTURED_POINTS" in data
+    assert b"VECTORS velocity float" in data
+    assert b"SCALARS pressure float 1" in data
 
 
 def test_async_writer(tmp_path, sim_state):
