@@ -26,7 +26,10 @@ def main() -> None:
     ap.add_argument("--ny", type=int, default=2048)
     ap.add_argument("--nz", type=int, default=0, help=">0 switches to 3D")
     ap.add_argument("--re", type=float, default=10_000.0)
-    ap.add_argument("--poisson", default="cg")
+    # Default = the flagship configuration: direct spectral (DCT/MXU) pressure
+    # solve, the fastest exact method for the closed cavity. `cg`/`mg` cover
+    # the iterative paths (BASELINE "Poisson iters" metric).
+    ap.add_argument("--poisson", default="fft")
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--warmup", type=int, default=50)
     ap.add_argument("--steps", type=int, default=100)
