@@ -27,7 +27,6 @@ from ..bcs import BCTable
 from ..grid import GridSpec
 from .poisson import (
     PoissonOp,
-    _rb_masks,
     _rb_sweep,
     apply_A,
     build_poisson_op,
@@ -105,11 +104,11 @@ class MGPoissonSolver:
 
     grid: GridSpec
     ops: list[PoissonOp]
-    masks: list[tuple[Array, Array]]   # red/black masks per level
     pre: int = 2
     post: int = 2
-    coarse_iters: int = 40
+    coarse_iters: int = 60
     omega: float = 1.0                 # smoother relaxation (RB-GS)
+    coarse_omega: float = 1.0          # coarse-solve relaxation (RB-SOR)
 
     @staticmethod
     def build(
@@ -118,17 +117,23 @@ class MGPoissonSolver:
         solid: Optional[np.ndarray] = None,
         pre: int = 2,
         post: int = 2,
-        coarse_iters: int = 40,
+        coarse_iters: int = 60,
+        min_size: int = 4,
+        max_levels: int = 8,
     ) -> "MGPoissonSolver":
+        """``max_levels`` bounds the hierarchy depth: each level statically
+        unrolls into the jitted program, and on very large grids (2048^2 is
+        10 levels at min_size=4) the full-step XLA compile blows past the
+        remote-compiler budget on this sandbox. The bottom level compensates
+        with an SOR coarse solve at the textbook-optimal omega, so the
+        truncated hierarchy keeps the V-cycle contraction."""
         ops = []
-        masks = []
         g = grid
         s = None if solid is None else np.asarray(solid, bool)
         while True:
             op = build_poisson_op(g, bcs, s)
             ops.append(op)
-            masks.append(_rb_masks(op))
-            if not _can_coarsen(g.shape):
+            if len(ops) >= max_levels or not _can_coarsen(g.shape, min_size):
                 break
             g = GridSpec(
                 shape=tuple(n // 2 for n in g.shape),
@@ -136,29 +141,36 @@ class MGPoissonSolver:
                 dtype=g.dtype,
             )
             s = None if s is None else _coarsen_solid(s)
+        import math
+
+        n_coarse = min(ops[-1].diag.shape)
+        coarse_omega = 2.0 / (1.0 + math.sin(math.pi / n_coarse))
         return MGPoissonSolver(
-            grid=grid, ops=ops, masks=masks, pre=pre, post=post,
-            coarse_iters=coarse_iters,
+            grid=grid, ops=ops, pre=pre, post=post,
+            coarse_iters=coarse_iters, coarse_omega=coarse_omega,
         )
 
     # -- one V-cycle (statically unrolled over levels) ----------------------
 
-    def _smooth(self, level: int, x: Array, b: Array, n: int) -> Array:
-        # fori_loop, NOT a Python loop: unrolled sweeps (esp. the 40-sweep
-        # coarse solve) blow the XLA graph up enough that CPU compiles of the
+    def _smooth(
+        self, level: int, x: Array, b: Array, n: int, omega: float = None
+    ) -> Array:
+        # fori_loop, NOT a Python loop: unrolled sweeps (esp. the coarse
+        # solve) blow the XLA graph up enough that CPU compiles of the
         # enclosing scan hang for an hour+. A rolled loop compiles in seconds
         # and runs identically.
         op = self.ops[level]
-        masks = self.masks[level]
-        omega = self.omega
+        omega = self.omega if omega is None else omega
         return jax.lax.fori_loop(
-            0, n, lambda i, p: _rb_sweep(op, p, b, masks, omega), x
+            0, n, lambda i, p: _rb_sweep(op, p, b, omega), x
         )
 
     def _v_cycle(self, level: int, x: Array, b: Array) -> Array:
         op = self.ops[level]
         if level == len(self.ops) - 1:
-            return self._smooth(level, x, b, self.coarse_iters)
+            return self._smooth(
+                level, x, b, self.coarse_iters, self.coarse_omega
+            )
         x = self._smooth(level, x, b, self.pre)
         r = (b - apply_A(op, x)) * op.fluid
         rc = _restrict(r) * self.ops[level + 1].fluid
@@ -183,19 +195,28 @@ class MGPoissonSolver:
         tol = jnp.asarray(tol, dt)
 
         def cond(carry):
-            p, k, res = carry
-            return jnp.logical_and(k < max_cycles, res > tol)
+            p, k, res, prev = carry
+            # Stop on convergence, the cycle cap, or stagnation: a healthy
+            # V-cycle contracts the residual ~10x per cycle, so res stuck
+            # above 0.9*prev means the float32 residual floor was hit and
+            # further cycles are wasted work (at 2048^2 the floor for rough
+            # RHS sits near 1e-4 relative -- below any reachable tol).
+            improving = res < 0.9 * prev
+            return jnp.logical_and(
+                jnp.logical_and(k < max_cycles, res > tol), improving
+            )
 
         def body(carry):
-            p, k, _ = carry
+            p, k, res, _ = carry
             p = self._v_cycle(0, p, b)
             if op.singular:
                 p = deflate(op, p)
-            res = residual_norm(op, p, b) * inv_bnorm
-            return p, k + 1, res
+            new_res = residual_norm(op, p, b) * inv_bnorm
+            return p, k + 1, new_res, res
 
         res0 = residual_norm(op, p0, b) * inv_bnorm
-        p, cycles, res = jax.lax.while_loop(
-            cond, body, (p0, jnp.int32(0), res0)
+        inf = jnp.asarray(np.inf, res0.dtype)
+        p, cycles, res, _ = jax.lax.while_loop(
+            cond, body, (p0, jnp.int32(0), res0, inf)
         )
         return p, cycles, res

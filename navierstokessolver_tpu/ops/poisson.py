@@ -7,10 +7,19 @@ matrix-free CG upgrade "with the same convergence semantics".
 
 Design notes (TPU-first):
   * All boundary conditions and obstacle masks are *folded into static
-    per-cell coefficient arrays* built once per case (Neumann at walls/inflow
-    and at fluid/solid faces; homogeneous Dirichlet at outflow faces). The
-    inner iteration is then a single unmasked 5/7-point stencil -- no
-    branching, fully fusible by XLA and expressible as one Pallas kernel.
+    per-cell data* built once per case (Neumann at walls/inflow and at
+    fluid/solid faces; homogeneous Dirichlet at outflow faces). The inner
+    iteration is then a single unmasked 5/7-point stencil -- no branching,
+    fully fusible by XLA.
+  * The neighbor-coupling coefficients are **compressed to one uint8 "stencil
+    code" per cell** (one presence bit per face + a fluid bit) and decoded on
+    the fly inside the fused kernels: a coupling is either ``1/h_a^2`` or 0,
+    so streaming six f32 coefficient arrays from HBM (the dominant traffic of
+    a relaxation sweep -- these loops are bandwidth-bound) is replaced by one
+    uint8 array at 1/24th the bytes. ``diag`` stays a real f32/f64 array
+    because outflow faces add ``-2/h_a^2`` terms that don't fit a presence
+    bit. Red-black parity masks are likewise synthesized from ``iota`` inside
+    the kernel instead of streamed.
   * Gauss-Seidel/SOR use *red-black* coloring -- the parallelizable ordering
     with the same fixed point as the reference's (presumably lexicographic)
     sweeps; per-iteration trajectories differ, converged states match
@@ -38,47 +47,70 @@ from ..grid import GridSpec
 
 Array = jax.Array
 
+# stencil-code bit layout: bit 2a = coupling to the low neighbor along axis a,
+# bit 2a+1 = coupling to the high neighbor; bit 6 = cell is fluid.
+FLUID_BIT = 6
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PoissonOp:
     """Matrix-free masked Laplacian ``A p = diag*p + sum_d c_d * p_neighbor_d``.
 
-    ``lo[a]``/``hi[a]`` are the neighbor coupling coefficients toward the
-    low/high side along axis ``a`` (zero across Neumann/solid faces).
-    ``fluid`` is 1 on fluid cells, 0 on solid. ``singular`` marks a pure-
-    Neumann (nullspace = constants) problem.
+    ``code`` packs the neighbor-coupling presence bits (coupling value is the
+    static ``w[a] = 1/h_a^2`` when present, zero across Neumann/solid faces)
+    and the fluid mask; ``diag`` is the exact diagonal (including outflow
+    Dirichlet-ghost terms). ``singular`` marks a pure-Neumann (nullspace =
+    constants) problem.
     """
 
     diag: Array
-    lo: tuple[Array, ...]
-    hi: tuple[Array, ...]
-    fluid: Array
+    code: Array                      # uint8, same shape as diag
+    w: tuple[float, ...]             # per-axis coupling 1/h_a^2
     singular: bool
     inv_fluid_count: float
 
     def tree_flatten(self):
         return (
-            (self.diag, self.lo, self.hi, self.fluid),
-            (self.singular, self.inv_fluid_count),
+            (self.diag, self.code),
+            (self.w, self.singular, self.inv_fluid_count),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        diag, lo, hi, fluid = children
-        return cls(diag, tuple(lo), tuple(hi), fluid, aux[0], aux[1])
+        diag, code = children
+        return cls(diag, code, aux[0], aux[1], aux[2])
+
+    # -- decoded views (fused into consumers under jit; never HBM-resident) --
+
+    @property
+    def fluid(self) -> Array:
+        return ((self.code >> FLUID_BIT) & 1).astype(self.diag.dtype)
+
+    def _coef(self, axis: int, side: int) -> Array:
+        bit = 2 * axis + side
+        present = ((self.code >> bit) & 1).astype(self.diag.dtype)
+        return self.w[axis] * present
+
+    @property
+    def lo(self) -> tuple[Array, ...]:
+        return tuple(self._coef(a, 0) for a in range(len(self.w)))
+
+    @property
+    def hi(self) -> tuple[Array, ...]:
+        return tuple(self._coef(a, 1) for a in range(len(self.w)))
 
 
 def build_poisson_op(
     grid: GridSpec, bcs: BCTable, solid: Optional[np.ndarray] = None
 ) -> PoissonOp:
-    """Build the static coefficient arrays for the pressure Poisson equation.
+    """Build the static stencil code + diagonal for the pressure Poisson eq.
 
-    Per axis ``a`` and side, the coupling across a face is ``1/h_a^2`` when the
-    neighbor is a fluid cell; 0 across domain walls/inflow and solid neighbors
-    (Neumann dp/dn = 0); outflow faces contribute ``-2/h_a^2`` to the diagonal
-    (ghost ``p = -p`` so the face value is 0). Solid cells get the identity row
-    (p pinned to 0 there).
+    Per axis ``a`` and side, the coupling across a face is ``1/h_a^2`` when
+    the neighbor is a fluid cell; 0 across domain walls/inflow and solid
+    neighbors (Neumann dp/dn = 0); outflow faces contribute ``-2/h_a^2`` to
+    the diagonal (ghost ``p = -p`` so the face value is 0). Solid cells get
+    the identity row (p pinned to 0 there).
     """
     nd = grid.ndim
     h = grid.spacing
@@ -87,12 +119,12 @@ def build_poisson_op(
         fluid &= np.logical_not(np.asarray(solid, bool))
 
     diag = np.zeros(grid.shape, dtype=np.float64)
-    lo_c = []
-    hi_c = []
+    code = np.zeros(grid.shape, dtype=np.uint8)
+    code |= fluid.astype(np.uint8) << FLUID_BIT
+    w = []
     for a in range(nd):
-        w = 1.0 / (h[a] * h[a])
-        lo = np.zeros(grid.shape, dtype=np.float64)
-        hi = np.zeros(grid.shape, dtype=np.float64)
+        wa = 1.0 / (h[a] * h[a])
+        w.append(float(wa))
 
         def shifted(side: int) -> np.ndarray:
             """Whether the neighbor on `side` along axis a exists and is fluid."""
@@ -108,24 +140,21 @@ def build_poisson_op(
             nb[tuple(dst)] = fluid[tuple(src)]
             return nb
 
-        lo[shifted(0)] = w
-        hi[shifted(1)] = w
+        lo = shifted(0) & fluid
+        hi = shifted(1) & fluid
+        code |= lo.astype(np.uint8) << (2 * a)
+        code |= hi.astype(np.uint8) << (2 * a + 1)
         # Domain-boundary cells: outflow face => Dirichlet p=0 ghost.
-        for side, coeff in ((0, lo), (1, hi)):
+        for side in (0, 1):
             face = [slice(None)] * nd
             face[a] = 0 if side == 0 else -1
             if bcs[(a, side)].kind is BCKind.OUTFLOW:
-                diag[tuple(face)] -= 2.0 * w
+                diag[tuple(face)] -= 2.0 * wa
             # WALL/INFLOW: Neumann -> no coupling, no diagonal contribution.
-        diag -= lo + hi
-        lo_c.append(lo)
-        hi_c.append(hi)
+        diag -= wa * (lo.astype(np.float64) + hi.astype(np.float64))
 
     # Solid cells: identity row.
     diag[~fluid] = 1.0
-    for a in range(nd):
-        lo_c[a][~fluid] = 0.0
-        hi_c[a][~fluid] = 0.0
 
     singular = not any(
         bcs[(a, s)].kind is BCKind.OUTFLOW for a in range(nd) for s in (0, 1)
@@ -133,17 +162,19 @@ def build_poisson_op(
     dt = grid.dtype
     return PoissonOp(
         diag=jnp.asarray(diag, dt),
-        lo=tuple(jnp.asarray(c, dt) for c in lo_c),
-        hi=tuple(jnp.asarray(c, dt) for c in hi_c),
-        fluid=jnp.asarray(fluid, dt),
+        code=jnp.asarray(code),
+        w=tuple(w),
         singular=singular,
         inv_fluid_count=float(1.0 / fluid.sum()),
     )
 
 
 def _neighbor_sum(op: PoissonOp, p: Array) -> Array:
-    """``sum_d c_d * p_neighbor_d`` via zero-padded shifts (coefs kill pads)."""
+    """``sum_d c_d * p_neighbor_d``, coefficients decoded from the stencil
+    code (select-then-scale: a masked-out neighbor contributes exactly 0,
+    which also kills the zero-pad ghosts)."""
     nd = p.ndim
+    code = op.code
     out = jnp.zeros_like(p)
     for a in range(nd):
         pad_lo = [(0, 0)] * nd
@@ -156,7 +187,12 @@ def _neighbor_sum(op: PoissonOp, p: Array) -> Array:
         sl_hi[a] = slice(1, None)
         p_lo = jnp.pad(p, pad_lo)[tuple(sl_lo)]   # neighbor at index-1
         p_hi = jnp.pad(p, pad_hi)[tuple(sl_hi)]   # neighbor at index+1
-        out = out + op.lo[a] * p_lo + op.hi[a] * p_hi
+        has_lo = (code & (1 << (2 * a))) > 0
+        has_hi = (code & (1 << (2 * a + 1))) > 0
+        zero = jnp.zeros((), p.dtype)
+        out = out + op.w[a] * (
+            jnp.where(has_lo, p_lo, zero) + jnp.where(has_hi, p_hi, zero)
+        )
     return out
 
 
@@ -168,8 +204,9 @@ def deflate(op: PoissonOp, x: Array) -> Array:
     """Remove the constant nullspace component over fluid cells (singular case)."""
     if not op.singular:
         return x
-    mean = jnp.sum(x * op.fluid) * op.inv_fluid_count
-    return (x - mean) * op.fluid
+    fluid = op.fluid
+    mean = jnp.sum(x * fluid) * op.inv_fluid_count
+    return (x - mean) * fluid
 
 
 def residual_norm(op: PoissonOp, p: Array, b: Array) -> Array:
@@ -231,8 +268,7 @@ def solve_poisson(
             omega = 1.0 if cfg.method == "gs" else (
                 cfg.omega if cfg.omega is not None else _auto_omega(grid)
             )
-            masks = _rb_masks(op)
-            sweep = lambda p: _rb_sweep(op, p, b, masks, omega)
+            sweep = lambda p: _rb_sweep(op, p, b, omega)
         return _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg)
     raise ValueError(f"unknown poisson method {cfg.method!r}")
 
@@ -244,22 +280,30 @@ def _jacobi_sweep(op: PoissonOp, p: Array, b: Array, weight: float = 1.0) -> Arr
     return p_new * op.fluid
 
 
-def _rb_masks(op: PoissonOp) -> tuple[Array, Array]:
-    shape = op.diag.shape
+def _parity(shape: tuple[int, ...], offset=0) -> Array:
+    """(i+j(+k)+offset) % 2 == 0 mask, synthesized from iota (never streamed
+    from HBM). ``offset`` shifts to global parity inside shard_map blocks."""
     idx_sum = sum(
         jax.lax.broadcasted_iota(jnp.int32, shape, d) for d in range(len(shape))
     )
-    red = (idx_sum % 2 == 0).astype(op.diag.dtype)
+    return (idx_sum + offset) % 2 == 0
+
+
+def _rb_masks(op: PoissonOp) -> tuple[Array, Array]:
+    red = _parity(op.diag.shape).astype(op.diag.dtype)
     return red, 1.0 - red
 
 
 def _rb_sweep(
-    op: PoissonOp, p: Array, b: Array, masks: tuple[Array, Array], omega: float
+    op: PoissonOp, p: Array, b: Array, omega: float, parity_offset=0
 ) -> Array:
-    for color in masks:
+    red = _parity(p.shape, parity_offset)
+    fluid = op.fluid
+    for is_red in (True, False):
+        color = red if is_red else jnp.logical_not(red)
         gs = (b - _neighbor_sum(op, p)) / op.diag
         p_new = (1.0 - omega) * p + omega * gs
-        p = jnp.where(color > 0, p_new, p) * op.fluid
+        p = jnp.where(color, p_new, p) * fluid
     return p
 
 

@@ -7,31 +7,34 @@ this module is the hand-written equivalent for the hottest distributed loop
 
   * 1D slab decomposition along grid axis 0 (mesh axis ``sx``);
   * per iteration, each device ppermutes its boundary rows to its neighbors
-    (unlisted ring ends receive zeros, which exactly matches the operator's
-    zero-padded neighbor sum, so no special casing at domain walls);
+    (unlisted ring ends receive zeros; boundary cells have their coupling
+    bits cleared in the stencil code, so the ghost content there is
+    multiplied by zero -- no special casing at domain walls);
+  * the operator travels as the compressed uint8 stencil code + f32 diagonal
+    (ops/poisson.py representation): 2 sharded operands instead of 8, and the
+    bandwidth-bound sweeps stream a quarter of the bytes;
+  * red-black parity is synthesized from iota plus the shard's global row
+    offset (``axis_index * local_rows``), never streamed;
   * global reductions (residual norms, CG dots, nullspace deflation) are
     ``lax.psum`` over the mesh axis;
   * the whole while_loop runs inside one shard_map'd program: every device
     evaluates the same psum'd predicate, so control flow stays lockstep with
     zero host round-trips.
 
-Methods: jacobi (damped), rb (red-black GS/SOR via global-parity masks
-passed in as sharded operands), cg.
+Methods: jacobi (damped), rb (red-black GS/SOR), cg.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..grid import GridSpec
-from ..ops.poisson import PoissonConfig, PoissonOp, _rb_masks
+from ..ops.poisson import FLUID_BIT, PoissonConfig, PoissonOp
 
 Array = jax.Array
 AXIS = "sx"
@@ -52,12 +55,19 @@ def _halo_ghosts(x: Array, axis_name: str = AXIS):
     return left, right
 
 
-def _neighbor_sum_local(p: Array, lo, hi) -> Array:
-    """Local block of ``sum_d c_d p_nb`` with ppermute halos along axis 0."""
+def _neighbor_sum_local(p: Array, code: Array, w: tuple[float, ...]) -> Array:
+    """Local block of ``sum_d c_d p_nb`` with ppermute halos along axis 0,
+    couplings decoded from the stencil code."""
     nd = p.ndim
+    zero = jnp.zeros((), p.dtype)
+
+    def coupled(axis: int, side: int, nb: Array) -> Array:
+        bit = 1 << (2 * axis + side)
+        return jnp.where((code & bit) > 0, nb, zero)
+
     gl, gr = _halo_ghosts(p)
     pad = jnp.concatenate([gl, p, gr], axis=0)
-    out = lo[0] * pad[:-2] + hi[0] * pad[2:]
+    out = w[0] * (coupled(0, 0, pad[:-2]) + coupled(0, 1, pad[2:]))
     for a in range(1, nd):
         cfg_lo = [(0, 0)] * nd
         cfg_lo[a] = (1, 0)
@@ -67,8 +77,9 @@ def _neighbor_sum_local(p: Array, lo, hi) -> Array:
         sl_lo[a] = slice(0, -1)
         sl_hi = [slice(None)] * nd
         sl_hi[a] = slice(1, None)
-        out = out + lo[a] * jnp.pad(p, cfg_lo)[tuple(sl_lo)]
-        out = out + hi[a] * jnp.pad(p, cfg_hi)[tuple(sl_hi)]
+        p_lo = jnp.pad(p, cfg_lo)[tuple(sl_lo)]
+        p_hi = jnp.pad(p, cfg_hi)[tuple(sl_hi)]
+        out = out + w[a] * (coupled(a, 0, p_lo) + coupled(a, 1, p_hi))
     return out
 
 
@@ -92,17 +103,19 @@ class ShardedPoissonSolver:
     ) -> "ShardedPoissonSolver":
         if mesh.axis_names[0] != AXIS or len(mesh.axis_names) != 1:
             raise ValueError("ShardedPoissonSolver needs a 1D ('sx',) mesh")
-        if grid.shape[0] % mesh.devices.shape[0]:
+        n_dev = mesh.devices.shape[0]
+        if grid.shape[0] % n_dev:
             raise ValueError(
                 f"grid axis 0 ({grid.shape[0]}) must divide over "
-                f"{mesh.devices.shape[0]} devices"
+                f"{n_dev} devices"
             )
         self = ShardedPoissonSolver(grid=grid, mesh=mesh, op=op, cfg=cfg)
         nd = grid.ndim
         spec = P(AXIS, *([None] * (nd - 1)))
         rep = P()
 
-        masks = _rb_masks(op)
+        local_rows = grid.shape[0] // n_dev
+        w = op.w
         inv_count = op.inv_fluid_count
         singular = op.singular
         cfg_ = cfg
@@ -118,14 +131,12 @@ class ShardedPoissonSolver:
             mean = _psum(jnp.sum(x * fluid)) * inv_count
             return (x - mean) * fluid
 
-        def rnorm(p, b, diag, lo, hi, fluid):
-            r = (b - (diag * p + _neighbor_sum_local(p, lo, hi))) * fluid
+        def rnorm(p, b, diag, code, fluid):
+            r = (b - (diag * p + _neighbor_sum_local(p, code, w))) * fluid
             return jnp.sqrt(_psum(jnp.sum(r * r)))
 
-        def body_fn(b, p0, diag, fluid, red, black, *coefs):
-            nd_ = len(coefs) // 2
-            lo = coefs[:nd_]
-            hi = coefs[nd_:]
+        def body_fn(b, p0, diag, code):
+            fluid = ((code >> FLUID_BIT) & 1).astype(b.dtype)
             b = deflate(b * fluid, fluid) if singular else b * fluid
             bnorm = jnp.sqrt(_psum(jnp.sum(b * b)))
             tiny = jnp.asarray(np.finfo(np.float32).tiny, b.dtype)
@@ -134,7 +145,7 @@ class ShardedPoissonSolver:
 
             if cfg_.method == "cg":
                 def matvec(x):
-                    ax = -(diag * x + _neighbor_sum_local(x, lo, hi)) * fluid
+                    ax = -(diag * x + _neighbor_sum_local(x, code, w)) * fluid
                     return deflate(ax, fluid) if singular else ax
 
                 bb = -b
@@ -167,19 +178,27 @@ class ShardedPoissonSolver:
                     p = deflate(p, fluid)
                 return p, k, jnp.sqrt(rs) * inv_bnorm
 
-            # relaxation methods
-            w = cfg_.jacobi_weight if cfg_.method == "jacobi" else omega
+            # relaxation methods: global red-black parity from iota + the
+            # shard's global row offset.
+            wgt = cfg_.jacobi_weight if cfg_.method == "jacobi" else omega
+            offset = jax.lax.axis_index(AXIS).astype(jnp.int32) * local_rows
+            idx_sum = sum(
+                jax.lax.broadcasted_iota(jnp.int32, b.shape, d)
+                for d in range(nd)
+            )
+            red = (idx_sum + offset) % 2 == 0
 
             def sweep(p):
                 if cfg_.method == "jacobi":
-                    p_new = (b - _neighbor_sum_local(p, lo, hi)) / diag
-                    if w != 1.0:
-                        p_new = (1.0 - w) * p + w * p_new
+                    p_new = (b - _neighbor_sum_local(p, code, w)) / diag
+                    if wgt != 1.0:
+                        p_new = (1.0 - wgt) * p + wgt * p_new
                     return p_new * fluid
-                for color in (red, black):
-                    gs = (b - _neighbor_sum_local(p, lo, hi)) / diag
-                    p_new = (1.0 - w) * p + w * gs
-                    p = jnp.where(color > 0, p_new, p) * fluid
+                for is_red in (True, False):
+                    color = red if is_red else jnp.logical_not(red)
+                    gs = (b - _neighbor_sum_local(p, code, w)) / diag
+                    p_new = (1.0 - wgt) * p + wgt * gs
+                    p = jnp.where(color, p_new, p) * fluid
                 return p
 
             def cond(c):
@@ -191,22 +210,19 @@ class ShardedPoissonSolver:
                 p = sweep(p)
                 if singular:
                     p = deflate(p, fluid)
-                return p, k + 1, rnorm(p, b, diag, lo, hi, fluid) * inv_bnorm
+                return p, k + 1, rnorm(p, b, diag, code, fluid) * inv_bnorm
 
-            res0 = rnorm(p0, b, diag, lo, hi, fluid) * inv_bnorm
+            res0 = rnorm(p0, b, diag, code, fluid) * inv_bnorm
             return jax.lax.while_loop(cond, it, (p0 * fluid, jnp.int32(0), res0))
 
-        n_ops = 6 + 2 * nd
         mapped = jax.shard_map(
             body_fn,
             mesh=mesh,
-            in_specs=tuple([spec] * n_ops),
+            in_specs=(spec, spec, spec, spec),
             out_specs=(spec, rep, rep),
         )
         self._solve_jit = jax.jit(
-            lambda b, p0: mapped(
-                b, p0, op.diag, op.fluid, masks[0], masks[1], *op.lo, *op.hi
-            )
+            lambda b, p0: mapped(b, p0, op.diag, op.code)
         )
         return self
 
