@@ -149,6 +149,147 @@ def predictor_2d_applicable(grid: GridSpec) -> bool:
     return grid.ndim == 2 and grid.dtype == jnp.float32
 
 
+# ---------------------------------------------------------------------------
+# Fused red-black sweep kernel (SURVEY.md SS7 PR3 kernel #2: the Poisson
+# relaxation operator). K full RB sweeps per kernel invocation via
+# overlap-recompute: each row stripe is loaded with a 32-row halo on each
+# side (32 = int8 sublane tile, so the uint8 stencil-code DMA stays aligned),
+# every pass is computed over the whole stripe, and edge contamination
+# creeps inward one row per color pass -- 2K <= 8 rows << 32, so the T
+# output rows stay exact. One invocation therefore streams p/b/diag/code
+# from HBM ONCE for K sweeps instead of XLA's once per color pass, and the
+# division is hoisted into a per-invocation reciprocal:
+#   gs = b*inv_d - (cl0*up + ch0*dn + cl1*lf + ch1*rt)
+# with the gs-ready planes cl/ch = w_a * presence_bit * inv_d decoded from
+# the uint8 code once per invocation.
+#
+# Measured outcome (v5e, 2048^2, K=4): 0.157 ms/sweep vs 0.138 for XLA's
+# fusion of the same compressed stencil -- each color pass is bound by VMEM
+# bandwidth (~9 plane reads/pass at ~3.5 TB/s), not HBM, so amortizing HBM
+# across K sweeps does not pay. Kept as a validated alternative (default off
+# in MGPoissonSolver) and as the experimentation base; the jnp path stays
+# the production smoother.
+# ---------------------------------------------------------------------------
+
+_HALO = 32
+
+
+def _rb_sweep_kernel(
+    p_hbm, b_hbm, d_hbm, c_hbm, out_ref,
+    p_scr, b_scr, d_scr, c_scr, sems,
+    *, T: int, W: int, n_sweeps: int, omega: float,
+    w0: float, w1: float,
+):
+    i = pl.program_id(0)
+    R = T + 2 * _HALO
+    cps = [
+        pltpu.make_async_copy(ref.at[pl.ds(i * T, R), :], scr, sems.at[k])
+        for k, (ref, scr) in enumerate(
+            [(p_hbm, p_scr), (b_hbm, b_scr), (d_hbm, d_scr), (c_hbm, c_scr)]
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    c = c_scr[...].astype(jnp.int32)
+    inv_d = 1.0 / d_scr[...]
+    f32 = jnp.float32
+    cl0 = jnp.where((c & 1) > 0, w0, 0.0).astype(f32) * inv_d
+    ch0 = jnp.where((c & 2) > 0, w0, 0.0).astype(f32) * inv_d
+    cl1 = jnp.where((c & 4) > 0, w1, 0.0).astype(f32) * inv_d
+    ch1 = jnp.where((c & 8) > 0, w1, 0.0).astype(f32) * inv_d
+    bd = b_scr[...] * inv_d
+
+    # global parity of each cell: rows offset by the stripe start (the padded
+    # array starts _HALO rows before global row 0, and _HALO is even, so the
+    # offset i*T keeps true global parity).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) + i * T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    red = ((rows + cols) & 1) == 0
+
+    p = p_scr[...]
+    for _ in range(n_sweeps):
+        for is_red in (True, False):
+            up = jnp.concatenate([p[:1], p[:-1]], axis=0)
+            dn = jnp.concatenate([p[1:], p[-1:]], axis=0)
+            lf = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+            rt = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+            gs = bd - (cl0 * up + ch0 * dn + cl1 * lf + ch1 * rt)
+            if omega != 1.0:
+                gs = (1.0 - omega) * p + omega * gs
+            # Non-fluid cells have b=0, couplings=0, diag=1 => gs=0=p, so no
+            # fluid gate is needed (matches ops/poisson._rb_sweep given the
+            # solver's p0*fluid entry invariant).
+            p = jnp.where(red, gs, p) if is_red else jnp.where(red, p, gs)
+    out_ref[:, :] = p[_HALO:T + _HALO, :]
+
+
+def rb_sweeps_applicable(shape: tuple[int, ...], dtype) -> bool:
+    return len(shape) == 2 and dtype == jnp.float32 and min(shape) >= 128
+
+
+def rb_sweeps(
+    op,
+    p: Array,
+    b: Array,
+    omega: float,
+    n_sweeps: int,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """``n_sweeps`` red-black sweeps, fused into one Pallas pass over HBM.
+
+    Semantically identical to ``n_sweeps`` x ``ops.poisson._rb_sweep`` for
+    states satisfying the solver invariant p = p*fluid (validated in
+    tests/test_pallas.py, interpret mode). n_sweeps <= 8 so halo recompute
+    contamination stays within the 32-row halo.
+    """
+    if not 1 <= n_sweeps <= 8:
+        raise ValueError("n_sweeps must be in [1, 8]")
+    n0, n1 = p.shape
+    T = min(tile, _round_up(n0, 8))
+    NP = _round_up(n0, T)
+    W = _round_up(n1, 128)
+
+    def padded(x, fill=0.0):
+        out = jnp.full((NP + 2 * _HALO, W), fill, x.dtype)
+        return jax.lax.dynamic_update_slice(out, x, (_HALO, 0))
+
+    p_pad = padded(p)
+    b_pad = padded(b)
+    d_pad = padded(op.diag, 1.0)     # pad diag with 1: no 0-division NaNs
+    c_pad = padded(op.code, 0)
+
+    kern = functools.partial(
+        _rb_sweep_kernel,
+        T=T, W=W, n_sweeps=n_sweeps, omega=omega,
+        w0=op.w[0], w1=op.w[1],
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((NP, W), jnp.float32),
+        grid=(NP // T,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        # The working set (stripe + coefficient planes + shift temporaries)
+        # exceeds the default 16M scoped-vmem cap; v5e has headroom above it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p_pad, b_pad, d_pad, c_pad)
+    return out[:n0, :n1]
+
+
 def predictor_2d(
     grid: GridSpec,
     bcs: BCTable,

@@ -95,3 +95,54 @@ def test_step_with_pallas_matches_reference():
         np.asarray(a.u[0]), np.asarray(b.u[0]), atol=5e-5
     )
     np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused RB-sweep kernel parity (interpret mode)
+# ---------------------------------------------------------------------------
+
+def _sweep_setup(shape=(160, 128), solid_block=False, outflow=False, seed=3):
+    from navierstokessolver_tpu.ops.poisson import build_poisson_op
+
+    g = GridSpec(shape=shape, lengths=(2.0, 1.0))
+    bcs = no_slip_box(g)
+    if outflow:
+        bcs[(0, 1)] = BCSpec.outflow()
+    solid = None
+    if solid_block:
+        solid = np.zeros(shape, bool)
+        solid[40:80, 30:60] = True
+    op = build_poisson_op(g, bcs, solid)
+    r = np.random.default_rng(seed)
+    fl = np.asarray(op.fluid)
+    b = jnp.asarray((r.normal(size=shape) * fl).astype(np.float32))
+    p0 = jnp.asarray((r.normal(size=shape) * fl).astype(np.float32))
+    return op, p0, b
+
+
+@pytest.mark.parametrize("omega", [1.0, 1.45])
+@pytest.mark.parametrize("nsweeps", [1, 3])
+def test_rb_sweeps_kernel_matches_jnp(omega, nsweeps):
+    from navierstokessolver_tpu.ops.pallas_kernels import rb_sweeps
+    from navierstokessolver_tpu.ops.poisson import _rb_sweep
+
+    op, p0, b = _sweep_setup()
+    ref = p0
+    for _ in range(nsweeps):
+        ref = _rb_sweep(op, ref, b, omega)
+    got = rb_sweeps(op, p0, b, omega, nsweeps, tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_rb_sweeps_kernel_obstacle_outflow():
+    from navierstokessolver_tpu.ops.pallas_kernels import rb_sweeps
+    from navierstokessolver_tpu.ops.poisson import _rb_sweep
+
+    op, p0, b = _sweep_setup(solid_block=True, outflow=True)
+    ref = p0
+    for _ in range(2):
+        ref = _rb_sweep(op, ref, b, 1.0)
+    got = rb_sweeps(op, p0, b, 1.0, 2, tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+    # solid cells stay exactly zero
+    assert float(jnp.max(jnp.abs(got * (1.0 - op.fluid)))) == 0.0
