@@ -174,11 +174,31 @@ def _interleave0(G: Array, H: Array) -> Array:
     return st.reshape((G.shape[0] * 2,) + G.shape[1:])
 
 
+def split_permutation(n: int, levels: int) -> np.ndarray:
+    """``perm`` such that block-order output[k'] = natural-order X[perm[k']].
+
+    In block order the transform emits [evens-of-level-0; odds-of-level-0],
+    recursively on the even half. Used to pre-permute the spectral
+    multiplier so the runtime never interleaves (zero relayouts).
+    """
+    if levels == 0:
+        return np.arange(n)
+    m = n // 2
+    sub = split_permutation(m, levels - 1)
+    return np.concatenate([2 * sub, 2 * np.arange(m) + 1])
+
+
 def split_dct_apply(
-    plan: SplitPlan, x: Array, axis: int, precision, level: int = 0
+    plan: SplitPlan, x: Array, axis: int, precision, level: int = 0,
+    block_order: bool = False,
 ) -> Array:
     """DCT-II along ``axis``; transformed axis lands at position 0 (same
-    convention as ``tensordot(C, x, axes=([1],[axis]))``)."""
+    convention as ``tensordot(C, x, axes=([1],[axis]))``).
+
+    ``block_order=True`` skips the even/odd interleave and returns outputs
+    in the recursive [G; H] block order (see :func:`split_permutation`) --
+    contiguous concats only, no strided relayouts.
+    """
     nd = x.ndim
     n = x.shape[axis]
     if level == plan.levels:
@@ -190,15 +210,18 @@ def split_dct_apply(
     xr = jnp.flip(x[_sl(nd, axis, slice(m, None))], axis)
     g = xf + xr
     d = xf - xr
-    G = split_dct_apply(plan, g, axis, precision, level + 1)
+    G = split_dct_apply(plan, g, axis, precision, level + 1, block_order)
     H = jnp.tensordot(
         plan.d4[level], d, axes=([1], [axis]), precision=precision
     )
+    if block_order:
+        return jnp.concatenate([G, H], axis=0)
     return _interleave0(G, H)
 
 
 def split_idct_apply(
-    plan: SplitPlan, X: Array, axis: int, precision, level: int = 0
+    plan: SplitPlan, X: Array, axis: int, precision, level: int = 0,
+    block_order: bool = False,
 ) -> Array:
     """Exact inverse of :func:`split_dct_apply` (same axis convention)."""
     nd = X.ndim
@@ -207,9 +230,14 @@ def split_idct_apply(
         return jnp.tensordot(
             plan.base_inv, X, axes=([1], [axis]), precision=precision
         )
-    Xe = X[_sl(nd, axis, slice(0, None, 2))]
-    Xo = X[_sl(nd, axis, slice(1, None, 2))]
-    g = split_idct_apply(plan, Xe, axis, precision, level + 1)
+    m = n // 2
+    if block_order:
+        Xe = X[_sl(nd, axis, slice(0, m))]
+        Xo = X[_sl(nd, axis, slice(m, None))]
+    else:
+        Xe = X[_sl(nd, axis, slice(0, None, 2))]
+        Xo = X[_sl(nd, axis, slice(1, None, 2))]
+    g = split_idct_apply(plan, Xe, axis, precision, level + 1, block_order)
     dd = jnp.tensordot(
         plan.d4inv[level], Xo, axes=([1], [axis]), precision=precision
     )

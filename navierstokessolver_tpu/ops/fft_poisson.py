@@ -95,15 +95,21 @@ class DCTPoissonSolver:
         inv[nz] = 1.0 / total[nz]  # constant mode pinned to 0 (deflation)
         plans = ()
         if mode == "matmul":
-            # Auto depth capped at 1: measured on v5e at 2048^2, one split
-            # level cuts the refined solve 2.82 -> 2.22 ms (matmul MACs
-            # halve), but deeper levels lose the saved FLOPs to the
-            # butterfly/interleave relayouts (L2: 2.26 ms, L3: 2.43 ms).
-            # Residual identical at every depth (the split is exact/stable).
+            # Auto depth: with block-order outputs (no interleave relayouts)
+            # deeper splits keep paying on v5e -- measured refined-solve
+            # times at 2048^2: L1 2.63 / L2 1.77 / L4 1.56 / L6 2.93 ms,
+            # residual identical at every depth (the split is exact/stable).
+            # Default keeps the base matmul >= 128 (one MXU tile) and <= 4
+            # levels; NSTPU_SPLIT_LEVELS overrides for tuning.
+            if split_levels is None:
+                import os
+
+                env = os.environ.get("NSTPU_SPLIT_LEVELS")
+                split_levels = int(env) if env else None
             plans = tuple(
                 dct_mod.SplitPlan(
                     n,
-                    min(1, dct_mod.split_levels(n))
+                    min(4, dct_mod.split_levels(n, min_base=128))
                     if split_levels is None else split_levels,
                     grid.dtype,
                 )
@@ -114,6 +120,16 @@ class DCTPoissonSolver:
             # puts its result axis first), and the inverse chain reverses it
             # back -- zero explicit transposes, everything stays on the MXU.
             inv = np.transpose(inv, tuple(range(grid.ndim - 1, -1, -1)))
+            # ... and pre-permuted to the transforms' BLOCK order, so the
+            # runtime skips the even/odd interleaves entirely (the only
+            # data movement between matmuls is contiguous concats).
+            nd_ = grid.ndim
+            for j in range(nd_):
+                a = nd_ - 1 - j
+                perm = dct_mod.split_permutation(
+                    grid.shape[a], plans[a].levels
+                )
+                inv = np.take(inv, perm, axis=j)
         return DCTPoissonSolver(
             grid=grid,
             inv_eig=jnp.asarray(inv, grid.dtype),
@@ -133,14 +149,17 @@ class DCTPoissonSolver:
         }[self.precision]
         x = b
         if self.mode == "matmul":
-            # Forward: after the chain the axes read (k_{nd-1}, ..., k_0).
+            # Forward: after the chain the axes read (k_{nd-1}, ..., k_0),
+            # each in the split transforms' block order (inv_eig matches).
             for a in range(nd):
-                x = dct_mod.split_dct_apply(self.plans[a], x, a, prec)
+                x = dct_mod.split_dct_apply(
+                    self.plans[a], x, a, prec, block_order=True
+                )
             x = x * self.inv_eig
             # Inverse: unwinds the reversal, returning natural axis order.
             for a in range(nd - 1, -1, -1):
                 x = dct_mod.split_idct_apply(
-                    self.plans[a], x, nd - 1 - a, prec
+                    self.plans[a], x, nd - 1 - a, prec, block_order=True
                 )
             return x
         for a in range(nd):

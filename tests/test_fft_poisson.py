@@ -159,3 +159,25 @@ def test_split_dct_axis1():
     # convention); invert along it and compare against x transposed
     back = dct_mod.split_idct_apply(plan, got, 0, hi)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x).T, atol=2e-5)
+
+
+def test_split_block_order_roundtrip():
+    """block_order forward + permuted multiplier + block_order inverse ==
+    natural-order pipeline (the runtime layout used by the solver)."""
+    import jax
+    from navierstokessolver_tpu.ops import dct as dct_mod
+
+    rng = np.random.default_rng(7)
+    n, lev = 64, 2
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    plan = dct_mod.SplitPlan(n, lev, x.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    perm = dct_mod.split_permutation(n, lev)
+    assert sorted(perm.tolist()) == list(range(n))
+    Xb = dct_mod.split_dct_apply(plan, x, 0, hi, block_order=True)
+    Xn = dct_mod.split_dct_apply(plan, x, 0, hi, block_order=False)
+    np.testing.assert_allclose(
+        np.asarray(Xb), np.asarray(Xn)[perm], atol=2e-4
+    )
+    back = dct_mod.split_idct_apply(plan, Xb, 0, hi, block_order=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=2e-5)
