@@ -43,6 +43,7 @@ class BCKind(enum.Enum):
     INFLOW = "inflow"    # prescribed velocity (profile allowed): Dirichlet
     OUTFLOW = "outflow"  # zero-gradient velocity, p = 0 (Dirichlet) for pressure
     SLIP = "slip"        # free-slip/symmetry: normal u = 0, tangential d/dn = 0
+    PERIODIC = "periodic"  # wrap-around; must be set on BOTH faces of an axis
 
 
 # Faces where the *normal* velocity DOF is Dirichlet.
@@ -80,6 +81,10 @@ class BCSpec:
     def slip() -> "BCSpec":
         return BCSpec(BCKind.SLIP)
 
+    @staticmethod
+    def periodic() -> "BCSpec":
+        return BCSpec(BCKind.PERIODIC)
+
     def component(self, comp: int, ndim: int) -> Value:
         if not self.velocity:
             return 0.0
@@ -100,6 +105,23 @@ def validate_bcs(grid: GridSpec, bcs: BCTable) -> None:
         for side in (0, 1):
             if (a, side) not in bcs:
                 raise ValueError(f"missing BC for face (axis={a}, side={side})")
+        lo_p = bcs[(a, 0)].kind is BCKind.PERIODIC
+        hi_p = bcs[(a, 1)].kind is BCKind.PERIODIC
+        if lo_p != hi_p:
+            raise ValueError(
+                f"axis {a}: PERIODIC must be set on both faces"
+            )
+        if lo_p and grid.shape[a] % 2:
+            raise ValueError(
+                f"axis {a}: periodic extent must be even (red-black "
+                f"coloring wraps consistently only for even n)"
+            )
+
+
+def periodic_axes(grid: GridSpec, bcs: BCTable) -> tuple[bool, ...]:
+    return tuple(
+        bcs[(a, 0)].kind is BCKind.PERIODIC for a in range(grid.ndim)
+    )
 
 
 def no_slip_box(grid: GridSpec) -> dict[Face, BCSpec]:
@@ -154,15 +176,22 @@ def apply_velocity_bcs(
     """
     out = []
     for a, comp in enumerate(u):
-        for side, inner in ((0, slice(1, 2)), (1, slice(-2, -1))):
-            bc = bcs[(a, side)]
-            if bc.kind in _DIRICHLET_KINDS:
-                val = bc.component(a, grid.ndim)
-                comp = _set_face(comp, a, side, val)
-            elif bc.kind is BCKind.OUTFLOW:
-                comp = _set_face(comp, a, side, _face_slice(comp, a, inner))
-            else:  # pragma: no cover - enum is closed
-                raise NotImplementedError(bc.kind)
+        if bcs[(a, 0)].kind is BCKind.PERIODIC:
+            # Faces 0 and n are the same physical face; the predictor/
+            # corrector update face 0 with wrap stencils -- mirror it.
+            comp = _set_face(comp, a, 1, _face_slice(comp, a, slice(0, 1)))
+        else:
+            for side, inner in ((0, slice(1, 2)), (1, slice(-2, -1))):
+                bc = bcs[(a, side)]
+                if bc.kind in _DIRICHLET_KINDS:
+                    val = bc.component(a, grid.ndim)
+                    comp = _set_face(comp, a, side, val)
+                elif bc.kind is BCKind.OUTFLOW:
+                    comp = _set_face(
+                        comp, a, side, _face_slice(comp, a, inner)
+                    )
+                else:  # pragma: no cover - enum is closed
+                    raise NotImplementedError(bc.kind)
         if face_masks is not None:
             comp = comp * face_masks[a]
         out.append(comp)
@@ -185,6 +214,11 @@ def pad_transverse(
             continue
         lo_bc = bcs[(t, 0)]
         hi_bc = bcs[(t, 1)]
+        if lo_bc.kind is BCKind.PERIODIC:
+            ghost_lo = _face_slice(arr, t, slice(-1, None))
+            ghost_hi = _face_slice(arr, t, slice(0, 1))
+            arr = jnp.concatenate([ghost_lo, arr, ghost_hi], axis=t)
+            continue
         edge_lo = _face_slice(arr, t, slice(0, 1))
         edge_hi = _face_slice(arr, t, slice(-1, None))
         if lo_bc.kind in _TANGENTIAL_REFLECT_KINDS:
@@ -209,16 +243,20 @@ def pad_transverse(
 
 
 def face_masks_from_solid(
-    grid: GridSpec, solid: Optional[np.ndarray]
+    grid: GridSpec,
+    solid: Optional[np.ndarray],
+    periodic: Optional[tuple[bool, ...]] = None,
 ) -> Optional[tuple[Array, ...]]:
     """Per-component face masks (1 = open, 0 = blocked) from a solid-cell mask.
 
     A face is blocked if *any* adjacent cell is solid (no-slip on obstacle
     surfaces, first-order immersed boundary). Boundary faces follow their
-    single adjacent cell.
+    single adjacent cell; along a periodic axis the boundary face wraps (its
+    two adjacent cells are cell n-1 and cell 0).
     """
     if solid is None:
         return None
+    per = periodic or (False,) * grid.ndim
     fluid = np.logical_not(np.asarray(solid, bool))
     if fluid.shape != grid.shape:
         raise ValueError(f"solid mask shape {fluid.shape} != grid {grid.shape}")
@@ -240,26 +278,40 @@ def face_masks_from_solid(
         cl = [slice(None)] * grid.ndim
         cf[a] = 0
         cl[a] = -1
-        m[tuple(first)] = fluid[tuple(cf)]
-        m[tuple(last)] = fluid[tuple(cl)]
+        if per[a]:
+            wrap = fluid[tuple(cf)] & fluid[tuple(cl)]
+            m[tuple(first)] = wrap
+            m[tuple(last)] = wrap
+        else:
+            m[tuple(first)] = fluid[tuple(cf)]
+            m[tuple(last)] = fluid[tuple(cl)]
         masks.append(jnp.asarray(m, grid.dtype))
     return tuple(masks)
 
 
 def correction_face_masks(
-    grid: GridSpec, solid: Optional[np.ndarray]
+    grid: GridSpec,
+    solid: Optional[np.ndarray],
+    periodic: Optional[tuple[bool, ...]] = None,
 ) -> Optional[tuple[Array, ...]]:
     """Masks for the pressure-gradient velocity correction on *interior* faces.
 
     Only faces between two fluid cells are corrected (solid cells hold a dummy
-    p=0 that must not leak into the velocity). Shapes match the interior face
-    slabs used by the corrector: component ``a`` -> ``grid.shape - e_a``.
+    p=0 that must not leak into the velocity). Shapes match the face slabs
+    used by the corrector: component ``a`` -> ``grid.shape - e_a`` for a
+    bounded axis, ``grid.shape`` (all n wrap faces) for a periodic one.
     """
     if solid is None:
         return None
+    per = periodic or (False,) * grid.ndim
     fluid = np.logical_not(np.asarray(solid, bool))
     masks = []
     for a in range(grid.ndim):
+        if per[a]:
+            masks.append(jnp.asarray(
+                np.roll(fluid, 1, axis=a) & fluid, grid.dtype
+            ))
+            continue
         lo = [slice(None)] * grid.ndim
         hi = [slice(None)] * grid.ndim
         lo[a] = slice(0, -1)

@@ -23,6 +23,7 @@ from ..solver import Simulation
 from .cavity import build_cavity, build_cavity3d
 from .channel import build_channel
 from .cylinder import build_cylinder
+from .taylor_green import build_taylor_green
 
 
 @dataclasses.dataclass(eq=False)
@@ -50,6 +51,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "cavity3d": build_cavity3d,
     "channel": build_channel,
     "cylinder": build_cylinder,
+    "taylor_green": build_taylor_green,
 }
 
 

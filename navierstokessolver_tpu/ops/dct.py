@@ -246,6 +246,45 @@ def split_idct_apply(
     return jnp.concatenate([xf, jnp.flip(xr, 0)], axis=0)
 
 
+class DensePlan:
+    """Single dense-matmul 'plan' (levels=0 interface of SplitPlan) with
+    caller-provided forward/inverse matrices -- used for periodic axes,
+    where the transform is the orthonormal circulant eigenbasis."""
+
+    levels = 0
+
+    def __init__(self, fwd: np.ndarray, inv: np.ndarray, dtype):
+        self.n = fwd.shape[0]
+        self.base_fwd = jnp.asarray(fwd, dtype)
+        self.base_inv = jnp.asarray(inv, dtype)
+
+
+def circulant_eigenbasis(n: int, h: float) -> tuple[np.ndarray, np.ndarray]:
+    """Orthonormal real eigenbasis Q and eigenvalues of the periodic
+    (circulant) 1D second-difference operator on n cells.
+
+    Columns: constant, then (cos, sin) pairs at wavenumbers k = 1..n/2-1,
+    then the Nyquist alternating mode (n even). Eigenvalues
+    ``lambda_k = -(4/h^2) sin^2(pi k / n)``. Forward transform = Q^T x.
+    """
+    if n % 2:
+        raise ValueError("periodic axis extent must be even")
+    j = np.arange(n)
+    cols = [np.full(n, 1.0 / np.sqrt(n))]
+    lam = [0.0]
+    s = np.sqrt(2.0 / n)
+    for k in range(1, n // 2):
+        lk = -(4.0 / (h * h)) * np.sin(np.pi * k / n) ** 2
+        cols.append(s * np.cos(2.0 * np.pi * k * j / n))
+        lam.append(lk)
+        cols.append(s * np.sin(2.0 * np.pi * k * j / n))
+        lam.append(lk)
+    cols.append(((-1.0) ** j) / np.sqrt(n))
+    lam.append(-(4.0 / (h * h)))
+    Q = np.stack(cols, axis=1)
+    return Q, np.asarray(lam)
+
+
 def neumann_eigenvalues(n: int, h: float) -> np.ndarray:
     """Eigenvalues of the 1D cell-centered Neumann Laplacian under DCT-II.
 

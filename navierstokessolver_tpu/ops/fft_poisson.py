@@ -32,6 +32,9 @@ Array = jax.Array
 
 
 def is_applicable(grid: GridSpec, bcs: BCTable, solid) -> bool:
+    """Neumann (wall/inflow/slip) and periodic faces diagonalize (DCT-II /
+    circulant eigenbasis respectively); outflow (Dirichlet) and obstacle
+    masks do not."""
     if solid is not None and np.any(solid):
         return False
     return all(
@@ -80,11 +83,20 @@ class DCTPoissonSolver:
         precision: str = "high",
         refine: int = 1,
         split_levels: Optional[int] = None,
+        periodic: Optional[tuple[bool, ...]] = None,
     ) -> "DCTPoissonSolver":
-        lam = [
-            dct_mod.neumann_eigenvalues(n, h)
-            for n, h in zip(grid.shape, grid.spacing)
-        ]
+        periodic = periodic or (False,) * grid.ndim
+        if any(periodic) and mode != "matmul":
+            raise ValueError("periodic axes require mode='matmul'")
+        qmats = {}
+        lam = []
+        for a, (n, h) in enumerate(zip(grid.shape, grid.spacing)):
+            if periodic[a]:
+                Q, l = dct_mod.circulant_eigenbasis(n, h)
+                qmats[a] = Q
+                lam.append(l)   # eigenvalues in Q-column order
+            else:
+                lam.append(dct_mod.neumann_eigenvalues(n, h))
         total = np.zeros(grid.shape, dtype=np.float64)
         for a, l in enumerate(lam):
             shape = [1] * grid.ndim
@@ -107,13 +119,15 @@ class DCTPoissonSolver:
                 env = os.environ.get("NSTPU_SPLIT_LEVELS")
                 split_levels = int(env) if env else None
             plans = tuple(
+                dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
+                if periodic[a] else
                 dct_mod.SplitPlan(
                     n,
                     min(4, dct_mod.split_levels(n, min_base=128))
                     if split_levels is None else split_levels,
                     grid.dtype,
                 )
-                for n in grid.shape
+                for a, n in enumerate(grid.shape)
             )
             # Spectral multiplier stored in REVERSED axis order: the matmul
             # chain below leaves the spectrum axis-reversed (each tensordot

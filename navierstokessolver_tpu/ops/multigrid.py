@@ -67,18 +67,30 @@ def _restrict(r: Array) -> Array:
     return out
 
 
-def _prolong(e: Array) -> Array:
+def _prolong(e: Array, periodic: tuple[bool, ...] = ()) -> Array:
     """Tensor-product (bi/tri)linear prolongation for cell-centered grids.
 
     Along each axis, fine cells 2i / 2i+1 get 0.75*c[i] + 0.25*c[i -/+ 1]
-    (edge-replicated: the homogeneous-Neumann-consistent choice). Linear
-    interpolation is what restores the textbook O(0.1-0.3) V-cycle rate --
-    piecewise-constant injection degrades it to ~0.9 (measured).
-    Scatter-free: shifts + stack/reshape interleave.
+    (edge-replicated: the homogeneous-Neumann-consistent choice; wrap
+    neighbors along periodic axes). Linear interpolation is what restores
+    the textbook O(0.1-0.3) V-cycle rate -- piecewise-constant injection
+    degrades it to ~0.9 (measured). Scatter-free: shifts + stack/reshape
+    interleave.
     """
     nd = e.ndim
+    per = periodic or (False,) * nd
     out = e
     for a in range(nd):
+        if per[a]:
+            cm = jnp.roll(out, 1, axis=a)
+            cp = jnp.roll(out, -1, axis=a)
+            lo = 0.75 * out + 0.25 * cm
+            hi = 0.75 * out + 0.25 * cp
+            st = jnp.stack([lo, hi], axis=a + 1)
+            shape = list(out.shape)
+            shape[a] *= 2
+            out = st.reshape(shape)
+            continue
         sl_first = [slice(None)] * nd
         sl_first[a] = slice(0, 1)
         sl_last = [slice(None)] * nd
@@ -194,7 +206,7 @@ class MGPoissonSolver:
         rc = _restrict(r) * self.ops[level + 1].fluid
         ec = jnp.zeros_like(rc)
         ec = self._v_cycle(level + 1, ec, rc)
-        x = (x + _prolong(ec)) * op.fluid
+        x = (x + _prolong(ec, op.periodic)) * op.fluid
         return self._smooth(level, x, b, self.post)
 
     def solve(

@@ -69,17 +69,20 @@ class PoissonOp:
     w: tuple[float, ...]             # per-axis coupling 1/h_a^2
     singular: bool
     inv_fluid_count: float
+    # Wrap-around neighbor topology per axis (periodic BCs): the neighbor
+    # shifts in _neighbor_sum become rolls there.
+    periodic: tuple[bool, ...] = ()
 
     def tree_flatten(self):
         return (
             (self.diag, self.code),
-            (self.w, self.singular, self.inv_fluid_count),
+            (self.w, self.singular, self.inv_fluid_count, self.periodic),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         diag, code = children
-        return cls(diag, code, aux[0], aux[1], aux[2])
+        return cls(diag, code, aux[0], aux[1], aux[2], aux[3])
 
     # -- decoded views (fused into consumers under jit; never HBM-resident) --
 
@@ -114,6 +117,9 @@ def build_poisson_op(
     """
     nd = grid.ndim
     h = grid.spacing
+    periodic = tuple(
+        bcs[(a, 0)].kind is BCKind.PERIODIC for a in range(nd)
+    )
     fluid = np.ones(grid.shape, dtype=bool)
     if solid is not None:
         fluid &= np.logical_not(np.asarray(solid, bool))
@@ -128,6 +134,8 @@ def build_poisson_op(
 
         def shifted(side: int) -> np.ndarray:
             """Whether the neighbor on `side` along axis a exists and is fluid."""
+            if periodic[a]:
+                return np.roll(fluid, 1 if side == 0 else -1, axis=a)
             nb = np.zeros(grid.shape, dtype=bool)
             src = [slice(None)] * nd
             dst = [slice(None)] * nd
@@ -166,6 +174,7 @@ def build_poisson_op(
         w=tuple(w),
         singular=singular,
         inv_fluid_count=float(1.0 / fluid.sum()),
+        periodic=periodic,
     )
 
 
@@ -175,8 +184,19 @@ def _neighbor_sum(op: PoissonOp, p: Array) -> Array:
     which also kills the zero-pad ghosts)."""
     nd = p.ndim
     code = op.code
+    periodic = op.periodic or (False,) * nd
     out = jnp.zeros_like(p)
     for a in range(nd):
+        if periodic[a]:
+            p_lo = jnp.roll(p, 1, axis=a)
+            p_hi = jnp.roll(p, -1, axis=a)
+            has_lo = (code & (1 << (2 * a))) > 0
+            has_hi = (code & (1 << (2 * a + 1))) > 0
+            zero = jnp.zeros((), p.dtype)
+            out = out + op.w[a] * (
+                jnp.where(has_lo, p_lo, zero) + jnp.where(has_hi, p_hi, zero)
+            )
+            continue
         pad_lo = [(0, 0)] * nd
         pad_lo[a] = (1, 0)
         pad_hi = [(0, 0)] * nd

@@ -24,7 +24,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..bcs import BCTable, pad_transverse
+from ..bcs import BCTable, pad_transverse, periodic_axes
 from ..grid import GridSpec
 
 Array = jax.Array
@@ -34,6 +34,17 @@ def _sl(ndim: int, axis: int, s: slice) -> tuple:
     idx = [slice(None)] * ndim
     idx[axis] = s
     return tuple(idx)
+
+
+def _wrap_extend_faces(arr: Array, axis: int) -> Array:
+    """Periodic own-axis extension of a face array [f0..fn] (fn == f0):
+    drop the duplicate last face and add one wrap ghost on each side, so a
+    centered slice(1, -1) covers ALL n distinct faces with wrap neighbors."""
+    nd = arr.ndim
+    work = arr[_sl(nd, axis, slice(0, -1))]
+    lo = work[_sl(nd, axis, slice(-1, None))]
+    hi = work[_sl(nd, axis, slice(0, 1))]
+    return jnp.concatenate([lo, work, hi], axis=axis)
 
 
 def _add_interior(arr: Array, axis: int, delta: Array) -> Array:
@@ -79,15 +90,29 @@ def correct_velocity(
     p: Array,
     scale,
     corr_masks=None,
+    periodic: Sequence[bool] | None = None,
 ) -> tuple[Array, ...]:
     """Projection corrector: ``u -= scale * grad(p)`` on interior faces.
 
     ``scale`` is ``dt / rho``. Boundary-face DOFs are left untouched (they are
     re-imposed by apply_velocity_bcs); obstacle-adjacent faces are masked.
+    Along periodic axes every face is corrected with the wrap gradient
+    (face 0 sees ``p[0] - p[n-1]``) and the duplicate face n mirrors face 0.
     """
     nd = grid.ndim
     out = []
     for a, comp in enumerate(u):
+        if periodic is not None and periodic[a]:
+            g = (p - jnp.roll(p, 1, axis=a)) / grid.spacing[a]
+            if corr_masks is not None:
+                g = g * corr_masks[a]
+            work = comp[_sl(nd, a, slice(0, -1))] - scale * g
+            out.append(
+                jnp.concatenate(
+                    [work, work[_sl(nd, a, slice(0, 1))]], axis=a
+                )
+            )
+            continue
         g = pressure_gradient(grid, p, a)
         if corr_masks is not None:
             g = g * corr_masks[a]
@@ -106,6 +131,10 @@ def laplacian_component(
     """
     nd = grid.ndim
     h = grid.spacing
+    if periodic_axes(grid, bcs)[comp]:
+        # wrap-extend along the staggering axis: the "interior" slice then
+        # covers all n distinct faces with periodic neighbors.
+        arr = _wrap_extend_faces(arr, comp)
     padded = pad_transverse(grid, bcs, comp, arr)
     # Center slice of the padded array matching interior faces of `comp`.
     center_idx = []
@@ -114,8 +143,9 @@ def laplacian_component(
             center_idx.append(slice(1, -1))
         else:
             center_idx.append(slice(1, -1))
-    # Note: padded is padded on transverse axes only; along `comp` slice(1,-1)
-    # selects interior faces of the raw array.
+    # Note: padded is padded on transverse axes only (plus the wrap extension
+    # above for a periodic staggering axis); along `comp` slice(1,-1) selects
+    # interior faces of the raw array (all faces in the periodic case).
     center = padded[tuple(center_idx)]
     out = jnp.zeros_like(center)
     for ax in range(nd):
@@ -134,12 +164,20 @@ def laplacian_component(
 
 
 def _transverse_velocity_at(
-    grid: GridSpec, u: Sequence[Array], comp: int, trans: int
+    grid: GridSpec, u: Sequence[Array], comp: int, trans: int,
+    wrap_comp: bool = False,
 ) -> Array:
     """Average component ``trans`` onto the interior-face locations of
-    component ``comp`` (4-point average in 2D, per-axis pair averages in ND)."""
+    component ``comp`` (4-point average in 2D, per-axis pair averages in ND).
+
+    ``wrap_comp``: comp's axis is periodic -- produce values at ALL n faces
+    by wrapping the cell pair of face 0 around."""
     nd = grid.ndim
     ut = u[trans]
+    if wrap_comp:
+        ut = jnp.concatenate(
+            [ut[_sl(nd, comp, slice(-1, None))], ut], axis=comp
+        )
     # Average adjacent cells along `comp`'s axis: cell pairs -> interior faces.
     m = 0.5 * (
         ut[_sl(nd, comp, slice(0, -1))] + ut[_sl(nd, comp, slice(1, None))]
@@ -164,6 +202,9 @@ def advection_component(
     nd = grid.ndim
     h = grid.spacing
     arr = u[comp]
+    wrap_own = periodic_axes(grid, bcs)[comp]
+    if wrap_own:
+        arr = _wrap_extend_faces(arr, comp)
     padded = pad_transverse(grid, bcs, comp, arr)
     center_idx = tuple(slice(1, -1) for _ in range(nd))
     center = padded[tuple(center_idx)]
@@ -180,7 +221,7 @@ def advection_component(
         if ax == comp:
             vel = center
         else:
-            vel = _transverse_velocity_at(grid, u, comp, ax)
+            vel = _transverse_velocity_at(grid, u, comp, ax, wrap_own)
         if upwind_gamma > 0.0:
             fwd = (up - center) / h[ax]
             bwd = (center - um) / h[ax]
@@ -206,6 +247,7 @@ def predictor(
     Updates interior faces only; boundary DOFs are re-imposed by the BC pass.
     """
     nd = grid.ndim
+    per = periodic_axes(grid, bcs)
     out = []
     for a, comp in enumerate(u):
         adv = advection_component(grid, bcs, u, a, upwind_gamma)
@@ -213,7 +255,17 @@ def predictor(
         rhs = -adv + nu * lap
         if forcing is not None and forcing[a] is not None:
             rhs = rhs + forcing[a]
-        out.append(_add_interior(comp, a, dt * rhs))
+        if per[a]:
+            # rhs covers ALL n distinct faces; rebuild with the duplicate
+            # face n mirroring face 0.
+            work = comp[_sl(nd, a, slice(0, -1))] + dt * rhs
+            out.append(
+                jnp.concatenate(
+                    [work, work[_sl(nd, a, slice(0, 1))]], axis=a
+                )
+            )
+        else:
+            out.append(_add_interior(comp, a, dt * rhs))
     return tuple(out)
 
 

@@ -103,6 +103,12 @@ class ShardedPoissonSolver:
     ) -> "ShardedPoissonSolver":
         if mesh.axis_names[0] != AXIS or len(mesh.axis_names) != 1:
             raise ValueError("ShardedPoissonSolver needs a 1D ('sx',) mesh")
+        if any(op.periodic):
+            raise NotImplementedError(
+                "periodic axes are not wired into the explicit halo-exchange "
+                "solver yet (needs wraparound ppermute ring ends); use the "
+                "GSPMD path (parallel/sharding.py), which handles them"
+            )
         n_dev = mesh.devices.shape[0]
         if grid.shape[0] % n_dev:
             raise ValueError(

@@ -100,19 +100,22 @@ class Simulation:
                     "all-Neumann pressure BCs (no outflow faces); use an "
                     "iterative method for this case"
                 )
-            dct_solver = fft_poisson.DCTPoissonSolver.build(grid)
+            dct_solver = fft_poisson.DCTPoissonSolver.build(
+                grid, periodic=bcs_mod.periodic_axes(grid, bcs)
+            )
         mg_solver = None
         if params.poisson.method == "mg":
             from .ops import multigrid
 
             mg_solver = multigrid.MGPoissonSolver.build(grid, bcs, solid)
+        per = bcs_mod.periodic_axes(grid, bcs)
         return Simulation(
             grid=grid,
             bcs=bcs,
             params=params,
             op=poisson_mod.build_poisson_op(grid, bcs, solid),
-            face_masks=bcs_mod.face_masks_from_solid(grid, solid),
-            corr_masks=bcs_mod.correction_face_masks(grid, solid),
+            face_masks=bcs_mod.face_masks_from_solid(grid, solid, per),
+            corr_masks=bcs_mod.correction_face_masks(grid, solid, per),
             forcing=forcing,
             dct_solver=dct_solver,
             mg_solver=mg_solver,
@@ -133,6 +136,8 @@ class Simulation:
             return False
         if self.shardings is not None:
             return False
+        if any(bcs_mod.periodic_axes(self.grid, self.bcs)):
+            return False  # wrap stencils not wired into the kernel yet
         from .ops import pallas_kernels
 
         return pallas_kernels.predictor_2d_applicable(self.grid)
@@ -194,7 +199,8 @@ class Simulation:
         # 3. velocity correction + BCs
         with jax.named_scope("correction"):
             u_new = stencils.correct_velocity(
-                g, u_star, p, dt / pr.rho, self.corr_masks
+                g, u_star, p, dt / pr.rho, self.corr_masks,
+                bcs_mod.periodic_axes(g, b),
             )
             u_new = bcs_mod.apply_velocity_bcs(g, b, u_new, self.face_masks)
         new_state = self._constrain(State(u=u_new, p=p))
