@@ -118,13 +118,22 @@ class DCTPoissonSolver:
 
                 env = os.environ.get("NSTPU_SPLIT_LEVELS")
                 split_levels = int(env) if env else None
+            # Splitting only pays for large transforms: at n=256 (the 3D
+            # config) one split level measured SLOWER (13.2 -> 16.1 ms/step,
+            # 128-wide base matmuls underutilize the MXU and the butterflies
+            # add bandwidth) and cost accuracy; at n=2048 four levels are a
+            # 1.35x step win. Threshold: split only when n >= 1024.
+            def _auto_levels(n):
+                if n < 1024:
+                    return 0
+                return min(4, dct_mod.split_levels(n, min_base=128))
+
             plans = tuple(
                 dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
                 if periodic[a] else
                 dct_mod.SplitPlan(
                     n,
-                    min(4, dct_mod.split_levels(n, min_base=128))
-                    if split_levels is None else split_levels,
+                    _auto_levels(n) if split_levels is None else split_levels,
                     grid.dtype,
                 )
                 for a, n in enumerate(grid.shape)

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the step loop for TensorBoard/Perfetto.
+
+Every phase of the projection step is wrapped in jax.named_scope
+(bcs / predictor / poisson / correction / diagnostics in solver.py), so the
+trace shows the per-phase breakdown on the device timeline.
+
+Usage:
+    python scripts/profile_trace.py --case cavity --nx 2048 --ny 2048 \
+        --steps 20 --out /tmp/nstpu_trace
+Then: tensorboard --logdir /tmp/nstpu_trace  (or open in Perfetto).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="cavity")
+    ap.add_argument("--nx", type=int, default=2048)
+    ap.add_argument("--ny", type=int, default=2048)
+    ap.add_argument("--re", type=float, default=10_000.0)
+    ap.add_argument("--poisson", default="fft")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--out", default="/tmp/nstpu_trace")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case(
+        args.case, shape=(args.nx, args.ny), re=args.re,
+        poisson_method=args.poisson,
+    )
+    sim = case.sim
+    state = case.initial_state()
+    # compile + warm outside the trace window
+    state, _ = sim.run_scan(state, args.steps)
+    jax.block_until_ready(state.p)
+
+    with jax.profiler.trace(args.out):
+        state, diag = sim.run_scan(state, args.steps)
+        jax.block_until_ready(state.p)
+    print(f"[profile] {args.steps} steps traced to {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
