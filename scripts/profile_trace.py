@@ -14,7 +14,10 @@ Then: tensorboard --logdir /tmp/nstpu_trace  (or open in Perfetto).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

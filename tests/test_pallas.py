@@ -146,3 +146,62 @@ def test_rb_sweeps_kernel_obstacle_outflow():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
     # solid cells stay exactly zero
     assert float(jnp.max(jnp.abs(got * (1.0 - op.fluid)))) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# 3D fused predictor parity (interpret mode)
+# ---------------------------------------------------------------------------
+
+def _random_state3d(grid, bcs, seed=0):
+    r = np.random.default_rng(seed)
+    u = tuple(
+        jnp.asarray(r.normal(size=grid.face_shape(a)), grid.dtype)
+        for a in range(3)
+    )
+    return apply_velocity_bcs(grid, bcs, u)
+
+
+@pytest.mark.parametrize("gamma", [0.0, 0.5])
+def test_predictor3d_matches_jnp(gamma):
+    from navierstokessolver_tpu.ops.pallas_kernels import predictor_3d
+
+    g = GridSpec(shape=(24, 16, 8), lengths=(1.5, 1.0, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.wall((0.7, 0.2, 0.0))   # moving lid
+    u = _random_state3d(g, bcs)
+    dt, nu = 1e-3, 0.05
+    ref = stencils.predictor(g, bcs, u, dt, nu, gamma)
+    got = predictor_3d(g, bcs, u, dt, nu, gamma, tile=8, interpret=True)
+    for a in range(3):
+        # interior faces only: boundary faces are BC-pass territory
+        idx = [slice(None)] * 3
+        idx[a] = slice(1, -1)
+        np.testing.assert_allclose(
+            np.asarray(got[a])[tuple(idx)],
+            np.asarray(ref[a])[tuple(idx)],
+            atol=3e-5,
+        )
+
+
+def test_predictor3d_slip_outflow_lane_faces():
+    """Exercises the in-kernel lane-ghost linear fixes for SLIP (tangential
+    copy) and OUTFLOW (face copy) on the axis-2 faces."""
+    from navierstokessolver_tpu.ops.pallas_kernels import (
+        predictor_3d, predictor_3d_applicable)
+
+    g = GridSpec(shape=(16, 8, 16), lengths=(1.0, 0.5, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(2, 0)] = BCSpec.slip()
+    bcs[(2, 1)] = BCSpec.outflow()
+    assert predictor_3d_applicable(g, bcs)
+    u = _random_state3d(g, bcs, seed=4)
+    ref = stencils.predictor(g, bcs, u, 1e-3, 0.02, 0.3)
+    got = predictor_3d(g, bcs, u, 1e-3, 0.02, 0.3, tile=8, interpret=True)
+    for a in range(3):
+        idx = [slice(None)] * 3
+        idx[a] = slice(1, -1)
+        np.testing.assert_allclose(
+            np.asarray(got[a])[tuple(idx)],
+            np.asarray(ref[a])[tuple(idx)],
+            atol=3e-5,
+        )
