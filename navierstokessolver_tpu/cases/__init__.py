@@ -21,7 +21,7 @@ from ..grid import GridSpec, State
 from ..solver import Simulation
 
 from .cavity import build_cavity, build_cavity3d
-from .channel import build_channel
+from .channel import build_channel, build_channel_periodic
 from .cylinder import build_cylinder
 from .taylor_green import build_taylor_green
 
@@ -50,6 +50,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     ),
     "cavity3d": build_cavity3d,
     "channel": build_channel,
+    "channel_periodic": build_channel_periodic,
     "cylinder": build_cylinder,
     "taylor_green": build_taylor_green,
 }

@@ -75,3 +75,67 @@ def poiseuille_state(sim: Simulation, u_max: float = 1.0) -> State:
 
     u = bcs_mod.apply_velocity_bcs(grid, sim.bcs, (u0, st.u[1]), sim.face_masks)
     return State(u=u, p=st.p)
+
+
+def build_channel_periodic(
+    shape=(256, 64),
+    lengths=(4.0, 1.0),
+    re: float = 100.0,
+    u_max: float = 1.0,
+    dt: float | None = None,
+    poisson_method: str = "fft",
+    poisson_tol: float = 1e-5,
+    poisson_iters: int = 2000,
+    upwind_gamma: float = 0.0,
+    dtype=None,
+):
+    """Body-force-driven channel: periodic streamwise, no-slip walls.
+
+    The classic turbulent-channel setup (here laminar validation): a constant
+    body force f_x = 8 nu u_max / Ly^2 replaces the mean pressure gradient;
+    the Poiseuille parabola is the steady solution. Exercises the mixed
+    spectral solve (circulant eigenbasis along x, DCT along y).
+    """
+    from . import Case
+
+    grid = GridSpec(
+        shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32
+    )
+    ly = grid.lengths[1]
+    nu = u_max * ly / re
+    bcs = {
+        (0, 0): BCSpec.periodic(),
+        (0, 1): BCSpec.periodic(),
+        (1, 0): BCSpec.wall((0.0, 0.0)),
+        (1, 1): BCSpec.wall((0.0, 0.0)),
+    }
+    dt = dt if dt is not None else _stable_dt(grid, nu, u_max, upwind_gamma)
+    fx = 8.0 * nu * u_max / (ly * ly)
+    params = SimParams(
+        dt=dt,
+        nu=nu,
+        upwind_gamma=upwind_gamma,
+        poisson=PoissonConfig(
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
+        ),
+    )
+    sim = Simulation.build(grid, bcs, params, forcing=(fx, None))
+    case = Case(
+        name="channel_periodic",
+        sim=sim,
+        suggested_steps=2000,
+        description="body-force-driven periodic channel (laminar Poiseuille)",
+    )
+
+    def initial_state():
+        profile = parabolic_profile(grid, u_max)
+        u = jnp.broadcast_to(profile[None, :], grid.face_shape(0))
+        v = jnp.zeros(grid.face_shape(1), grid.dtype)
+        p = jnp.zeros(grid.shape, grid.dtype)
+        from .. import bcs as bcs_mod
+
+        uu = bcs_mod.apply_velocity_bcs(grid, bcs, (u, v))
+        return State(u=uu, p=p)
+
+    case.initial_state = initial_state
+    return case

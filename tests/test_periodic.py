@@ -137,3 +137,16 @@ def test_taylor_green_mg():
     st, diag = case.sim.run_scan(case.initial_state(), 30)
     assert float(diag.max_div[-1]) < 1e-4
     assert np.isfinite(np.asarray(st.p)).all()
+
+
+def test_periodic_channel_poiseuille_persists():
+    """Body-force-driven periodic channel: the Poiseuille parabola is a
+    steady state of the discrete system (mixed circulant x DCT solve)."""
+    case = make_case("channel_periodic", shape=(32, 32), re=50.0)
+    st0 = case.initial_state()
+    st, diag = case.sim.run_scan(st0, 200)
+    assert float(diag.max_div[-1]) < 1e-4
+    drift = float(jnp.max(jnp.abs(st.u[0] - st0.u[0])))
+    assert drift < 5e-3, drift
+    # cross-stream velocity stays negligible
+    assert float(jnp.max(jnp.abs(st.u[1]))) < 1e-4
