@@ -137,7 +137,16 @@ class Simulation:
         would need shard_map plumbing -- planned, not wired yet.)"""
         use = self.params.use_pallas
         if use is None:
-            use = jax.default_backend() == "tpu" and not self.pallas_interpret
+            # Auto: only the 3D kernel wins end-to-end (6.3 -> ~2 ms of
+            # predictor work per step at 256^3). The 2D kernel's compute
+            # matches XLA's fusion but its jnp-side pre-padding costs
+            # ~0.5 ms/step at 2048^2 (measured: 1.64 -> 2.14 ms/step), so
+            # 2D keeps the jnp path unless explicitly requested.
+            use = (
+                jax.default_backend() == "tpu"
+                and self.grid.ndim == 3
+                and not self.pallas_interpret
+            )
         if not use or self.forcing is not None:
             return False
         if self.shardings is not None:
@@ -149,6 +158,15 @@ class Simulation:
         if self.grid.ndim == 3:
             return pallas_kernels.predictor_3d_applicable(self.grid, self.bcs)
         return pallas_kernels.predictor_2d_applicable(self.grid)
+
+    def _has_outflow(self) -> bool:
+        from .bcs import BCKind
+
+        return any(
+            self.bcs[(a, s)].kind is BCKind.OUTFLOW
+            for a in range(self.grid.ndim)
+            for s in (0, 1)
+        )
 
     def _constrain(self, state: State) -> State:
         if self.shardings is None:
@@ -212,7 +230,15 @@ class Simulation:
                 g, u_star, p, dt / pr.rho, self.corr_masks,
                 bcs_mod.periodic_axes(g, b),
             )
-            u_new = bcs_mod.apply_velocity_bcs(g, b, u_new, self.face_masks)
+            # The correction only writes interior faces (and mirrors the
+            # periodic wrap face itself), so u_new's boundary DOFs still
+            # carry u*'s BC values -- re-application is only needed for
+            # OUTFLOW faces, whose zero-gradient copy must track the updated
+            # interior neighbor.
+            if self._has_outflow():
+                u_new = bcs_mod.apply_velocity_bcs(
+                    g, b, u_new, self.face_masks
+                )
         new_state = self._constrain(State(u=u_new, p=p))
         with jax.named_scope("diagnostics"):
             div = stencils.divergence(g, new_state.u) * self.op.fluid
