@@ -285,6 +285,77 @@ def circulant_eigenbasis(n: int, h: float) -> tuple[np.ndarray, np.ndarray]:
     return Q, np.asarray(lam)
 
 
+class CircSplitPlan:
+    """Symmetric-fold factorization of the circulant eigenbasis transform.
+
+    cos rows of Q^T are symmetric under j -> n-j and sin rows antisymmetric,
+    so with g = [x0, x_j + x_{n-j}, x_m] and d = [x_j - x_{n-j}] the forward
+    transform is two half-size matmuls (exact 2x MAC reduction, factors
+    bounded like the dense basis). Outputs in BLOCK order
+    [c0, c1..c_{m-1}, nyquist, s1..s_{m-1}]; :meth:`permutation` maps block
+    order back to the natural eigen-column order for the spectral
+    multiplier (same zero-relayout trick as the DCT SplitPlan).
+    """
+
+    levels = 1  # marker: permuted output order
+
+    def __init__(self, n: int, dtype):
+        if n % 2:
+            raise ValueError("periodic axis extent must be even")
+        m = n // 2
+        self.n = n
+        j_g = np.arange(m + 1)
+        k_c = np.arange(1, m)
+        s = np.sqrt(2.0 / n)
+        cf = np.empty((m + 1, m + 1))
+        cf[0, :] = 1.0 / np.sqrt(n)
+        cf[1:m, :] = s * np.cos(2.0 * np.pi * k_c[:, None] * j_g[None, :] / n)
+        cf[m, :] = ((-1.0) ** j_g) / np.sqrt(n)
+        j_d = np.arange(1, m)
+        sf = s * np.sin(2.0 * np.pi * k_c[:, None] * j_d[None, :] / n)
+        self.cf = jnp.asarray(cf, dtype)
+        self.sf = jnp.asarray(sf, dtype)
+        self.cfi = jnp.asarray(np.linalg.inv(cf), dtype)
+        self.sfi = jnp.asarray(np.linalg.inv(sf), dtype)
+
+    def permutation(self) -> np.ndarray:
+        """block_output[k'] = natural_order[perm[k']] (natural = the
+        circulant_eigenbasis column order c0, c1, s1, c2, s2, ..., nyq)."""
+        m = self.n // 2
+        perm = [0]
+        perm += [2 * k - 1 for k in range(1, m)]
+        perm += [self.n - 1]
+        perm += [2 * k for k in range(1, m)]
+        return np.asarray(perm)
+
+    def apply_fwd(self, x: Array, axis: int, precision) -> Array:
+        nd = x.ndim
+        m = self.n // 2
+        x0 = x[_sl(nd, axis, slice(0, 1))]
+        xm = x[_sl(nd, axis, slice(m, m + 1))]
+        xf = x[_sl(nd, axis, slice(1, m))]
+        xr = jnp.flip(x[_sl(nd, axis, slice(m + 1, None))], axis)
+        g = jnp.concatenate([x0, xf + xr, xm], axis=axis)
+        d = xf - xr
+        G = jnp.tensordot(self.cf, g, axes=([1], [axis]), precision=precision)
+        D = jnp.tensordot(self.sf, d, axes=([1], [axis]), precision=precision)
+        return jnp.concatenate([G, D], axis=0)
+
+    def apply_inv(self, X: Array, axis: int, precision) -> Array:
+        nd = X.ndim
+        m = self.n // 2
+        Xg = X[_sl(nd, axis, slice(0, m + 1))]
+        Xd = X[_sl(nd, axis, slice(m + 1, None))]
+        g = jnp.tensordot(self.cfi, Xg, axes=([1], [axis]), precision=precision)
+        d = jnp.tensordot(self.sfi, Xd, axes=([1], [axis]), precision=precision)
+        g0 = g[0:1]
+        gm = g[m:m + 1]
+        gm_mid = g[1:m]
+        xf = 0.5 * (gm_mid + d)
+        xr = 0.5 * (gm_mid - d)
+        return jnp.concatenate([g0, xf, gm, jnp.flip(xr, 0)], axis=0)
+
+
 def neumann_eigenvalues(n: int, h: float) -> np.ndarray:
     """Eigenvalues of the 1D cell-centered Neumann Laplacian under DCT-II.
 

@@ -128,16 +128,20 @@ class DCTPoissonSolver:
                     return 0
                 return min(4, dct_mod.split_levels(n, min_base=128))
 
-            plans = tuple(
-                dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
-                if periodic[a] else
-                dct_mod.SplitPlan(
+            def _plan(a, n):
+                if periodic[a]:
+                    # symmetric-fold circulant split (2x MACs) pays at the
+                    # same scale threshold as the DCT split
+                    if n >= 1024 and n % 2 == 0:
+                        return dct_mod.CircSplitPlan(n, grid.dtype)
+                    return dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
+                return dct_mod.SplitPlan(
                     n,
                     _auto_levels(n) if split_levels is None else split_levels,
                     grid.dtype,
                 )
-                for a, n in enumerate(grid.shape)
-            )
+
+            plans = tuple(_plan(a, n) for a, n in enumerate(grid.shape))
             # Spectral multiplier stored in REVERSED axis order: the matmul
             # chain below leaves the spectrum axis-reversed (each tensordot
             # puts its result axis first), and the inverse chain reverses it
@@ -149,9 +153,13 @@ class DCTPoissonSolver:
             nd_ = grid.ndim
             for j in range(nd_):
                 a = nd_ - 1 - j
-                perm = dct_mod.split_permutation(
-                    grid.shape[a], plans[a].levels
-                )
+                plan = plans[a]
+                if hasattr(plan, "permutation"):
+                    perm = plan.permutation()
+                else:
+                    perm = dct_mod.split_permutation(
+                        grid.shape[a], plan.levels
+                    )
                 inv = np.take(inv, perm, axis=j)
         return DCTPoissonSolver(
             grid=grid,
@@ -175,15 +183,23 @@ class DCTPoissonSolver:
             # Forward: after the chain the axes read (k_{nd-1}, ..., k_0),
             # each in the split transforms' block order (inv_eig matches).
             for a in range(nd):
-                x = dct_mod.split_dct_apply(
-                    self.plans[a], x, a, prec, block_order=True
-                )
+                plan = self.plans[a]
+                if hasattr(plan, "apply_fwd"):
+                    x = plan.apply_fwd(x, a, prec)
+                else:
+                    x = dct_mod.split_dct_apply(
+                        plan, x, a, prec, block_order=True
+                    )
             x = x * self.inv_eig
             # Inverse: unwinds the reversal, returning natural axis order.
             for a in range(nd - 1, -1, -1):
-                x = dct_mod.split_idct_apply(
-                    self.plans[a], x, nd - 1 - a, prec, block_order=True
-                )
+                plan = self.plans[a]
+                if hasattr(plan, "apply_fwd"):
+                    x = plan.apply_inv(x, nd - 1 - a, prec)
+                else:
+                    x = dct_mod.split_idct_apply(
+                        plan, x, nd - 1 - a, prec, block_order=True
+                    )
             return x
         for a in range(nd):
             x = dct_mod.dct2(x, axis=a)
