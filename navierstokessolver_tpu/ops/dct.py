@@ -102,18 +102,6 @@ def idct2_matrix(n: int) -> np.ndarray:
     return m
 
 
-def apply_along_axis(mat: Array, x: Array, axis: int) -> Array:
-    """``y[..., k, ...] = sum_i mat[k, i] x[..., i, ...]`` on the MXU.
-
-    float32 with HIGHEST precision so the direct solve stays exact to
-    single-precision roundoff (default TPU f32 matmul rounds through bf16).
-    """
-    y = jnp.tensordot(
-        mat, x, axes=([1], [axis]), precision=jax.lax.Precision.HIGHEST
-    )
-    return jnp.moveaxis(y, 0, axis)
-
-
 # ---------------------------------------------------------------------------
 # Radix-split DCT application: exact 2x MAC reduction per level.
 #

@@ -4,11 +4,11 @@ TPU-native upgrade beyond the reference's relaxation solvers (SURVEY.md SS2
 mandates "matrix-free CG with the same convergence semantics"; this goes
 further): for obstacle-free rectangular domains whose pressure BCs are all
 homogeneous Neumann (walls/inflow/slip -- i.e. every closed-box cavity
-config), the discrete Laplacian diagonalizes under a tensor DCT-II, so the
-projection solve is EXACT in one O(n log n) application: forward DCT per
-axis, divide by eigenvalue sums, inverse DCT. No iteration, no convergence
-question -- residual is reported post-hoc in the same relative-L2 norm as
-the iterative solvers.
+config), the discrete Laplacian diagonalizes under a tensor DCT-II (circulant
+eigenbasis on periodic axes), so the projection solve is EXACT in one
+application: forward transform per axis, divide by eigenvalue sums, inverse
+transform. No iteration, no convergence question -- residual is reported
+post-hoc in the same relative-L2 norm as the iterative solvers.
 
 Falls back unavailable (is_applicable() False) when an outflow face or an
 obstacle mask is present; Simulation then uses the iterative path.
@@ -46,12 +46,12 @@ def is_applicable(grid: GridSpec, bcs: BCTable, solid) -> bool:
 
 @dataclasses.dataclass(eq=False)
 class DCTPoissonSolver:
-    """Precomputed inverse-eigenvalue tensor for the all-Neumann Laplacian.
+    """Precomputed inverse-eigenvalue tensor for the diagonalizable Laplacian.
 
-    ``mode="matmul"`` (default) applies the per-axis DCTs as dense matmuls on
-    the MXU (dct.apply_along_axis) -- on TPU this is much faster than the
-    complex-emulated FFT path for any practical n. ``mode="fft"`` keeps the
-    O(n log n) path for very large or CPU-bound runs.
+    ``mode="matmul"`` (default) applies the per-axis transforms as (radix-
+    split) matmul chains on the MXU -- on TPU this is much faster than the
+    complex-emulated FFT path for any practical n. ``mode="fft"`` keeps an
+    O(n log n) CPU-oriented path (non-periodic axes only).
     """
 
     grid: GridSpec
