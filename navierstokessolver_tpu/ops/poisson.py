@@ -237,6 +237,8 @@ def residual_norm(op: PoissonOp, p: Array, b: Array) -> Array:
 @dataclasses.dataclass(frozen=True)
 class PoissonConfig:
     method: str = "cg"          # "jacobi" | "gs" | "sor" | "cg"
+                                 # (+ "mg" | "mgcg" | "fft", handled upstream
+                                 #  by Simulation.build)
     tol: float = 1e-5            # relative L2 residual
     max_iters: int = 500
     omega: Optional[float] = None  # SOR relaxation; None -> auto-optimal

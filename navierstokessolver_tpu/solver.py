@@ -107,7 +107,7 @@ class Simulation:
                 grid, periodic=bcs_mod.periodic_axes(grid, bcs)
             )
         mg_solver = None
-        if params.poisson.method == "mg":
+        if params.poisson.method in ("mg", "mgcg"):
             from .ops import multigrid
 
             mg_solver = multigrid.MGPoissonSolver.build(grid, bcs, solid)
@@ -217,7 +217,12 @@ class Simulation:
                     self.dct_solver, self.op, rhs
                 )
             elif self.mg_solver is not None:
-                p, iters, res = self.mg_solver.solve(
+                mg_solve = (
+                    self.mg_solver.solve_pcg
+                    if pr.poisson.method == "mgcg"
+                    else self.mg_solver.solve
+                )
+                p, iters, res = mg_solve(
                     rhs, state.p, pr.poisson.tol, pr.poisson.max_iters
                 )
             else:

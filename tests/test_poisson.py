@@ -177,3 +177,63 @@ def test_mg_end_to_end_cylinder_smoke():
     st, diag = case.sim.run_scan(st, 20)
     assert float(diag.max_div[-1]) < 1e-3
     assert np.isfinite(np.asarray(st.p)).all()
+
+
+def test_mgcg_obstacle_beats_plain_mg_floor():
+    """MG-preconditioned flexible CG: same fixed point as CG, converges in
+    few iterations on the obstacle+outflow problem, and keeps converging
+    below the plain-MG stagnation region."""
+    from navierstokessolver_tpu.ops.multigrid import MGPoissonSolver
+
+    g = GridSpec(shape=(64, 32), lengths=(2.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.outflow()
+    solid = np.zeros(g.shape, bool)
+    solid[20:28, 12:20] = True
+    op = build_poisson_op(g, bcs, solid)
+    mg = MGPoissonSolver.build(g, bcs, solid)
+    r = np.random.default_rng(0)
+    b = jnp.asarray((r.normal(size=g.shape) * ~solid).astype(np.float32))
+    # This problem's float32 residual floor sits near 1e-5 (see the plain-MG
+    # test above); the no-improvement guard stops PCG at the floor.
+    p, iters, res = mg.solve_pcg(b, jnp.zeros(g.shape, g.dtype), 1e-5, 100)
+    assert float(res) < 2e-5
+    assert int(iters) < 30, int(iters)
+    p_cg, it_cg, _ = solve_poisson(
+        op, b, jnp.zeros(g.shape, g.dtype), g, PoissonConfig("cg", 1e-7, 20000)
+    )
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_cg), atol=2e-4)
+    # Krylov acceleration: far fewer iterations than unpreconditioned CG.
+    assert int(iters) * 10 < int(it_cg)
+
+
+def test_mgcg_singular_cavity():
+    from navierstokessolver_tpu.ops.multigrid import MGPoissonSolver
+
+    g = GridSpec(shape=(32, 32), lengths=(1.0, 1.0))
+    bcs = no_slip_box(g)
+    op = build_poisson_op(g, bcs)
+    mg = MGPoissonSolver.build(g, bcs)
+    r = np.random.default_rng(1)
+    b = r.normal(size=g.shape).astype(np.float32)
+    b -= b.mean()
+    p, iters, res = mg.solve_pcg(
+        jnp.asarray(b), jnp.zeros(g.shape, g.dtype), 1e-6, 60
+    )
+    assert float(res) < 1e-6
+    assert int(iters) < 15
+    # solution is deflated (mean-zero over fluid) like every other solver
+    assert abs(float(jnp.mean(p))) < 1e-6
+
+
+def test_mgcg_end_to_end_cylinder_smoke():
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case(
+        "cylinder", shape=(96, 48), lengths=(12.0, 6.0), center=(3.0, 3.01),
+        poisson_method="mgcg",
+    )
+    st = case.initial_state()
+    st, diag = case.sim.run_scan(st, 20)
+    assert float(diag.max_div[-1]) < 1e-3
+    assert np.isfinite(np.asarray(st.p)).all()
