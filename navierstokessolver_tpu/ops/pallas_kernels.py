@@ -621,3 +621,541 @@ def predictor_2d(
     )[:nx, : ny + 1]
 
     return u_star, v_star
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-step kernels (v3): predictor + BC application + Poisson RHS in
+# ONE pass over the velocity field, and correction + BC preservation + step
+# diagnostics in another.
+#
+# Motivation (measured on v5e at 256^3, isolated jit timings): the v2 path
+# spent ~5.7 ms on the predictor (of which ~4 ms was building the canonical
+# pre-padded operands and slicing the outputs) plus ~2.1 ms BC pass, ~2.2 ms
+# divergence, ~3.2 ms correction and ~2.6 ms diagnostics -- every one of
+# them a full sweep over the ~200 MB state that should cost ~0.25 ms at HBM
+# speed of light.
+#
+# Design:
+#   * ONE kernel computes u*_0, u*_1, u*_2 AND rhs = (rho/dt) div(u*): each
+#     velocity component is read from HBM once per stripe (3 reads total
+#     instead of v2's 9), and the divergence consumes the in-register u*.
+#   * NO canonical pre-padding: inputs are the raw face arrays, padded by a
+#     single cheap jnp.pad each (1-plane apron on axis 0 + tile alignment).
+#     ALL ghost values -- axis-0 rows, axis-1 sublanes, axis-2 lanes -- are
+#     synthesized in-kernel as `ghost = alpha*edge + beta` selects (wall/
+#     inflow reflection, slip/outflow copy), extending the v2 lane trick to
+#     every axis. Component 2's duplicate boundary face (lane n2) stays
+#     elided everywhere, including across the step (see solver.py), so no
+#     operand ever pays lane-dim padding.
+#   * BCs are applied IN-KERNEL to the boundary faces of u* (Dirichlet value
+#     or outflow copy), so the divergence epilogue sees BC-correct faces and
+#     the separate BC pass disappears. Invariant required of the INPUT state:
+#     its boundary faces already carry BC values (initial_state and the
+#     corrector kernel below both guarantee it).
+#   * The corrector kernel applies u = u* - scale*grad(p) on interior faces,
+#     preserves boundary faces from u*, and folds the step diagnostics
+#     (max |div u|, max |u_a|/h_a) into per-stripe partial maxima -- the two
+#     full-field diagnostic sweeps become one tiny (G, 8, 128) reduction.
+#
+# Gating (fused_step3d_applicable): 3D float32, no periodic axes, no
+# obstacle masks, no forcing, scalar BC values on every face, and the tile
+# must divide n0 (satisfied by all power-of-two grids; tile shrinks to
+# gcd(tile, n0) automatically).
+# ---------------------------------------------------------------------------
+
+
+def _scalar_bcs_all_axes(bcs: BCTable, ndim: int = 3) -> bool:
+    for ax in range(ndim):
+        for side in (0, 1):
+            for c in range(ndim):
+                if _scalar_bc(bcs, (ax, side), c, ndim) is None:
+                    return False
+    return True
+
+
+def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
+    from ..bcs import BCKind, periodic_axes
+
+    if grid.ndim != 3 or grid.dtype != jnp.float32:
+        return False
+    if any(periodic_axes(grid, bcs)):
+        return False
+    # An axis-0 OUTFLOW face would need the boundary-face copy to cross a
+    # stripe boundary (face n0 copies face n0-1, computed by the previous
+    # stripe); axes 1/2 copies are in-register sublane/lane shifts. Gate it.
+    for side in (0, 1):
+        if bcs[(0, side)].kind is BCKind.OUTFLOW:
+            return False
+    return _scalar_bcs_all_axes(bcs)
+
+
+def _tangential_ghost(bcs: BCTable, c: int, ax: int, side: int):
+    """(alpha, beta) with ghost = alpha*edge + beta for component c's ghost
+    beyond the (ax, side) face: wall/inflow reflection through the Dirichlet
+    value, slip/outflow edge copy (matches bcs.pad_transverse)."""
+    from ..bcs import BCKind
+
+    bc = bcs[(ax, side)]
+    if bc.kind in (BCKind.WALL, BCKind.INFLOW):
+        return (-1.0, 2.0 * _scalar_bc(bcs, (ax, side), c, 3))
+    return (1.0, 0.0)
+
+
+def _own_face_spec(bcs: BCTable, a: int, side: int):
+    """Boundary-face value of component a on its own axis: ('d', v) for
+    Dirichlet (wall/inflow/slip), ('copy',) for outflow (zero-gradient copy
+    of the adjacent inner face) -- matches bcs.apply_velocity_bcs."""
+    from ..bcs import BCKind
+
+    bc = bcs[(a, side)]
+    if bc.kind is BCKind.OUTFLOW:
+        return ("copy",)
+    return ("d", _scalar_bc(bcs, (a, side), a, 3))
+
+
+def _ax_iota(shape, axis):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+
+
+def _shift_fix(x, axis: int, sh: int, fix):
+    """Neighbor at index k+sh along ``axis`` via roll; ``fix=(edge, alpha,
+    beta)`` replaces the wrapped edge position with ``alpha*x + beta``
+    (ghost synthesis; None leaves wrap garbage that only ever reaches
+    discarded boundary/pad outputs)."""
+    r = jnp.roll(x, -sh, axis=axis)
+    if fix is None:
+        return r
+    edge, alpha, beta = fix
+    return jnp.where(_ax_iota(x.shape, axis) == edge, alpha * x + beta, r)
+
+
+def _fused_pred_kernel(
+    sc_ref, u0_hbm, u1_hbm, u2_hbm, out0, out1, out2, rhs_ref,
+    s0, s1, s2, sems,
+    *, T: int, n: tuple, h: tuple, nu: float, gamma: float,
+    tg: dict, own: dict,
+):
+    """One axis-0 stripe: u* for all three components (BCs applied) + the
+    scaled divergence rhs.
+
+    Window convention: padded row w <-> global row i*T + w - 1; output row o
+    (component face / cell index along axis 0) <-> window row o + 1.
+    ``tg[(c, ax, side)] = (alpha, beta)`` tangential ghost synthesis;
+    ``own[(a, side)]`` boundary-face spec ('d', v) | ('copy',).
+    """
+    i = pl.program_id(0)
+    n0, n1, n2 = n
+    cps = [
+        pltpu.make_async_copy(ref.at[pl.ds(i * T, T + 3)], scr, sems.at[k])
+        for k, (ref, scr) in enumerate(
+            [(u0_hbm, s0), (u1_hbm, s1), (u2_hbm, s2)]
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    dt = sc_ref[0]
+    rho_over_dt = sc_ref[1]
+    wins = [s0[...], s1[...], s2[...]]
+
+    def center(a, rows):
+        return wins[a][1:1 + rows]
+
+    def nbr(a, ax, d, rows):
+        """Neighbor of comp a's center at offset d along ax (ghost-fixed)."""
+        w = wins[a]
+        if ax == 0:
+            raw = w[1 + d:1 + d + rows]
+            if a == 0:
+                return raw                      # faces 0..n0 in-array
+            c = w[1:1 + rows]
+            g = _ax_iota(raw.shape, 0) + i * T + d
+            al, bl = tg[(a, 0, 0)]
+            ah, bh = tg[(a, 0, 1)]
+            return jnp.where(
+                g == -1, al * c + bl, jnp.where(g == n0, ah * c + bh, raw)
+            )
+        c = w[1:1 + rows]
+        if ax == 1:
+            if a == 1:
+                return _shift_fix(c, 1, d, None)    # faces 0..n1 in-array
+            al, bl = tg[(a, 1, 0)]
+            ah, bh = tg[(a, 1, 1)]
+            fix = (0, al, bl) if d < 0 else (n1 - 1, ah, bh)
+            return _shift_fix(c, 1, d, fix)
+        if a == 2:
+            if d < 0:
+                return _shift_fix(c, 2, d, None)    # face l-1 in-array (l>=1)
+            spec = own[(2, 1)]                      # elided face n2
+            fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else \
+                (n2 - 1, 0.0, spec[1])
+            return _shift_fix(c, 2, d, fix)
+        al, bl = tg[(a, 2, 0)]
+        ah, bh = tg[(a, 2, 1)]
+        fix = (0, al, bl) if d < 0 else (n2 - 1, ah, bh)
+        return _shift_fix(c, 2, d, fix)
+
+    def bavg(a, t, rows):
+        """Component t averaged to comp a's face positions (4-point MAC).
+
+        Windows have per-component sublane widths; conform the result to
+        comp a's width (pad positions only ever feed BC-overwritten faces).
+        """
+        w = wins[t]
+        SW = wins[a].shape[1]
+        acc = None
+        for da in (0, 1):
+            for dt2 in (0, 1):
+                r0, sh1, sh2 = 1, 0, 0
+                for ax, d in ((a, da - 1), (t, dt2)):
+                    if ax == 0:
+                        r0 += d
+                    elif ax == 1:
+                        sh1 += d
+                    else:
+                        sh2 += d
+                x = w[r0:r0 + rows]
+                if sh1:
+                    x = _shift_fix(x, 1, sh1, None)  # in-array for kept outputs
+                if sh2:
+                    # +1 lane read of comp 2 hits the elided face n2
+                    fix = None
+                    if sh2 > 0 and t == 2:
+                        spec = own[(2, 1)]
+                        fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else \
+                            (n2 - 1, 0.0, spec[1])
+                    x = _shift_fix(x, 2, sh2, fix)
+                if x.shape[1] > SW:
+                    x = x[:, :SW]
+                elif x.shape[1] < SW:
+                    x = jnp.pad(x, [(0, 0), (0, SW - x.shape[1]), (0, 0)])
+                acc = x if acc is None else acc + x
+        return 0.25 * acc
+
+    stars = []
+    for a in range(3):
+        rows = T + 1 if a == 0 else T
+        c0 = center(a, rows)
+        vels = {a: c0}
+        for t in range(3):
+            if t != a:
+                vels[t] = bavg(a, t, rows)
+        adv = None
+        lap = None
+        for ax in range(3):
+            m = nbr(a, ax, -1, rows)
+            p = nbr(a, ax, +1, rows)
+            inv2h = 1.0 / (2.0 * h[ax])
+            invh2 = 1.0 / (h[ax] * h[ax])
+            vel = vels[ax]
+            d_c = (p - m) * inv2h
+            if gamma > 0.0:
+                invh = 1.0 / h[ax]
+                d_u = jnp.where(vel > 0.0, (c0 - m) * invh, (p - c0) * invh)
+                d = gamma * d_u + (1.0 - gamma) * d_c
+            else:
+                d = d_c
+            term = vel * d
+            adv = term if adv is None else adv + term
+            lp = (p - 2.0 * c0 + m) * invh2
+            lap = lp if lap is None else lap + lp
+        star = c0 + dt * (nu * lap - adv)
+
+        # in-kernel BC application to the component's own boundary faces
+        lo, hi = own[(a, 0)], own[(a, 1)]
+        if a == 0:
+            g = _ax_iota(star.shape, 0) + i * T
+            v_lo = jnp.roll(star, -1, axis=0) if lo[0] == "copy" else lo[1]
+            v_hi = jnp.roll(star, 1, axis=0) if hi[0] == "copy" else hi[1]
+            star = jnp.where(g == 0, v_lo, jnp.where(g == n0, v_hi, star))
+        elif a == 1:
+            s_i = _ax_iota(star.shape, 1)
+            v_lo = _shift_fix(star, 1, 1, None) if lo[0] == "copy" else lo[1]
+            v_hi = _shift_fix(star, 1, -1, None) if hi[0] == "copy" else hi[1]
+            star = jnp.where(s_i == 0, v_lo, jnp.where(s_i == n1, v_hi, star))
+        else:
+            l_i = _ax_iota(star.shape, 2)
+            v_lo = _shift_fix(star, 2, 1, None) if lo[0] == "copy" else lo[1]
+            star = jnp.where(l_i == 0, v_lo, star)   # face n2 elided
+        stars.append(star)
+
+    out0[...] = stars[0][:T]
+    out1[...] = stars[1]
+    out2[...] = stars[2]
+
+    # divergence epilogue on the BC-correct in-register u*
+    S_RHS = rhs_ref.shape[1]
+    d0 = (stars[0][1:T + 1] - stars[0][:T]) * (1.0 / h[0])
+    d1 = (_shift_fix(stars[1], 1, 1, None) - stars[1])[:, :S_RHS] * (1.0 / h[1])
+    spec = own[(2, 1)]
+    fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else (n2 - 1, 0.0, spec[1])
+    d2 = (_shift_fix(stars[2], 2, 1, fix) - stars[2]) * (1.0 / h[2])
+    rhs_ref[...] = (d0 + d1 + d2) * rho_over_dt
+
+
+def _fused_tile(tile: int, n0: int) -> int:
+    import math
+
+    return math.gcd(tile, n0)
+
+
+def _ghost_tables(grid: GridSpec, bcs: BCTable):
+    tg = {}
+    own = {}
+    for a in range(3):
+        own[(a, 0)] = _own_face_spec(bcs, a, 0)
+        own[(a, 1)] = _own_face_spec(bcs, a, 1)
+        for ax in range(3):
+            if ax == a:
+                continue
+            for side in (0, 1):
+                tg[(a, ax, side)] = _tangential_ghost(bcs, a, ax, side)
+    return tg, own
+
+
+def predictor_rhs_3d(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: Sequence[Array],
+    dt,
+    nu: float,
+    upwind_gamma: float = 0.0,
+    rho: float = 1.0,
+    tile: int = 16,
+    interpret: bool = False,
+) -> tuple[tuple[Array, Array, Array], Array]:
+    """Fused u* + Poisson-RHS kernel (one HBM pass over the velocity field).
+
+    Returns ``(u_star_padded, rhs)``: the u* arrays stay in the padded stripe
+    layout (rows G*T; comp 2 lane-elided) for direct consumption by
+    :func:`correct_diag_3d`; ``rhs = (rho/dt) div(u*)`` is exact-shaped.
+    Requires ``fused_step3d_applicable`` and a BC-correct input state
+    (boundary faces already carry their BC values).
+    """
+    n0, n1, n2 = grid.shape
+    h = tuple(float(x) for x in grid.spacing)
+    T = _fused_tile(tile, n0)
+    G = n0 // T + 1
+    R = G * T + 3
+    S0 = _round_up(n1, 8)
+    S1 = _round_up(n1 + 1, 8)
+    L = _round_up(n2, 128)
+
+    u0, u1, u2 = u
+    if u2.shape[2] == n2 + 1:
+        u2 = u2[:, :, :n2]                      # elide the duplicate face
+    u0p = jnp.pad(u0, [(1, R - 1 - (n0 + 1)), (0, S0 - n1), (0, L - n2)])
+    u1p = jnp.pad(u1, [(1, R - 1 - n0), (0, S1 - (n1 + 1)), (0, L - n2)])
+    u2p = jnp.pad(u2, [(1, R - 1 - n0), (0, S0 - n1), (0, L - n2)])
+
+    tg, own = _ghost_tables(grid, bcs)
+    sc = jnp.stack([
+        jnp.asarray(dt, jnp.float32),
+        jnp.asarray(rho, jnp.float32) / jnp.asarray(dt, jnp.float32),
+    ])
+    kern = functools.partial(
+        _fused_pred_kernel,
+        T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
+        tg=tg, own=own,
+    )
+    out0, out1, out2, rhs = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((G * T, S1, L), jnp.float32),
+            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
+        ],
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 3, S0, L), jnp.float32),
+            pltpu.VMEM((T + 3, S1, L), jnp.float32),
+            pltpu.VMEM((T + 3, S0, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(sc, u0p, u1p, u2p)
+    return (out0, out1, out2), rhs[:n0, :n1, :n2]
+
+
+def _fused_corr_kernel(
+    sc_ref, u0_hbm, u1_hbm, u2_hbm, p_hbm,
+    out0, out1, out2, divmax_ref, velmax_ref,
+    s0, s1, s2, sp, sems,
+    *, T: int, n: tuple, h: tuple, own: dict,
+):
+    """One axis-0 stripe of the projection corrector + step diagnostics.
+
+    u* windows: rows [jT, jT+T(+1 for comp 0)); p window: padded rows
+    [jT, jT+T+2) <-> global [jT-1, jT+T+1). Boundary faces of u are
+    preserved from u* (which carries the in-kernel-applied BC values).
+    """
+    j = pl.program_id(0)
+    n0, n1, n2 = n
+    cps = [
+        pltpu.make_async_copy(u0_hbm.at[pl.ds(j * T, T + 1)], s0, sems.at[0]),
+        pltpu.make_async_copy(u1_hbm.at[pl.ds(j * T, T)], s1, sems.at[1]),
+        pltpu.make_async_copy(u2_hbm.at[pl.ds(j * T, T)], s2, sems.at[2]),
+        pltpu.make_async_copy(p_hbm.at[pl.ds(j * T, T + 2)], sp, sems.at[3]),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    scale = sc_ref[0]
+
+    u0s = s0[...]
+    u1s = s1[...]
+    u2s = s2[...]
+    pw = sp[...]
+    S0 = u0s.shape[1]
+    pc = pw[1:T + 1]                         # p at cell rows [jT, jT+T)
+
+    # comp 0: faces rows [jT, jT+T+1), interior corrected with dp/dx0
+    g0 = (pw[1:T + 2] - pw[:T + 1]) * (1.0 / h[0])
+    u0n = u0s - scale * g0
+    grow = _ax_iota(u0n.shape, 0) + j * T
+    u0n = jnp.where((grow == 0) | (grow == n0), u0s, u0n)
+
+    # comp 1: all faces in-sublane; interior corrected with dp/dx1.
+    # Boundary faces: Dirichlet -> preserve u* (carries the BC value);
+    # outflow -> zero-gradient copy of the corrected inner face (matching
+    # the solver's post-correction BC re-application).
+    g1 = (pc - _shift_fix(pc, 1, -1, None)) * (1.0 / h[1])
+    # pad sublanes of the gradient up to comp 1's width (faces 0..n1)
+    g1 = jnp.pad(g1, [(0, 0), (0, u1s.shape[1] - g1.shape[1]), (0, 0)])
+    u1n = u1s - scale * g1
+    s_i = _ax_iota(u1n.shape, 1)
+    v1_lo = _shift_fix(u1n, 1, 1, None) if own[(1, 0)][0] == "copy" else u1s
+    v1_hi = _shift_fix(u1n, 1, -1, None) if own[(1, 1)][0] == "copy" else u1s
+    u1n = jnp.where(s_i == 0, v1_lo, jnp.where(s_i == n1, v1_hi, u1n))
+
+    # comp 2 (lane-elided): faces 0..n2-1; interior corrected with dp/dx2
+    g2 = (pc - _shift_fix(pc, 2, -1, None)) * (1.0 / h[2])
+    u2n = u2s - scale * g2
+    l_i = _ax_iota(u2n.shape, 2)
+    v2_lo = _shift_fix(u2n, 2, 1, None) if own[(2, 0)][0] == "copy" else u2s
+    u2n = jnp.where(l_i == 0, v2_lo, u2n)
+
+    out0[...] = u0n[:T]
+    out1[...] = u1n
+    out2[...] = u2n
+
+    # diagnostics: max |div u_new| over valid cells, max |u_a|/h_a
+    spec = own[(2, 1)]
+    fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else (n2 - 1, 0.0, spec[1])
+    dd = (u0n[1:T + 1] - u0n[:T]) * (1.0 / h[0]) \
+        + (_shift_fix(u1n, 1, 1, None) - u1n)[:, :S0] * (1.0 / h[1]) \
+        + (_shift_fix(u2n, 2, 1, fix) - u2n) * (1.0 / h[2])
+    s_c = _ax_iota(dd.shape, 1)
+    l_c = _ax_iota(dd.shape, 2)
+    valid = (s_c < n1) & (l_c < n2)
+    divm = jnp.max(jnp.where(valid, jnp.abs(dd), 0.0))
+    vel = jnp.max(jnp.where(
+        (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
+        jnp.abs(u0n), 0.0)) * (1.0 / h[0])
+    vel = jnp.maximum(vel, jnp.max(jnp.where(
+        (_ax_iota(u1n.shape, 1) <= n1) & (_ax_iota(u1n.shape, 2) < n2),
+        jnp.abs(u1n), 0.0)) * (1.0 / h[1]))
+    vel = jnp.maximum(vel, jnp.max(jnp.where(
+        valid, jnp.abs(u2n), 0.0)) * (1.0 / h[2]))
+    divmax_ref[...] = jnp.full(divmax_ref.shape, divm)
+    velmax_ref[...] = jnp.full(velmax_ref.shape, vel)
+
+
+def correct_diag_3d(
+    grid: GridSpec,
+    bcs: BCTable,
+    u_star_padded: tuple[Array, Array, Array],
+    p: Array,
+    scale,
+    tile: int = 16,
+    interpret: bool = False,
+) -> tuple[tuple[Array, Array, Array], Array, Array]:
+    """Fused projection corrector + diagnostics.
+
+    Consumes the padded u* layout produced by :func:`predictor_rhs_3d` and
+    the exact-shaped pressure; returns exact-shaped ``u_new`` (BC boundary
+    faces preserved from u*), ``max |div u_new|`` and ``max_a |u_a|/h_a``
+    (multiply by dt for the advective CFL).
+    """
+    n0, n1, n2 = grid.shape
+    h = tuple(float(x) for x in grid.spacing)
+    T = _fused_tile(tile, n0)
+    G = n0 // T
+    S0 = _round_up(n1, 8)
+    S1 = _round_up(n1 + 1, 8)
+    L = _round_up(n2, 128)
+
+    u0p, u1p, u2p = u_star_padded
+    pp = jnp.pad(p, [(1, G * T + 2 - 1 - n0), (0, S0 - n1), (0, L - n2)])
+    _, own = _ghost_tables(grid, bcs)
+    sc = jnp.asarray(scale, jnp.float32).reshape(1)
+    kern = functools.partial(
+        _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own,
+    )
+    out0, out1, out2, divp, velp = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((G * T, S1, L), jnp.float32),
+            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+        ],
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, S0, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S1, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S0, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 1, S0, L), jnp.float32),
+            pltpu.VMEM((T, S1, L), jnp.float32),
+            pltpu.VMEM((T, S0, L), jnp.float32),
+            pltpu.VMEM((T + 2, S0, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(sc, u0p, u1p, u2p, pp)
+
+    u0 = jnp.concatenate(
+        [out0[:n0, :n1, :n2], u0p[n0:n0 + 1, :n1, :n2]], axis=0
+    )
+    u1 = out1[:n0, :n1 + 1, :n2]
+    u2e = out2[:n0, :n1, :n2]
+    spec = own[(2, 1)]
+    if spec[0] == "copy":
+        face = u2e[:, :, n2 - 1:n2]
+    else:
+        face = jnp.full((n0, n1, 1), spec[1], u2e.dtype)
+    u2 = jnp.concatenate([u2e, face], axis=2)
+    return (u0, u1, u2), jnp.max(divp), jnp.max(velp)

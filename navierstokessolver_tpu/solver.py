@@ -185,8 +185,79 @@ class Simulation:
             inv = jnp.maximum(inv, jnp.max(jnp.abs(comp)) / h[a])
         return jnp.minimum(dt, pr.cfl / inv)
 
+    def _fused3d_ok(self) -> bool:
+        """Fully fused 3D step (predictor+BC+RHS kernel, corrector+diag
+        kernel): unsharded 3D float32, scalar BCs, no obstacles/forcing/
+        periodic axes. Relies on the state invariant that boundary faces
+        carry BC values (initial_state and the corrector kernel maintain
+        it), so the per-step entry BC pass disappears too."""
+        use = self.params.use_pallas
+        if use is None:
+            use = (
+                jax.default_backend() == "tpu"
+                and self.grid.ndim == 3
+                and not self.pallas_interpret
+            )
+        if not use or self.grid.ndim != 3:
+            return False
+        if (self.forcing is not None or self.face_masks is not None
+                or self.shardings is not None):
+            return False
+        from .ops import pallas_kernels
+
+        return pallas_kernels.fused_step3d_applicable(self.grid, self.bcs)
+
+    def _solve_pressure(self, rhs: Array, p0: Array):
+        """Dispatch to the configured pressure solver; returns (p, iters, res)."""
+        pr = self.params
+        if self.dct_solver is not None:
+            from .ops import fft_poisson
+
+            return fft_poisson.solve_with_residual(
+                self.dct_solver, self.op, rhs
+            )
+        if self.mg_solver is not None:
+            mg_solve = (
+                self.mg_solver.solve_pcg
+                if pr.poisson.method == "mgcg"
+                else self.mg_solver.solve
+            )
+            return mg_solve(rhs, p0, pr.poisson.tol, pr.poisson.max_iters)
+        return poisson_mod.solve_poisson(
+            self.op, rhs, p0, self.grid, pr.poisson
+        )
+
+    def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
+        """Whole-step fused path: two Pallas passes + the pressure solve."""
+        from .ops import pallas_kernels
+
+        g, b, pr = self.grid, self.bcs, self.params
+        dt = self._step_dt(state.u)
+        with jax.named_scope("predictor"):
+            u_star_pad, rhs = pallas_kernels.predictor_rhs_3d(
+                g, b, state.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
+                interpret=self.pallas_interpret,
+            )
+        with jax.named_scope("poisson"):
+            p, iters, res = self._solve_pressure(rhs, state.p)
+        with jax.named_scope("correction"):
+            u_new, max_div, max_vel = pallas_kernels.correct_diag_3d(
+                g, b, u_star_pad, p, dt / pr.rho,
+                interpret=self.pallas_interpret,
+            )
+        diag = StepDiagnostics(
+            poisson_iters=iters,
+            poisson_res=res,
+            max_div=max_div,
+            max_cfl=max_vel * dt,
+            dt=dt,
+        )
+        return State(u=u_new, p=p), diag
+
     def step(self, state: State) -> tuple[State, StepDiagnostics]:
         g, b, pr = self.grid, self.bcs, self.params
+        if self._fused3d_ok():
+            return self._step_fused3d(state)
         state = self._constrain(state)
         with jax.named_scope("bcs"):
             u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)

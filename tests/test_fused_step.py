@@ -1,0 +1,167 @@
+"""Fused whole-step 3D kernels (predictor+BC+RHS, corrector+diagnostics)
+vs the jnp reference path, interpret mode on CPU (SURVEY.md SS5 sanitizer
+story). Covers the ghost-synthesis fixes on every axis: wall/inflow
+reflection, slip/outflow copies, the elided comp-2 boundary face, and the
+in-kernel BC application to boundary faces."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu.grid import GridSpec
+from navierstokessolver_tpu.bcs import (
+    BCKind,
+    BCSpec,
+    apply_velocity_bcs,
+    no_slip_box,
+)
+from navierstokessolver_tpu.ops import stencils
+from navierstokessolver_tpu.ops.pallas_kernels import (
+    correct_diag_3d,
+    fused_step3d_applicable,
+    predictor_rhs_3d,
+)
+
+
+def _mk_state(g, bcs, seed=0):
+    rng = np.random.default_rng(seed)
+    u = tuple(
+        jnp.asarray(rng.normal(size=g.face_shape(a)).astype(np.float32))
+        for a in range(3)
+    )
+    return apply_velocity_bcs(g, bcs, u)
+
+
+def _check(g, bcs, dt=1e-3, nu=0.02, gamma=0.0, rho=1.3):
+    assert fused_step3d_applicable(g, bcs)
+    u = _mk_state(g, bcs)
+    n0, n1, n2 = g.shape
+    rng = np.random.default_rng(1)
+
+    (o0, o1, o2), rhs = predictor_rhs_3d(
+        g, bcs, u, dt, nu, gamma, rho=rho, tile=8, interpret=True
+    )
+    ustar_ref = stencils.predictor(g, bcs, u, dt, nu, gamma, None)
+    ustar_ref = apply_velocity_bcs(g, bcs, ustar_ref)
+    rhs_ref = stencils.divergence(g, ustar_ref) * (rho / dt)
+
+    np.testing.assert_allclose(
+        np.asarray(o0[: n0 + 1, :n1, :n2]), np.asarray(ustar_ref[0]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1[:n0, : n1 + 1, :n2]), np.asarray(ustar_ref[1]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o2[:n0, :n1, :n2]), np.asarray(ustar_ref[2][:, :, :n2]),
+        rtol=1e-5, atol=1e-5,
+    )
+    rhs_atol = 3e-7 * float(jnp.max(jnp.abs(rhs_ref)))
+    np.testing.assert_allclose(
+        np.asarray(rhs), np.asarray(rhs_ref), rtol=1e-4, atol=rhs_atol
+    )
+
+    p = jnp.asarray(rng.normal(size=g.shape).astype(np.float32))
+    scale = dt / rho
+    (u0n, u1n, u2n), maxdiv, maxvel = correct_diag_3d(
+        g, bcs, (o0, o1, o2), p, scale, tile=8, interpret=True
+    )
+    un_ref = stencils.correct_velocity(
+        g, ustar_ref, p, scale, None, (False,) * 3
+    )
+    if any(bcs[(a, s)].kind is BCKind.OUTFLOW
+           for a in range(3) for s in (0, 1)):
+        un_ref = apply_velocity_bcs(g, bcs, un_ref)
+    for got, ref in zip((u0n, u1n, u2n), un_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+    div_ref = jnp.max(jnp.abs(stencils.divergence(g, un_ref)))
+    cfl_ref = stencils.max_cfl(g, un_ref, dt)
+    np.testing.assert_allclose(float(maxdiv), float(div_ref), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(maxvel) * dt, float(cfl_ref), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_fused_cavity_lid():
+    g = GridSpec(shape=(16, 12, 16), lengths=(1.0, 0.8, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(2, 1)] = BCSpec.wall((1.0, 0.3, 0.0))
+    _check(g, bcs, gamma=0.0)
+
+
+def test_fused_cavity_lid_upwind():
+    g = GridSpec(shape=(16, 12, 16), lengths=(1.0, 0.8, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(2, 1)] = BCSpec.wall((1.0, 0.3, 0.0))
+    _check(g, bcs, gamma=0.7)
+
+
+def test_fused_inflow_slip_outflow():
+    g = GridSpec(shape=(16, 8, 16), lengths=(2.0, 1.0, 2.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.inflow((1.0, 0.0, 0.1))
+    bcs[(1, 0)] = BCSpec.slip()
+    bcs[(1, 1)] = BCSpec.slip()
+    bcs[(2, 1)] = BCSpec.outflow()
+    _check(g, bcs, gamma=0.4)
+
+
+def test_fused_outflow_axis1():
+    g = GridSpec(shape=(8, 16, 16), lengths=(1.0, 2.0, 2.0))
+    bcs = no_slip_box(g)
+    bcs[(1, 1)] = BCSpec.outflow()
+    _check(g, bcs)
+
+
+def test_fused_gating():
+    g = GridSpec(shape=(8, 8, 8), lengths=(1.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    assert fused_step3d_applicable(g, bcs)
+    # axis-0 outflow crosses stripe boundaries -> gated off
+    bcs_o = dict(bcs)
+    bcs_o[(0, 1)] = BCSpec.outflow()
+    assert not fused_step3d_applicable(g, bcs_o)
+    # non-scalar BC profile -> gated off
+    bcs_p = dict(bcs)
+    prof = jnp.ones((8, 8), jnp.float32)
+    bcs_p[(0, 0)] = BCSpec.inflow((prof, 0.0, 0.0))
+    assert not fused_step3d_applicable(g, bcs_p)
+
+
+def test_fused_sim_step_matches_reference():
+    """Full projection steps through Simulation with the fused path vs the
+    jnp path: velocities/pressure equal to f32 roundoff after 5 steps."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0,
+                     poisson_method="fft")
+    sim_ref = case.sim
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+    assert not sim_ref._fused3d_ok()
+
+    st = case.initial_state()
+    sr, sf = st, st
+    for _ in range(5):
+        sr, dr = sim_ref.step(sr)
+        sf, df = sim_fused.step(sf)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(sf.u[c]), np.asarray(sr.u[c]), rtol=2e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(sf.p), np.asarray(sr.p), rtol=2e-4, atol=1e-6
+    )
+    # diagnostics agree (max_div is roundoff-level noise in both paths)
+    np.testing.assert_allclose(float(df.max_div), float(dr.max_div),
+                               atol=5e-7)
+    np.testing.assert_allclose(float(df.max_cfl), float(dr.max_cfl),
+                               rtol=1e-3, atol=1e-8)
