@@ -32,6 +32,7 @@ def build_cavity(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.0,
     dtype=None,
+    **params_kw,
 ):
     from . import Case  # local import to avoid a cycle
 
@@ -54,6 +55,7 @@ def build_cavity(
         dt=dt,
         nu=nu,
         upwind_gamma=upwind_gamma,
+        **params_kw,
         poisson=PoissonConfig(
             method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
         ),

@@ -34,6 +34,7 @@ def build_channel(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.0,
     dtype=None,
+    **params_kw,
 ):
     from . import Case
 
@@ -51,6 +52,7 @@ def build_channel(
         dt=dt,
         nu=nu,
         upwind_gamma=upwind_gamma,
+        **params_kw,
         poisson=PoissonConfig(
             method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
         ),
@@ -88,6 +90,7 @@ def build_channel_periodic(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.0,
     dtype=None,
+    **params_kw,
 ):
     """Body-force-driven channel: periodic streamwise, no-slip walls.
 
@@ -115,6 +118,7 @@ def build_channel_periodic(
         dt=dt,
         nu=nu,
         upwind_gamma=upwind_gamma,
+        **params_kw,
         poisson=PoissonConfig(
             method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
         ),

@@ -40,6 +40,7 @@ def build_cylinder(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.2,
     dtype=None,
+    **params_kw,
 ):
     from . import Case
 
@@ -57,6 +58,7 @@ def build_cylinder(
         dt=dt,
         nu=nu,
         upwind_gamma=upwind_gamma,
+        **params_kw,
         poisson=PoissonConfig(
             method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
         ),

@@ -36,6 +36,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="jacobi | gs | sor | cg | mg | mgcg | fft")
     ap.add_argument("--poisson-tol", type=float, default=None)
     ap.add_argument("--upwind-gamma", type=float, default=None)
+    ap.add_argument("--integrator", default=None, choices=["euler", "rk2"],
+                    help="time integrator (default: euler)")
     ap.add_argument("--chunk", type=int, default=200,
                     help="steps per jitted scan chunk / logging window")
     ap.add_argument("--out", default=None, help="output directory")
@@ -71,6 +73,8 @@ def main(argv=None) -> int:
         overrides["poisson_method"] = args.poisson
     if args.poisson_tol is not None:
         overrides["poisson_tol"] = args.poisson_tol
+    if args.integrator is not None:
+        overrides["integrator"] = args.integrator
     if args.upwind_gamma is not None:
         overrides["upwind_gamma"] = args.upwind_gamma
 

@@ -37,6 +37,10 @@ class SimParams:
     rho: float = 1.0
     upwind_gamma: float = 0.0
     poisson: PoissonConfig = dataclasses.field(default_factory=PoissonConfig)
+    # Time integrator: "euler" (reference-style explicit first order) or
+    # "rk2" (midpoint rule, one projection per stage, second order in time).
+    # SURVEY.md SS0.3 parks the reference's integrator order as unknown.
+    integrator: str = "euler"
     # Use the fused Pallas predictor kernels (2D/3D float32, unsharded
     # runs). None = auto: on for the TPU backend (measured: the fused 3D
     # predictor cuts ~6 ms/step of XLA-materialized intermediates at 256^3
@@ -200,6 +204,8 @@ class Simulation:
             )
         if not use or self.grid.ndim != 3:
             return False
+        if self.params.integrator != "euler":
+            return False
         if (self.forcing is not None or self.face_masks is not None
                 or self.shardings is not None):
             return False
@@ -254,53 +260,33 @@ class Simulation:
         )
         return State(u=u_new, p=p), diag
 
-    def step(self, state: State) -> tuple[State, StepDiagnostics]:
+    def _predict(self, u, dt):
+        """``u* = u + dt * RHS_adv_diff(u)``, BC-applied."""
         g, b, pr = self.grid, self.bcs, self.params
-        if self._fused3d_ok():
-            return self._step_fused3d(state)
-        state = self._constrain(state)
-        with jax.named_scope("bcs"):
-            u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
-        dt = self._step_dt(u)
-        # 1. explicit advection-diffusion predictor
-        with jax.named_scope("predictor"):
-            if self._pallas_ok():
-                from .ops import pallas_kernels
+        if self._pallas_ok():
+            from .ops import pallas_kernels
 
-                pred = (pallas_kernels.predictor_3d if g.ndim == 3
-                        else pallas_kernels.predictor_2d)
-                u_star = pred(
-                    g, b, u, dt, pr.nu, pr.upwind_gamma,
-                    interpret=self.pallas_interpret,
-                )
-            else:
-                u_star = stencils.predictor(
-                    g, b, u, dt, pr.nu, pr.upwind_gamma, self.forcing
-                )
-            u_star = bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
-        # 2. pressure Poisson: lap p = (rho/dt) div u*
+            pred = (pallas_kernels.predictor_3d if g.ndim == 3
+                    else pallas_kernels.predictor_2d)
+            u_star = pred(
+                g, b, u, dt, pr.nu, pr.upwind_gamma,
+                interpret=self.pallas_interpret,
+            )
+            if self.forcing is not None:  # pragma: no cover - gated off
+                raise NotImplementedError
+        else:
+            u_star = stencils.predictor(
+                g, b, u, dt, pr.nu, pr.upwind_gamma, self.forcing
+            )
+        return bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
+
+    def _project(self, u_star, p0, dt):
+        """Pressure-project ``u*`` to divergence-free: solve the Poisson
+        equation and apply the correction. Returns (u_new, p, iters, res)."""
+        g, b, pr = self.grid, self.bcs, self.params
         with jax.named_scope("poisson"):
             rhs = stencils.divergence(g, u_star) * (pr.rho / dt) * self.op.fluid
-            if self.dct_solver is not None:
-                from .ops import fft_poisson
-
-                p, iters, res = fft_poisson.solve_with_residual(
-                    self.dct_solver, self.op, rhs
-                )
-            elif self.mg_solver is not None:
-                mg_solve = (
-                    self.mg_solver.solve_pcg
-                    if pr.poisson.method == "mgcg"
-                    else self.mg_solver.solve
-                )
-                p, iters, res = mg_solve(
-                    rhs, state.p, pr.poisson.tol, pr.poisson.max_iters
-                )
-            else:
-                p, iters, res = poisson_mod.solve_poisson(
-                    self.op, rhs, state.p, g, pr.poisson
-                )
-        # 3. velocity correction + BCs
+            p, iters, res = self._solve_pressure(rhs, p0)
         with jax.named_scope("correction"):
             u_new = stencils.correct_velocity(
                 g, u_star, p, dt / pr.rho, self.corr_masks,
@@ -315,6 +301,39 @@ class Simulation:
                 u_new = bcs_mod.apply_velocity_bcs(
                     g, b, u_new, self.face_masks
                 )
+        return u_new, p, iters, res
+
+    def step(self, state: State) -> tuple[State, StepDiagnostics]:
+        g, b, pr = self.grid, self.bcs, self.params
+        if self._fused3d_ok():
+            return self._step_fused3d(state)
+        state = self._constrain(state)
+        with jax.named_scope("bcs"):
+            u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
+        dt = self._step_dt(u)
+        if pr.integrator == "rk2":
+            # Midpoint rule with a projection per stage: advance half a step,
+            # project, then advance the FULL step using the midpoint field's
+            # advection-diffusion RHS (u* = u + dt*RHS(u_half)); second-order
+            # in time where Euler is first-order (SURVEY.md SS0.3 integrator
+            # TODO: the reference's order is unknown, both are offered).
+            with jax.named_scope("predictor"):
+                uh_star = self._predict(u, 0.5 * dt)
+            uh, ph, it1, _ = self._project(uh_star, state.p, 0.5 * dt)
+            with jax.named_scope("predictor2"):
+                adv = self._predict(uh, dt)
+                u_star = tuple(a + (b2 - b1) for a, b2, b1 in zip(u, adv, uh))
+                u_star = bcs_mod.apply_velocity_bcs(
+                    g, b, u_star, self.face_masks
+                )
+            u_new, p, iters, res = self._project(u_star, ph, dt)
+            iters = iters + it1
+        elif pr.integrator == "euler":
+            with jax.named_scope("predictor"):
+                u_star = self._predict(u, dt)
+            u_new, p, iters, res = self._project(u_star, state.p, dt)
+        else:
+            raise ValueError(f"unknown integrator {pr.integrator!r}")
         new_state = self._constrain(State(u=u_new, p=p))
         with jax.named_scope("diagnostics"):
             div = stencils.divergence(g, new_state.u) * self.op.fluid
