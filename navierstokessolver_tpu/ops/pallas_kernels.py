@@ -729,175 +729,22 @@ def _shift_fix(x, axis: int, sh: int, fix):
     return jnp.where(_ax_iota(x.shape, axis) == edge, alpha * x + beta, r)
 
 
-def _fused_pred_kernel(
-    sc_ref, u0_hbm, u1_hbm, u2_hbm, out0, out1, out2, rhs_ref,
-    s0, s1, s2, sems,
-    *, T: int, n: tuple, h: tuple, nu: float, gamma: float,
-    tg: dict, own: dict,
-):
-    """One axis-0 stripe: u* for all three components (BCs applied) + the
-    scaled divergence rhs.
-
-    Window convention: padded row w <-> global row i*T + w - 1; output row o
-    (component face / cell index along axis 0) <-> window row o + 1.
-    ``tg[(c, ax, side)] = (alpha, beta)`` tangential ghost synthesis;
-    ``own[(a, side)]`` boundary-face spec ('d', v) | ('copy',).
-    """
-    i = pl.program_id(0)
-    n0, n1, n2 = n
-    cps = [
-        pltpu.make_async_copy(ref.at[pl.ds(i * T, T + 3)], scr, sems.at[k])
-        for k, (ref, scr) in enumerate(
-            [(u0_hbm, s0), (u1_hbm, s1), (u2_hbm, s2)]
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-    dt = sc_ref[0]
-    rho_over_dt = sc_ref[1]
-    wins = [s0[...], s1[...], s2[...]]
-
-    def center(a, rows):
-        return wins[a][1:1 + rows]
-
-    def nbr(a, ax, d, rows):
-        """Neighbor of comp a's center at offset d along ax (ghost-fixed)."""
-        w = wins[a]
-        if ax == 0:
-            raw = w[1 + d:1 + d + rows]
-            if a == 0:
-                return raw                      # faces 0..n0 in-array
-            c = w[1:1 + rows]
-            g = _ax_iota(raw.shape, 0) + i * T + d
-            al, bl = tg[(a, 0, 0)]
-            ah, bh = tg[(a, 0, 1)]
-            return jnp.where(
-                g == -1, al * c + bl, jnp.where(g == n0, ah * c + bh, raw)
-            )
-        c = w[1:1 + rows]
-        if ax == 1:
-            if a == 1:
-                return _shift_fix(c, 1, d, None)    # faces 0..n1 in-array
-            al, bl = tg[(a, 1, 0)]
-            ah, bh = tg[(a, 1, 1)]
-            fix = (0, al, bl) if d < 0 else (n1 - 1, ah, bh)
-            return _shift_fix(c, 1, d, fix)
-        if a == 2:
-            if d < 0:
-                return _shift_fix(c, 2, d, None)    # face l-1 in-array (l>=1)
-            spec = own[(2, 1)]                      # elided face n2
-            fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else \
-                (n2 - 1, 0.0, spec[1])
-            return _shift_fix(c, 2, d, fix)
-        al, bl = tg[(a, 2, 0)]
-        ah, bh = tg[(a, 2, 1)]
-        fix = (0, al, bl) if d < 0 else (n2 - 1, ah, bh)
-        return _shift_fix(c, 2, d, fix)
-
-    def bavg(a, t, rows):
-        """Component t averaged to comp a's face positions (4-point MAC).
-
-        Windows have per-component sublane widths; conform the result to
-        comp a's width (pad positions only ever feed BC-overwritten faces).
-        """
-        w = wins[t]
-        SW = wins[a].shape[1]
-        acc = None
-        for da in (0, 1):
-            for dt2 in (0, 1):
-                r0, sh1, sh2 = 1, 0, 0
-                for ax, d in ((a, da - 1), (t, dt2)):
-                    if ax == 0:
-                        r0 += d
-                    elif ax == 1:
-                        sh1 += d
-                    else:
-                        sh2 += d
-                x = w[r0:r0 + rows]
-                if sh1:
-                    x = _shift_fix(x, 1, sh1, None)  # in-array for kept outputs
-                if sh2:
-                    # +1 lane read of comp 2 hits the elided face n2
-                    fix = None
-                    if sh2 > 0 and t == 2:
-                        spec = own[(2, 1)]
-                        fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else \
-                            (n2 - 1, 0.0, spec[1])
-                    x = _shift_fix(x, 2, sh2, fix)
-                if x.shape[1] > SW:
-                    x = x[:, :SW]
-                elif x.shape[1] < SW:
-                    x = jnp.pad(x, [(0, 0), (0, SW - x.shape[1]), (0, 0)])
-                acc = x if acc is None else acc + x
-        return 0.25 * acc
-
-    stars = []
-    for a in range(3):
-        rows = T + 1 if a == 0 else T
-        c0 = center(a, rows)
-        vels = {a: c0}
-        for t in range(3):
-            if t != a:
-                vels[t] = bavg(a, t, rows)
-        adv = None
-        lap = None
-        for ax in range(3):
-            m = nbr(a, ax, -1, rows)
-            p = nbr(a, ax, +1, rows)
-            inv2h = 1.0 / (2.0 * h[ax])
-            invh2 = 1.0 / (h[ax] * h[ax])
-            vel = vels[ax]
-            d_c = (p - m) * inv2h
-            if gamma > 0.0:
-                invh = 1.0 / h[ax]
-                d_u = jnp.where(vel > 0.0, (c0 - m) * invh, (p - c0) * invh)
-                d = gamma * d_u + (1.0 - gamma) * d_c
-            else:
-                d = d_c
-            term = vel * d
-            adv = term if adv is None else adv + term
-            lp = (p - 2.0 * c0 + m) * invh2
-            lap = lp if lap is None else lap + lp
-        star = c0 + dt * (nu * lap - adv)
-
-        # in-kernel BC application to the component's own boundary faces
-        lo, hi = own[(a, 0)], own[(a, 1)]
-        if a == 0:
-            g = _ax_iota(star.shape, 0) + i * T
-            v_lo = jnp.roll(star, -1, axis=0) if lo[0] == "copy" else lo[1]
-            v_hi = jnp.roll(star, 1, axis=0) if hi[0] == "copy" else hi[1]
-            star = jnp.where(g == 0, v_lo, jnp.where(g == n0, v_hi, star))
-        elif a == 1:
-            s_i = _ax_iota(star.shape, 1)
-            v_lo = _shift_fix(star, 1, 1, None) if lo[0] == "copy" else lo[1]
-            v_hi = _shift_fix(star, 1, -1, None) if hi[0] == "copy" else hi[1]
-            star = jnp.where(s_i == 0, v_lo, jnp.where(s_i == n1, v_hi, star))
-        else:
-            l_i = _ax_iota(star.shape, 2)
-            v_lo = _shift_fix(star, 2, 1, None) if lo[0] == "copy" else lo[1]
-            star = jnp.where(l_i == 0, v_lo, star)   # face n2 elided
-        stars.append(star)
-
-    out0[...] = stars[0][:T]
-    out1[...] = stars[1]
-    out2[...] = stars[2]
-
-    # divergence epilogue on the BC-correct in-register u*
-    S_RHS = rhs_ref.shape[1]
-    d0 = (stars[0][1:T + 1] - stars[0][:T]) * (1.0 / h[0])
-    d1 = (_shift_fix(stars[1], 1, 1, None) - stars[1])[:, :S_RHS] * (1.0 / h[1])
-    spec = own[(2, 1)]
-    fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else (n2 - 1, 0.0, spec[1])
-    d2 = (_shift_fix(stars[2], 2, 1, fix) - stars[2]) * (1.0 / h[2])
-    rhs_ref[...] = (d0 + d1 + d2) * rho_over_dt
-
-
 def _fused_tile(tile: int, n0: int) -> int:
     import math
 
     return math.gcd(tile, n0)
+
+
+def _fused_dims(grid: GridSpec, tile: int):
+    """Shared internal-layout dimensions for the fused-step kernels."""
+    n0, n1, n2 = grid.shape
+    T = _fused_tile(tile, n0)
+    G = n0 // T + 1                 # data stripes (cover rows [0, n0+1])
+    RP = (G + 1) * T                # internal rows incl. one margin stripe
+    S0 = _round_up(n1, 8)
+    S1 = _round_up(n1 + 1, 8)
+    L = _round_up(n2, 128)
+    return T, G, RP, S0, S1, L
 
 
 def _ghost_tables(grid: GridSpec, bcs: BCTable):
@@ -914,40 +761,265 @@ def _ghost_tables(grid: GridSpec, bcs: BCTable):
     return tg, own
 
 
-def predictor_rhs_3d(
+def to_internal_3d(grid: GridSpec, u, tile: int = 16):
+    """Exact face arrays -> the fused-step internal layout: row r <-> global
+    row r, sublane j <-> index j, component 2 lane-elided, hi-side zero
+    padding to (G+1)*T rows / tile-aligned sublanes/lanes. All-append pads
+    (no layout shift); called once per scan, not per step."""
+    n0, n1, n2 = grid.shape
+    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    u0, u1, u2 = u
+    if u2.shape[2] == n2 + 1:
+        u2 = u2[:, :, :n2]
+    return (
+        jnp.pad(u0, [(0, RP - (n0 + 1)), (0, S0 - n1), (0, L - n2)]),
+        jnp.pad(u1, [(0, RP - n0), (0, S1 - (n1 + 1)), (0, L - n2)]),
+        jnp.pad(u2, [(0, RP - n0), (0, S0 - n1), (0, L - n2)]),
+    )
+
+
+def from_internal_3d(grid: GridSpec, bcs: BCTable, iu):
+    """Internal layout -> exact face arrays (re-attaching comp 2's elided
+    boundary face from its BC spec)."""
+    n0, n1, n2 = grid.shape
+    iu0, iu1, iu2 = iu
+    u0 = iu0[: n0 + 1, :n1, :n2]
+    u1 = iu1[:n0, : n1 + 1, :n2]
+    u2e = iu2[:n0, :n1, :n2]
+    spec = _own_face_spec(bcs, 2, 1)
+    if spec[0] == "copy":
+        face = u2e[:, :, n2 - 1:n2]
+    else:
+        face = jnp.full((n0, n1, 1), spec[1], u2e.dtype)
+    return u0, u1, u2e, face
+
+
+def _fused_pred_kernel(
+    sc_ref, u0_hbm, u1_hbm, u2_hbm, out0, out1, out2, rhs_ref,
+    s0, s1, s2, sems,
+    *, T: int, n: tuple, h: tuple, nu: float, gamma: float,
+    tg: dict, own: dict, RP: int,
+):
+    """One axis-0 stripe: u* for all three components (BCs applied) + the
+    scaled divergence rhs, in the INTERNAL layout (v3).
+
+    v3 layout: input/output row r <-> global row r, sublane j <-> index j
+    (no aprons) -- kernel B's outputs feed this kernel directly across scan
+    steps with zero per-step repacking. Stripe i's window is rows
+    [i*T - 1, i*T + T + 2) (clamped at 0); the body is emitted twice under
+    pl.when -- stripe 0 maps window row w <-> global w and synthesizes the
+    global row -1 ghosts in-register (roll + edge fix), interior stripes map
+    w <-> i*T + w - 1 and use plain row slices. Ghost values beyond the
+    other boundaries are synthesized per-read as ``alpha*edge + beta``
+    rolls/selects (wall/inflow reflection, slip/outflow copy); the six MAC
+    transverse averages are factored through three cell-centered pair
+    averages M_t. Rows beyond n0(+1) hold finite garbage that never reaches
+    a kept output; the margin stripe (i == G) zero-fills.
+    """
+    i = pl.program_id(0)
+    n0, n1, n2 = n
+    G = n0 // T + 1
+    i_star = n0 // T - 1            # stripe whose window spans global row n0
+    start = jnp.clip(i * T - 1, 0, RP - (T + 3))
+    cps = [
+        pltpu.make_async_copy(ref.at[pl.ds(start, T + 3)], scr, sems.at[k])
+        for k, (ref, scr) in enumerate(
+            [(u0_hbm, s0), (u1_hbm, s1), (u2_hbm, s2)]
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    dt = sc_ref[0]
+    rho_over_dt = sc_ref[1]
+    S_RHS = rhs_ref.shape[1]
+
+    def own2_hi_fix():
+        spec = own[(2, 1)]
+        if spec[0] == "copy":
+            return (n2 - 1, 1.0, 0.0)
+        return (n2 - 1, 0.0, spec[1])
+
+    def body(ro: int):
+        # hi-side axis-0 ghost rows for comps 1/2 (global row n0), written
+        # into the scratch window once; static row index per branch.
+        hi_row = n0 - i_star * T + ro
+        if (i_star == 0) == (ro == 0):
+            def _write_hi():
+                for a, scr in ((1, s1), (2, s2)):
+                    ah, bh = tg[(a, 0, 1)]
+                    scr[hi_row, :, :] = ah * scr[hi_row - 1, :, :] + bh
+            if i_star == 0:
+                _write_hi()          # branch ro=0 IS stripe i_star
+            else:
+                pl.when(i == i_star)(_write_hi)
+
+        wins = [s0[...], s1[...], s2[...]]
+        SOUT = (out0.shape[1], out1.shape[1], out2.shape[1])
+
+        def center(a, rows):
+            return wins[a][ro:ro + rows, :SOUT[a]]
+
+        def nbr(a, ax, d, rows):
+            w = wins[a]
+            S = SOUT[a]
+            if ax == 0:
+                if ro + d >= 0:
+                    return w[ro + d:ro + d + rows, :S]
+                # stripe 0, d = -1: global row -1 ghost via roll + fix
+                r = jnp.roll(w, 1, axis=0)[0:rows, :S]
+                if a == 0:
+                    return r         # only feeds the BC-written face 0
+                al, bl = tg[(a, 0, 0)]
+                c = w[0:rows, :S]
+                rows_i = _ax_iota(r.shape, 0)
+                return jnp.where(rows_i == 0, al * c + bl, r)
+            c = w[ro:ro + rows, :S]
+            if ax == 1:
+                if a == 1:
+                    return _shift_fix(c, 1, d, None)   # faces in-array
+                al, bl = tg[(a, 1, 0)]
+                ah, bh = tg[(a, 1, 1)]
+                fix = (0, al, bl) if d < 0 else (n1 - 1, ah, bh)
+                return _shift_fix(c, 1, d, fix)
+            if a == 2:
+                if d < 0:
+                    return _shift_fix(c, 2, d, None)
+                return _shift_fix(c, 2, d, own2_hi_fix())
+            al, bl = tg[(a, 2, 0)]
+            ah, bh = tg[(a, 2, 1)]
+            fix = (0, al, bl) if d < 0 else (n2 - 1, ah, bh)
+            return _shift_fix(c, 2, d, fix)
+
+        # cell-centered pair averages; index k <-> axis-0 position
+        # i*T + k - ro (rows), sublane/lane <-> cell index directly
+        M0 = 0.5 * (wins[0][0:T + 2] + wins[0][1:T + 3])
+        W1 = wins[1].shape[1] - 1
+        M1 = 0.5 * (wins[1][:, 0:W1] + wins[1][:, 1:1 + W1])
+        M2 = 0.5 * (wins[2] + _shift_fix(wins[2], 2, 1, own2_hi_fix()))
+
+        def bavg(a, t, rows):
+            m = (M0, M1, M2)[t]
+            S = SOUT[a]
+            if m.shape[1] < S:
+                # conform narrow M-fields to the consumer's sublane width
+                # (pad positions only feed BC-overwritten faces)
+                m = jnp.pad(m, [(0, 0), (0, S - m.shape[1]), (0, 0)])
+            if a == 0:
+                # faces r: cells r-1, r -> rows (o+ro-1, o+ro)
+                hi = m[ro:ro + rows, :S]
+                if ro == 0:
+                    lo = jnp.roll(m, 1, axis=0)[0:rows, :S]  # feeds face 0
+                else:
+                    lo = m[ro - 1:ro - 1 + rows, :S]
+                return 0.5 * (lo + hi)
+            mc = m[ro:ro + T, :S]
+            if a == 1:
+                # faces s: cells s-1, s (sublane shift; wrap feeds face 0)
+                return 0.5 * (_shift_fix(mc, 1, -1, None) + mc)
+            return 0.5 * (_shift_fix(mc, 2, -1, None) + mc)
+
+        stars = []
+        for a in range(3):
+            rows = T + 1 if a == 0 else T
+            c0 = center(a, rows)
+            vels = {a: c0}
+            for t in range(3):
+                if t != a:
+                    vels[t] = bavg(a, t, rows)
+            adv = None
+            lap = None
+            for ax in range(3):
+                m = nbr(a, ax, -1, rows)
+                p = nbr(a, ax, +1, rows)
+                inv2h = 1.0 / (2.0 * h[ax])
+                invh2 = 1.0 / (h[ax] * h[ax])
+                vel = vels[ax]
+                d_c = (p - m) * inv2h
+                if gamma > 0.0:
+                    invh = 1.0 / h[ax]
+                    d_u = jnp.where(
+                        vel > 0.0, (c0 - m) * invh, (p - c0) * invh
+                    )
+                    d = gamma * d_u + (1.0 - gamma) * d_c
+                else:
+                    d = d_c
+                term = vel * d
+                adv = term if adv is None else adv + term
+                lp = (p - 2.0 * c0 + m) * invh2
+                lap = lp if lap is None else lap + lp
+            star = c0 + dt * (nu * lap - adv)
+
+            # in-kernel BC application to the component's boundary faces
+            lo, hi = own[(a, 0)], own[(a, 1)]
+            if a == 0:
+                g = _ax_iota(star.shape, 0) + i * T
+                v_lo = jnp.roll(star, -1, axis=0) if lo[0] == "copy" else lo[1]
+                v_hi = jnp.roll(star, 1, axis=0) if hi[0] == "copy" else hi[1]
+                star = jnp.where(
+                    g == 0, v_lo, jnp.where(g == n0, v_hi, star)
+                )
+            elif a == 1:
+                s_i = _ax_iota(star.shape, 1)
+                v_lo = (_shift_fix(star, 1, 1, None)
+                        if lo[0] == "copy" else lo[1])
+                v_hi = (_shift_fix(star, 1, -1, None)
+                        if hi[0] == "copy" else hi[1])
+                star = jnp.where(
+                    s_i == 0, v_lo, jnp.where(s_i == n1, v_hi, star)
+                )
+            else:
+                l_i = _ax_iota(star.shape, 2)
+                v_lo = (_shift_fix(star, 2, 1, None)
+                        if lo[0] == "copy" else lo[1])
+                star = jnp.where(l_i == 0, v_lo, star)   # face n2 elided
+            stars.append(star)
+
+        out0[...] = stars[0][:T]
+        out1[...] = stars[1]
+        out2[...] = stars[2]
+
+        # divergence epilogue on the BC-correct in-register u*
+        d0 = (stars[0][1:T + 1] - stars[0][:T]) * (1.0 / h[0])
+        d1 = (_shift_fix(stars[1], 1, 1, None) - stars[1])[:, :S_RHS] \
+            * (1.0 / h[1])
+        d2 = (_shift_fix(stars[2], 2, 1, own2_hi_fix()) - stars[2]) \
+            * (1.0 / h[2])
+        rhs_ref[...] = (d0[:, :S_RHS] + d1 + d2[:, :S_RHS]) * rho_over_dt
+
+    @pl.when(i == 0)
+    def _stripe0():
+        body(0)
+
+    @pl.when(jnp.logical_and(i > 0, i < G))
+    def _interior():
+        body(1)
+
+    @pl.when(i == G)
+    def _margin():
+        out0[...] = jnp.zeros(out0.shape, out0.dtype)
+        out1[...] = jnp.zeros(out1.shape, out1.dtype)
+        out2[...] = jnp.zeros(out2.shape, out2.dtype)
+        rhs_ref[...] = jnp.zeros(rhs_ref.shape, rhs_ref.dtype)
+
+
+def predictor_rhs_3d_internal(
     grid: GridSpec,
     bcs: BCTable,
-    u: Sequence[Array],
+    iu,
     dt,
     nu: float,
     upwind_gamma: float = 0.0,
     rho: float = 1.0,
     tile: int = 16,
     interpret: bool = False,
-) -> tuple[tuple[Array, Array, Array], Array]:
-    """Fused u* + Poisson-RHS kernel (one HBM pass over the velocity field).
-
-    Returns ``(u_star_padded, rhs)``: the u* arrays stay in the padded stripe
-    layout (rows G*T; comp 2 lane-elided) for direct consumption by
-    :func:`correct_diag_3d`; ``rhs = (rho/dt) div(u*)`` is exact-shaped.
-    Requires ``fused_step3d_applicable`` and a BC-correct input state
-    (boundary faces already carry their BC values).
-    """
+):
+    """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
+    internal-layout u* and the exact-shaped rhs."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
-    T = _fused_tile(tile, n0)
-    G = n0 // T + 1
-    R = G * T + 3
-    S0 = _round_up(n1, 8)
-    S1 = _round_up(n1 + 1, 8)
-    L = _round_up(n2, 128)
-
-    u0, u1, u2 = u
-    if u2.shape[2] == n2 + 1:
-        u2 = u2[:, :, :n2]                      # elide the duplicate face
-    u0p = jnp.pad(u0, [(1, R - 1 - (n0 + 1)), (0, S0 - n1), (0, L - n2)])
-    u1p = jnp.pad(u1, [(1, R - 1 - n0), (0, S1 - (n1 + 1)), (0, L - n2)])
-    u2p = jnp.pad(u2, [(1, R - 1 - n0), (0, S0 - n1), (0, L - n2)])
+    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
 
     tg, own = _ghost_tables(grid, bcs)
     sc = jnp.stack([
@@ -957,17 +1029,17 @@ def predictor_rhs_3d(
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own,
+        tg=tg, own=own, RP=RP,
     )
     out0, out1, out2, rhs = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
-            jax.ShapeDtypeStruct((G * T, S1, L), jnp.float32),
-            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
-            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((RP, S1, L), jnp.float32),
+            jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
         ],
-        grid=(G,),
+        grid=(G + 1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -990,28 +1062,54 @@ def predictor_rhs_3d(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sc, u0p, u1p, u2p)
+    )(sc, iu[0], iu[1], iu[2])
     return (out0, out1, out2), rhs[:n0, :n1, :n2]
+
+
+def predictor_rhs_3d(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: Sequence[Array],
+    dt,
+    nu: float,
+    upwind_gamma: float = 0.0,
+    rho: float = 1.0,
+    tile: int = 16,
+    interpret: bool = False,
+) -> tuple[tuple[Array, Array, Array], Array]:
+    """Exact-layout entry point: pads to the internal layout, runs the
+    fused kernel. ``u_star`` comes back internal (row r <-> global face/cell
+    row r; comp 2 lane-elided) for :func:`correct_diag_3d`."""
+    iu = to_internal_3d(grid, u, tile)
+    return predictor_rhs_3d_internal(
+        grid, bcs, iu, dt, nu, upwind_gamma, rho, tile, interpret
+    )
 
 
 def _fused_corr_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, p_hbm,
     out0, out1, out2, divmax_ref, velmax_ref,
     s0, s1, s2, sp, sems,
-    *, T: int, n: tuple, h: tuple, own: dict,
+    *, T: int, n: tuple, h: tuple, own: dict, RP: int,
 ):
-    """One axis-0 stripe of the projection corrector + step diagnostics.
+    """One axis-0 stripe of the projection corrector + step diagnostics,
+    internal layout in AND out (row r <-> global row r).
 
     u* windows: rows [jT, jT+T(+1 for comp 0)); p window: padded rows
-    [jT, jT+T+2) <-> global [jT-1, jT+T+1). Boundary faces of u are
-    preserved from u* (which carries the in-kernel-applied BC values).
+    [jT, jT+T+2) <-> global [jT-1, jT+T+1). Dirichlet boundary faces are
+    preserved from u* (which carries the in-kernel-applied BC values);
+    outflow faces get the zero-gradient copy of the corrected inner face.
+    Diagnostics mask the garbage rows/sublanes/lanes beyond the physical
+    extents. The margin stripe (j == G) zero-fills.
     """
     j = pl.program_id(0)
     n0, n1, n2 = n
+    G = n0 // T + 1
+    start0 = jnp.minimum(j * T, RP - (T + 1))
     cps = [
-        pltpu.make_async_copy(u0_hbm.at[pl.ds(j * T, T + 1)], s0, sems.at[0]),
-        pltpu.make_async_copy(u1_hbm.at[pl.ds(j * T, T)], s1, sems.at[1]),
-        pltpu.make_async_copy(u2_hbm.at[pl.ds(j * T, T)], s2, sems.at[2]),
+        pltpu.make_async_copy(u0_hbm.at[pl.ds(start0, T + 1)], s0, sems.at[0]),
+        pltpu.make_async_copy(u1_hbm.at[pl.ds(jnp.minimum(j * T, RP - T), T)], s1, sems.at[1]),
+        pltpu.make_async_copy(u2_hbm.at[pl.ds(jnp.minimum(j * T, RP - T), T)], s2, sems.at[2]),
         pltpu.make_async_copy(p_hbm.at[pl.ds(j * T, T + 2)], sp, sems.at[3]),
     ]
     for cp in cps:
@@ -1020,106 +1118,108 @@ def _fused_corr_kernel(
         cp.wait()
     scale = sc_ref[0]
 
-    u0s = s0[...]
-    u1s = s1[...]
-    u2s = s2[...]
-    pw = sp[...]
-    S0 = u0s.shape[1]
-    pc = pw[1:T + 1]                         # p at cell rows [jT, jT+T)
+    @pl.when(j < G)
+    def _data():
+        u0s = s0[...]
+        u1s = s1[...]
+        u2s = s2[...]
+        pw = sp[...]
+        S0 = u0s.shape[1]
+        pc = pw[1:T + 1]                     # p at cell rows [jT, jT+T)
 
-    # comp 0: faces rows [jT, jT+T+1), interior corrected with dp/dx0
-    g0 = (pw[1:T + 2] - pw[:T + 1]) * (1.0 / h[0])
-    u0n = u0s - scale * g0
-    grow = _ax_iota(u0n.shape, 0) + j * T
-    u0n = jnp.where((grow == 0) | (grow == n0), u0s, u0n)
+        # comp 0: faces rows [jT, jT+T+1), interior corrected with dp/dx0
+        g0 = (pw[1:T + 2] - pw[:T + 1]) * (1.0 / h[0])
+        u0n = u0s - scale * g0
+        grow = _ax_iota(u0n.shape, 0) + j * T
+        u0n = jnp.where((grow == 0) | (grow == n0), u0s, u0n)
 
-    # comp 1: all faces in-sublane; interior corrected with dp/dx1.
-    # Boundary faces: Dirichlet -> preserve u* (carries the BC value);
-    # outflow -> zero-gradient copy of the corrected inner face (matching
-    # the solver's post-correction BC re-application).
-    g1 = (pc - _shift_fix(pc, 1, -1, None)) * (1.0 / h[1])
-    # pad sublanes of the gradient up to comp 1's width (faces 0..n1)
-    g1 = jnp.pad(g1, [(0, 0), (0, u1s.shape[1] - g1.shape[1]), (0, 0)])
-    u1n = u1s - scale * g1
-    s_i = _ax_iota(u1n.shape, 1)
-    v1_lo = _shift_fix(u1n, 1, 1, None) if own[(1, 0)][0] == "copy" else u1s
-    v1_hi = _shift_fix(u1n, 1, -1, None) if own[(1, 1)][0] == "copy" else u1s
-    u1n = jnp.where(s_i == 0, v1_lo, jnp.where(s_i == n1, v1_hi, u1n))
+        # comp 1: boundary faces Dirichlet-preserved or outflow-copied
+        g1 = (pc - _shift_fix(pc, 1, -1, None)) * (1.0 / h[1])
+        g1 = jnp.pad(g1, [(0, 0), (0, u1s.shape[1] - g1.shape[1]), (0, 0)])
+        u1n = u1s - scale * g1
+        s_i = _ax_iota(u1n.shape, 1)
+        v1_lo = _shift_fix(u1n, 1, 1, None) if own[(1, 0)][0] == "copy" else u1s
+        v1_hi = _shift_fix(u1n, 1, -1, None) if own[(1, 1)][0] == "copy" else u1s
+        u1n = jnp.where(s_i == 0, v1_lo, jnp.where(s_i == n1, v1_hi, u1n))
 
-    # comp 2 (lane-elided): faces 0..n2-1; interior corrected with dp/dx2
-    g2 = (pc - _shift_fix(pc, 2, -1, None)) * (1.0 / h[2])
-    u2n = u2s - scale * g2
-    l_i = _ax_iota(u2n.shape, 2)
-    v2_lo = _shift_fix(u2n, 2, 1, None) if own[(2, 0)][0] == "copy" else u2s
-    u2n = jnp.where(l_i == 0, v2_lo, u2n)
+        # comp 2 (lane-elided): faces 0..n2-1
+        g2 = (pc - _shift_fix(pc, 2, -1, None)) * (1.0 / h[2])
+        u2n = u2s - scale * g2
+        l_i = _ax_iota(u2n.shape, 2)
+        v2_lo = _shift_fix(u2n, 2, 1, None) if own[(2, 0)][0] == "copy" else u2s
+        u2n = jnp.where(l_i == 0, v2_lo, u2n)
 
-    out0[...] = u0n[:T]
-    out1[...] = u1n
-    out2[...] = u2n
+        out0[...] = u0n[:T]
+        out1[...] = u1n
+        out2[...] = u2n
 
-    # diagnostics: max |div u_new| over valid cells, max |u_a|/h_a
-    spec = own[(2, 1)]
-    fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else (n2 - 1, 0.0, spec[1])
-    dd = (u0n[1:T + 1] - u0n[:T]) * (1.0 / h[0]) \
-        + (_shift_fix(u1n, 1, 1, None) - u1n)[:, :S0] * (1.0 / h[1]) \
-        + (_shift_fix(u2n, 2, 1, fix) - u2n) * (1.0 / h[2])
-    s_c = _ax_iota(dd.shape, 1)
-    l_c = _ax_iota(dd.shape, 2)
-    valid = (s_c < n1) & (l_c < n2)
-    divm = jnp.max(jnp.where(valid, jnp.abs(dd), 0.0))
-    vel = jnp.max(jnp.where(
-        (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
-        jnp.abs(u0n), 0.0)) * (1.0 / h[0])
-    vel = jnp.maximum(vel, jnp.max(jnp.where(
-        (_ax_iota(u1n.shape, 1) <= n1) & (_ax_iota(u1n.shape, 2) < n2),
-        jnp.abs(u1n), 0.0)) * (1.0 / h[1]))
-    vel = jnp.maximum(vel, jnp.max(jnp.where(
-        valid, jnp.abs(u2n), 0.0)) * (1.0 / h[2]))
-    divmax_ref[...] = jnp.full(divmax_ref.shape, divm)
-    velmax_ref[...] = jnp.full(velmax_ref.shape, vel)
+        # diagnostics over the valid physical region only
+        spec = own[(2, 1)]
+        fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else (n2 - 1, 0.0, spec[1])
+        dd = (u0n[1:T + 1] - u0n[:T]) * (1.0 / h[0]) \
+            + (_shift_fix(u1n, 1, 1, None) - u1n)[:, :S0] * (1.0 / h[1]) \
+            + (_shift_fix(u2n, 2, 1, fix) - u2n) * (1.0 / h[2])
+        r_c = _ax_iota(dd.shape, 0) + j * T
+        s_c = _ax_iota(dd.shape, 1)
+        l_c = _ax_iota(dd.shape, 2)
+        valid = (r_c < n0) & (s_c < n1) & (l_c < n2)
+        divm = jnp.max(jnp.where(valid, jnp.abs(dd), 0.0))
+        vel = jnp.max(jnp.where(
+            (_ax_iota(u0n.shape, 0) + j * T <= n0)
+            & (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
+            jnp.abs(u0n), 0.0)) * (1.0 / h[0])
+        vel = jnp.maximum(vel, jnp.max(jnp.where(
+            (_ax_iota(u1n.shape, 0) + j * T < n0)
+            & (_ax_iota(u1n.shape, 1) <= n1) & (_ax_iota(u1n.shape, 2) < n2),
+            jnp.abs(u1n), 0.0)) * (1.0 / h[1]))
+        vel = jnp.maximum(vel, jnp.max(jnp.where(
+            (_ax_iota(u2n.shape, 0) + j * T < n0)
+            & (_ax_iota(u2n.shape, 1) < n1) & (_ax_iota(u2n.shape, 2) < n2),
+            jnp.abs(u2n), 0.0)) * (1.0 / h[2]))
+        divmax_ref[...] = jnp.full(divmax_ref.shape, divm)
+        velmax_ref[...] = jnp.full(velmax_ref.shape, vel)
+
+    @pl.when(j == G)
+    def _margin():
+        out0[...] = jnp.zeros(out0.shape, out0.dtype)
+        out1[...] = jnp.zeros(out1.shape, out1.dtype)
+        out2[...] = jnp.zeros(out2.shape, out2.dtype)
+        divmax_ref[...] = jnp.zeros(divmax_ref.shape, divmax_ref.dtype)
+        velmax_ref[...] = jnp.zeros(velmax_ref.shape, velmax_ref.dtype)
 
 
-def correct_diag_3d(
+def correct_diag_3d_internal(
     grid: GridSpec,
     bcs: BCTable,
-    u_star_padded: tuple[Array, Array, Array],
+    u_star_internal,
     p: Array,
     scale,
     tile: int = 16,
     interpret: bool = False,
-) -> tuple[tuple[Array, Array, Array], Array, Array]:
-    """Fused projection corrector + diagnostics.
-
-    Consumes the padded u* layout produced by :func:`predictor_rhs_3d` and
-    the exact-shaped pressure; returns exact-shaped ``u_new`` (BC boundary
-    faces preserved from u*), ``max |div u_new|`` and ``max_a |u_a|/h_a``
-    (multiply by dt for the advective CFL).
-    """
+):
+    """Fused corrector + diagnostics over internal-layout u*; returns
+    internal-layout u_new plus (max |div u|, max_a |u_a|/h_a)."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
-    T = _fused_tile(tile, n0)
-    G = n0 // T
-    S0 = _round_up(n1, 8)
-    S1 = _round_up(n1 + 1, 8)
-    L = _round_up(n2, 128)
+    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
 
-    u0p, u1p, u2p = u_star_padded
-    pp = jnp.pad(p, [(1, G * T + 2 - 1 - n0), (0, S0 - n1), (0, L - n2)])
+    u0p, u1p, u2p = u_star_internal
+    pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, S0 - n1), (0, L - n2)])
     _, own = _ghost_tables(grid, bcs)
     sc = jnp.asarray(scale, jnp.float32).reshape(1)
     kern = functools.partial(
-        _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own,
+        _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
     )
     out0, out1, out2, divp, velp = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
-            jax.ShapeDtypeStruct((G * T, S1, L), jnp.float32),
-            jax.ShapeDtypeStruct((G * T, S0, L), jnp.float32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((RP, S1, L), jnp.float32),
+            jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
+            jax.ShapeDtypeStruct((G + 1, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G + 1, 8, 128), jnp.float32),
         ],
-        grid=(G,),
+        grid=(G + 1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1146,16 +1246,25 @@ def correct_diag_3d(
         ),
         interpret=interpret,
     )(sc, u0p, u1p, u2p, pp)
+    return (out0, out1, out2), jnp.max(divp), jnp.max(velp)
 
-    u0 = jnp.concatenate(
-        [out0[:n0, :n1, :n2], u0p[n0:n0 + 1, :n1, :n2]], axis=0
+
+def correct_diag_3d(
+    grid: GridSpec,
+    bcs: BCTable,
+    u_star_padded: tuple[Array, Array, Array],
+    p: Array,
+    scale,
+    tile: int = 16,
+    interpret: bool = False,
+) -> tuple[tuple[Array, Array, Array], Array, Array]:
+    """Exact-layout entry point: runs the internal corrector and converts
+    u_new back to exact face arrays."""
+    iu, divm, velm = correct_diag_3d_internal(
+        grid, bcs, u_star_padded, p, scale, tile, interpret
     )
-    u1 = out1[:n0, :n1 + 1, :n2]
-    u2e = out2[:n0, :n1, :n2]
-    spec = own[(2, 1)]
-    if spec[0] == "copy":
-        face = u2e[:, :, n2 - 1:n2]
-    else:
-        face = jnp.full((n0, n1, 1), spec[1], u2e.dtype)
+    u0, u1, u2e, face = from_internal_3d(grid, bcs, iu)
+    # the corrected interior face feeds the outflow copy; Dirichlet gets
+    # the BC value -- from_internal_3d encodes both via the own-face spec
     u2 = jnp.concatenate([u2e, face], axis=2)
-    return (u0, u1, u2), jnp.max(divp), jnp.max(velp)
+    return (u0, u1, u2), divm, velm

@@ -206,6 +206,10 @@ class Simulation:
             return False
         if self.params.integrator != "euler":
             return False
+        if self.params.cfl is not None:
+            # the internal-layout scan carries padded arrays whose garbage
+            # rows would pollute the CFL max-reduction
+            return False
         if (self.forcing is not None or self.face_masks is not None
                 or self.shardings is not None):
             return False
@@ -233,22 +237,26 @@ class Simulation:
             self.op, rhs, p0, self.grid, pr.poisson
         )
 
-    def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
-        """Whole-step fused path: two Pallas passes + the pressure solve."""
+    def _step_fused3d_internal(
+        self, istate: State
+    ) -> tuple[State, StepDiagnostics]:
+        """One fused step over the INTERNAL padded layout (carried across
+        scan iterations so the per-step pad/slice/concat glue disappears;
+        see ops/pallas_kernels.to_internal_3d)."""
         from .ops import pallas_kernels
 
         g, b, pr = self.grid, self.bcs, self.params
-        dt = self._step_dt(state.u)
+        dt = jnp.asarray(pr.dt, g.dtype)    # fixed dt (cfl gated off)
         with jax.named_scope("predictor"):
-            u_star_pad, rhs = pallas_kernels.predictor_rhs_3d(
-                g, b, state.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
+            u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
+                g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
                 interpret=self.pallas_interpret,
             )
         with jax.named_scope("poisson"):
-            p, iters, res = self._solve_pressure(rhs, state.p)
+            p, iters, res = self._solve_pressure(rhs, istate.p)
         with jax.named_scope("correction"):
-            u_new, max_div, max_vel = pallas_kernels.correct_diag_3d(
-                g, b, u_star_pad, p, dt / pr.rho,
+            iu_new, max_div, max_vel = pallas_kernels.correct_diag_3d_internal(
+                g, b, u_star, p, dt / pr.rho,
                 interpret=self.pallas_interpret,
             )
         diag = StepDiagnostics(
@@ -258,7 +266,22 @@ class Simulation:
             max_cfl=max_vel * dt,
             dt=dt,
         )
-        return State(u=u_new, p=p), diag
+        return State(u=iu_new, p=p), diag
+
+    def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
+        """Whole-step fused path on exact-layout state: convert to the
+        internal layout, run one internal step, convert back."""
+        from .ops import pallas_kernels
+
+        iu = pallas_kernels.to_internal_3d(self.grid, state.u)
+        istate, diag = self._step_fused3d_internal(
+            State(u=iu, p=state.p)
+        )
+        u0, u1, u2e, face = pallas_kernels.from_internal_3d(
+            self.grid, self.bcs, istate.u
+        )
+        u2 = jnp.concatenate([u2e, face], axis=2)
+        return State(u=(u0, u1, u2), p=istate.p), diag
 
     def _predict(self, u, dt):
         """``u* = u + dt * RHS_adv_diff(u)``, BC-applied."""
@@ -366,6 +389,22 @@ class Simulation:
 @partial(jax.jit, static_argnums=(0, 2))
 def _run_scan_jit(sim: Simulation, state: State, n_steps: int):
     # `sim` is hashable-by-id static; its arrays become jit constants.
+    if sim._fused3d_ok():
+        # Carry the fused kernels' internal padded layout THROUGH the scan:
+        # kernel B's outputs are exactly what kernel A reads, so the
+        # pad/slice/concat repacking happens once per scan, not per step.
+        from .ops import pallas_kernels
+
+        iu = pallas_kernels.to_internal_3d(sim.grid, state.u)
+        istate, diags = jax.lax.scan(
+            lambda c, _: sim._step_fused3d_internal(c),
+            State(u=iu, p=state.p), xs=None, length=n_steps,
+        )
+        u0, u1, u2e, face = pallas_kernels.from_internal_3d(
+            sim.grid, sim.bcs, istate.u
+        )
+        u2 = jnp.concatenate([u2e, face], axis=2)
+        return State(u=(u0, u1, u2), p=istate.p), diags
     step_fn = sim.make_step_fn()
     return jax.lax.scan(step_fn, state, xs=None, length=n_steps)
 
