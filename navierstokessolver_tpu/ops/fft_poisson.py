@@ -229,15 +229,20 @@ def solve_with_residual(
     """Solve and report (p, iters=1, relative residual) for diagnostics,
     using the same norm as the iterative solvers (ops/poisson.py).
 
-    No explicit mean subtraction: ``inv_eig`` is zero at the constant mode,
-    so the direct application (and each refinement pass) projects the
-    incompatible component out for free -- subtracting ``mean(b)`` up front
-    only re-did that projection at the cost of two extra HBM sweeps. The
-    reported residual uses the deflated RHS so it measures the solvable
-    system (b's mean is discretely ~0 for a closed box anyway)."""
-    p = solver.solve(b, op)
+    The up-front ``b - mean(b)`` is mathematically redundant — ``inv_eig``
+    is zero at the constant mode, so the direct application already
+    projects the incompatible component out. Whether it PAYS is
+    dimension-dependent (measured on v5e): in 2D the subtraction doubles as
+    a materialization barrier that stops XLA re-inlining the divergence
+    fusion into every consumer (dropping it cost 0.13 ms/step at 2048^2);
+    in 3D the rhs is already a materialized Pallas-kernel output and the
+    subtraction is two pure extra HBM sweeps (dropping it saved 0.16
+    ms/step at 256^3). The residual is always reported against the
+    deflated RHS so it measures the solvable system."""
+    mean = jnp.mean(b)
+    bd = b - mean
+    p = solver.solve(bd if b.ndim == 2 else b, op)
     bnorm = jnp.sqrt(jnp.sum(b * b))
     tiny = jnp.asarray(np.finfo(np.float32).tiny, b.dtype)
-    bd = b - jnp.mean(b)
     res = residual_norm(op, p, bd) / jnp.maximum(bnorm, tiny)
     return p, jnp.int32(1), res
