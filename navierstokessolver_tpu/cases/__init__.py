@@ -22,6 +22,7 @@ from ..solver import Simulation
 
 from .cavity import build_cavity, build_cavity3d
 from .channel import build_channel, build_channel_periodic
+from .convection import build_heated_cavity
 from .cylinder import build_cylinder
 from .taylor_green import build_taylor_green
 
@@ -53,6 +54,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "channel_periodic": build_channel_periodic,
     "cylinder": build_cylinder,
     "taylor_green": build_taylor_green,
+    "heated_cavity": build_heated_cavity,
 }
 
 

@@ -91,20 +91,25 @@ class State:
     """Simulation state: staggered velocity components + cell pressure.
 
     ``u`` is a tuple with one array per axis (the component normal to that
-    axis's faces). ``p`` is cell-centered. Registered as a pytree so it can be
-    carried through ``lax.scan`` / ``jit`` / sharding unchanged.
+    axis's faces). ``p`` is cell-centered. ``theta`` is an optional
+    cell-centered transported scalar (temperature/concentration; see
+    scalar.py) -- ``None`` for pure-momentum runs. Registered as a pytree so
+    it can be carried through ``lax.scan`` / ``jit`` / sharding unchanged
+    (a ``None`` theta is an empty pytree subtree, so the structure stays
+    consistent either way).
     """
 
     u: tuple[Array, ...]
     p: Array
+    theta: Array | None = None
 
     def tree_flatten(self):
-        return (self.u, self.p), None
+        return (self.u, self.p, self.theta), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        u, p = children
-        return cls(u=tuple(u), p=p)
+        u, p, theta = children
+        return cls(u=tuple(u), p=p, theta=theta)
 
     @property
     def ndim(self) -> int:
@@ -112,7 +117,9 @@ class State:
 
     def astype(self, dtype) -> "State":
         return State(
-            u=tuple(c.astype(dtype) for c in self.u), p=self.p.astype(dtype)
+            u=tuple(c.astype(dtype) for c in self.u),
+            p=self.p.astype(dtype),
+            theta=None if self.theta is None else self.theta.astype(dtype),
         )
 
 

@@ -47,6 +47,8 @@ def snapshot_arrays(grid: GridSpec, state: State) -> dict[str, np.ndarray]:
     out["p"] = np.asarray(state.p)
     for a, c in enumerate(state.u):
         out[f"u{'xyz'[a]}_face"] = np.asarray(c)
+    if state.theta is not None:
+        out["theta"] = np.asarray(state.theta)
     if grid.ndim == 2:
         out["vorticity"] = np.asarray(vorticity_2d(grid, state.u))
     return out
@@ -199,6 +201,8 @@ def save_checkpoint(path: str, state: State, step: int, cfg_hash: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"u{a}": np.asarray(c) for a, c in enumerate(state.u)}
     arrays["p"] = np.asarray(state.p)
+    if state.theta is not None:
+        arrays["theta"] = np.asarray(state.theta)
     tmp = path + ".tmp.npz"
     np.savez(tmp, step=np.int64(step), cfg=np.bytes_(cfg_hash.encode()), **arrays)
     os.replace(tmp, path)
@@ -217,5 +221,7 @@ def load_checkpoint(path: str, grid: GridSpec, cfg_hash: Optional[str] = None):
             jax.numpy.asarray(z[f"u{a}"], grid.dtype) for a in range(grid.ndim)
         )
         p = jax.numpy.asarray(z["p"], grid.dtype)
+        theta = (jax.numpy.asarray(z["theta"], grid.dtype)
+                 if "theta" in z.files else None)
         step = int(z["step"])
-    return State(u=u, p=p), step
+    return State(u=u, p=p, theta=theta), step

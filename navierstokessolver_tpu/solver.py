@@ -87,6 +87,8 @@ class Simulation:
     mg_solver: Optional[object] = None
     # Run Pallas kernels in interpret mode (CPU testing only).
     pallas_interpret: bool = False
+    # Optional transported scalar + Boussinesq coupling (scalar.py).
+    scalar: Optional[object] = None
 
     @staticmethod
     def build(
@@ -95,8 +97,11 @@ class Simulation:
         params: SimParams,
         solid: Optional[np.ndarray] = None,
         forcing: Optional[tuple[Array, ...]] = None,
+        scalar=None,
     ) -> "Simulation":
         bcs_mod.validate_bcs(grid, bcs)
+        if scalar is not None:
+            scalar.validate(grid)
         dct_solver = None
         if params.poisson.method == "fft":
             from .ops import fft_poisson
@@ -126,6 +131,7 @@ class Simulation:
             forcing=forcing,
             dct_solver=dct_solver,
             mg_solver=mg_solver,
+            scalar=scalar,
         )
 
     # -- single step ---------------------------------------------------------
@@ -133,7 +139,12 @@ class Simulation:
     def initial_state(self) -> State:
         st = zero_state(self.grid)
         u = bcs_mod.apply_velocity_bcs(self.grid, self.bcs, st.u, self.face_masks)
-        return State(u=u, p=st.p)
+        theta = None
+        if self.scalar is not None:
+            init = getattr(self.scalar, "theta_init", None)
+            theta = (jnp.zeros(self.grid.shape, self.grid.dtype)
+                     if init is None else jnp.asarray(init, self.grid.dtype))
+        return State(u=u, p=st.p, theta=theta)
 
     def _pallas_ok(self) -> bool:
         """Fused predictor applies to unsharded 2D/3D float32 runs w/o
@@ -211,7 +222,7 @@ class Simulation:
             # rows would pollute the CFL max-reduction
             return False
         if (self.forcing is not None or self.face_masks is not None
-                or self.shardings is not None):
+                or self.shardings is not None or self.scalar is not None):
             return False
         from .ops import pallas_kernels
 
@@ -283,10 +294,26 @@ class Simulation:
         u2 = jnp.concatenate([u2e, face], axis=2)
         return State(u=(u0, u1, u2), p=istate.p), diag
 
-    def _predict(self, u, dt):
-        """``u* = u + dt * RHS_adv_diff(u)``, BC-applied."""
+    def _combined_forcing(self, theta):
+        """Static body forcing + Boussinesq buoyancy from the scalar."""
+        if self.scalar is None or theta is None:
+            return self.forcing
+        from . import scalar as scalar_mod
+
+        buoy = scalar_mod.buoyancy_forcing(self.grid, self.scalar, theta)
+        if buoy is None:
+            return self.forcing
+        if self.forcing is None:
+            return buoy
+        return tuple(
+            b if f is None else (f if b is None else f + b)
+            for f, b in zip(self.forcing, buoy)
+        )
+
+    def _predict(self, u, dt, forcing=None):
+        """``u* = u + dt * RHS_adv_diff(u) [+ forcing]``, BC-applied."""
         g, b, pr = self.grid, self.bcs, self.params
-        if self._pallas_ok():
+        if forcing is None and self._pallas_ok():
             from .ops import pallas_kernels
 
             pred = (pallas_kernels.predictor_3d if g.ndim == 3
@@ -295,11 +322,9 @@ class Simulation:
                 g, b, u, dt, pr.nu, pr.upwind_gamma,
                 interpret=self.pallas_interpret,
             )
-            if self.forcing is not None:  # pragma: no cover - gated off
-                raise NotImplementedError
         else:
             u_star = stencils.predictor(
-                g, b, u, dt, pr.nu, pr.upwind_gamma, self.forcing
+                g, b, u, dt, pr.nu, pr.upwind_gamma, forcing
             )
         return bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
 
@@ -334,6 +359,7 @@ class Simulation:
         with jax.named_scope("bcs"):
             u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
         dt = self._step_dt(u)
+        forcing = self._combined_forcing(state.theta)
         if pr.integrator == "rk2":
             # Midpoint rule with a projection per stage: advance half a step,
             # project, then advance the FULL step using the midpoint field's
@@ -341,10 +367,10 @@ class Simulation:
             # in time where Euler is first-order (SURVEY.md SS0.3 integrator
             # TODO: the reference's order is unknown, both are offered).
             with jax.named_scope("predictor"):
-                uh_star = self._predict(u, 0.5 * dt)
+                uh_star = self._predict(u, 0.5 * dt, forcing)
             uh, ph, it1, _ = self._project(uh_star, state.p, 0.5 * dt)
             with jax.named_scope("predictor2"):
-                adv = self._predict(uh, dt)
+                adv = self._predict(uh, dt, forcing)
                 u_star = tuple(a + (b2 - b1) for a, b2, b1 in zip(u, adv, uh))
                 u_star = bcs_mod.apply_velocity_bcs(
                     g, b, u_star, self.face_masks
@@ -353,11 +379,23 @@ class Simulation:
             iters = iters + it1
         elif pr.integrator == "euler":
             with jax.named_scope("predictor"):
-                u_star = self._predict(u, dt)
+                u_star = self._predict(u, dt, forcing)
             u_new, p, iters, res = self._project(u_star, state.p, dt)
         else:
             raise ValueError(f"unknown integrator {pr.integrator!r}")
-        new_state = self._constrain(State(u=u_new, p=p))
+        theta_new = state.theta
+        if self.scalar is not None and state.theta is not None:
+            # Advance the scalar with the end-of-step (divergence-free)
+            # velocity; explicit Euler sub-step (first-order splitting of
+            # the buoyancy coupling -- the momentum temporal order is
+            # unchanged for passive scalars).
+            from . import scalar as scalar_mod
+
+            with jax.named_scope("scalar"):
+                theta_new = state.theta + dt * scalar_mod.scalar_rhs(
+                    g, self.scalar, u_new, state.theta
+                )
+        new_state = self._constrain(State(u=u_new, p=p, theta=theta_new))
         with jax.named_scope("diagnostics"):
             div = stencils.divergence(g, new_state.u) * self.op.fluid
             diag = StepDiagnostics(
