@@ -224,7 +224,8 @@ class DCTPoissonSolver:
 
 
 def solve_with_residual(
-    solver: DCTPoissonSolver, op: PoissonOp, b: Array
+    solver: DCTPoissonSolver, op: PoissonOp, b: Array,
+    diag_residual: bool = True,
 ) -> tuple[Array, Array, Array]:
     """Solve and report (p, iters=1, relative residual) for diagnostics,
     using the same norm as the iterative solvers (ops/poisson.py).
@@ -239,9 +240,14 @@ def solve_with_residual(
     subtraction is two pure extra HBM sweeps (dropping it saved 0.16
     ms/step at 256^3). The residual is always reported against the
     deflated RHS so it measures the solvable system."""
-    mean = jnp.mean(b)
-    bd = b - mean
-    p = solver.solve(bd if b.ndim == 2 else b, op)
+    if b.ndim == 2:
+        p = solver.solve(b - jnp.mean(b), op)
+    else:
+        p = solver.solve(b, op)
+    if not diag_residual:
+        # reporting skipped (PoissonConfig.diag_residual=False): sentinel
+        return p, jnp.int32(1), jnp.asarray(-1.0, b.dtype)
+    bd = b - jnp.mean(b)
     bnorm = jnp.sqrt(jnp.sum(b * b))
     tiny = jnp.asarray(np.finfo(np.float32).tiny, b.dtype)
     res = residual_norm(op, p, bd) / jnp.maximum(bnorm, tiny)

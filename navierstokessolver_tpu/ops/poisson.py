@@ -250,6 +250,13 @@ class PoissonConfig:
     # reference-fidelity converged state) is unchanged. w=1 restores the
     # textbook sweep for Dirichlet problems.
     jacobi_weight: float = 0.8
+    # Report the exact post-solve residual in StepDiagnostics for DIRECT
+    # (fft) solves. The iterative solvers compute it anyway for their
+    # stopping rule; the direct solve needs an extra operator application +
+    # norm reductions per step (~0.5 ms at 256^3) purely for reporting.
+    # False -> diagnostics carry the sentinel -1.0 and callers that need
+    # the number run one diagnostic step with it re-enabled.
+    diag_residual: bool = True
 
 
 def _auto_omega(grid: GridSpec) -> float:

@@ -235,7 +235,8 @@ class Simulation:
             from .ops import fft_poisson
 
             return fft_poisson.solve_with_residual(
-                self.dct_solver, self.op, rhs
+                self.dct_solver, self.op, rhs,
+                diag_residual=pr.poisson.diag_residual,
             )
         if self.mg_solver is not None:
             mg_solve = (
