@@ -22,7 +22,7 @@ from ..solver import Simulation
 
 from .cavity import build_cavity, build_cavity3d
 from .channel import build_channel, build_channel_periodic
-from .convection import build_heated_cavity
+from .convection import build_heated_cavity, build_rayleigh_benard
 from .cylinder import build_cylinder
 from .taylor_green import build_taylor_green
 
@@ -55,6 +55,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "cylinder": build_cylinder,
     "taylor_green": build_taylor_green,
     "heated_cavity": build_heated_cavity,
+    "rayleigh_benard": build_rayleigh_benard,
 }
 
 

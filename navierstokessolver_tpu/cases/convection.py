@@ -90,3 +90,74 @@ def hot_wall_nusselt(sim: Simulation, theta) -> float:
     theta = jnp.asarray(theta)
     grad = 2.0 * (1.0 - theta[0, :]) / h      # -(theta_1 - theta_w)*2/h
     return float(jnp.mean(grad))
+
+
+def build_rayleigh_benard(
+    shape=(48, 24),
+    ra: float = 5e3,
+    pr: float = 0.71,
+    aspect: float = 2.0,
+    dt: float | None = None,
+    poisson_method: str = "fft",
+    poisson_tol: float = 1e-5,
+    poisson_iters: int = 2000,
+    upwind_gamma: float = 0.0,
+    perturb: float = 1e-2,
+    **params_kw,
+):
+    """Rayleigh-Benard convection: periodic in x, rigid no-slip walls in y,
+    hot bottom (theta=1) / cold top (theta=0). Linear-stability oracle: the
+    rigid-rigid critical Rayleigh number is 1708 -- below it a seeded
+    perturbation decays to the conductive state, above it convection rolls
+    grow and saturate (tests/test_scalar.py)."""
+    from . import Case
+
+    grid = GridSpec(shape=tuple(shape), lengths=(aspect, 1.0))
+    nu = math.sqrt(pr / ra)
+    alpha = 1.0 / math.sqrt(ra * pr)
+    zeros = (0.0, 0.0)
+    bcs = {
+        (0, 0): BCSpec.periodic(),
+        (0, 1): BCSpec.periodic(),
+        (1, 0): BCSpec.wall(zeros),
+        (1, 1): BCSpec.wall(zeros),
+    }
+    nx, ny = shape
+    x = (np.arange(nx) + 0.5) / nx * aspect
+    y = (np.arange(ny) + 0.5) / ny
+    cond = 1.0 - y                        # conductive profile
+    seed = perturb * np.sin(2.0 * np.pi * x / aspect)[:, None] \
+        * np.sin(np.pi * y)[None, :]
+    scalar = ScalarConfig(
+        bcs={
+            (0, 0): ScalarBC.periodic(),
+            (0, 1): ScalarBC.periodic(),
+            (1, 0): ScalarBC.dirichlet(1.0),   # hot bottom
+            (1, 1): ScalarBC.dirichlet(0.0),   # cold top
+        },
+        diffusivity=alpha,
+        buoyancy=(0.0, 1.0),
+        theta_ref=0.5,
+        upwind_gamma=upwind_gamma,
+        theta_init=(np.broadcast_to(cond, (nx, ny)) + seed).astype(np.float32),
+    )
+    if dt is None:
+        h = min(grid.spacing)
+        dmax = max(nu, alpha)
+        dt = 0.5 * min(h, h * h / (4.0 * dmax))
+    params = SimParams(
+        dt=dt,
+        nu=nu,
+        upwind_gamma=upwind_gamma,
+        poisson=PoissonConfig(
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
+        ),
+        **params_kw,
+    )
+    sim = Simulation.build(grid, bcs, params, scalar=scalar)
+    return Case(
+        name="rayleigh_benard",
+        sim=sim,
+        suggested_steps=int(round(60.0 / dt)),
+        description=f"Rayleigh-Benard Ra={ra:g} Pr={pr} {shape}",
+    )

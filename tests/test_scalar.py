@@ -114,3 +114,23 @@ def test_scalar_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.theta), np.asarray(b.theta), atol=1e-7
     )
+
+
+def test_rayleigh_benard_criticality():
+    """Linear-stability oracle: the rigid-rigid critical Rayleigh number is
+    1708. A seeded perturbation decays to the conductive state at Ra=800
+    and grows into convection rolls at Ra=5000 (kinetic energies separated
+    by many orders of magnitude)."""
+    def kinetic_at(ra, t_end=30.0):
+        case = make_case("rayleigh_benard", shape=(48, 24), ra=ra)
+        sim = case.sim
+        st = case.initial_state()
+        n = int(round(t_end / sim.params.dt))
+        st, d = sim.run_scan(st, n)
+        assert float(d.max_div[-1]) < 1e-5
+        return sum(float(jnp.sum(c * c)) for c in st.u)
+
+    e_sub = kinetic_at(800.0)
+    e_super = kinetic_at(5000.0)
+    assert e_sub < 1e-5, e_sub            # decayed to conduction
+    assert e_super > 1.0, e_super         # saturated convection rolls
