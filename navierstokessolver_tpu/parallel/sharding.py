@@ -90,6 +90,8 @@ def shard_state(state: State, mesh: Mesh, grid: GridSpec) -> State:
             _divisible_spec(mesh, grid, c.shape) for c in state.u
         ),
         p=_divisible_spec(mesh, grid, state.p.shape),
+        theta=(None if state.theta is None
+               else _divisible_spec(mesh, grid, state.theta.shape)),
     )
     return jax.device_put(state, shardings)
 

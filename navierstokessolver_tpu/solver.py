@@ -186,7 +186,11 @@ class Simulation:
     def _constrain(self, state: State) -> State:
         if self.shardings is None:
             return state
-        return jax.lax.with_sharding_constraint(state, self.shardings)
+        sh = self.shardings
+        if state.theta is not None and sh.theta is None:
+            # the scalar is cell-centered: it shares p's decomposition
+            sh = State(u=sh.u, p=sh.p, theta=sh.p)
+        return jax.lax.with_sharding_constraint(state, sh)
 
     def _step_dt(self, u):
         """Per-step dt: fixed, or CFL-limited from the current velocity."""

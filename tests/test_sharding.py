@@ -86,3 +86,25 @@ def test_3d_decomposition():
     np.testing.assert_allclose(
         np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=5e-5
     )
+
+
+@requires_8
+def test_scalar_transport_sharded():
+    """Scalar-carrying states shard too: theta shares p's cell-centered
+    decomposition, and the 8-device heated cavity matches single-device."""
+    case = make_case("heated_cavity", shape=(32, 32), ra=1e3)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 30)
+
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    st_sh = shard_state(case.initial_state(), mesh, sim.grid)
+    out, _ = sim_sh.run_scan(st_sh, 30)
+
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u[1]), np.asarray(ref.u[1]), atol=5e-5
+    )
+    assert len(out.theta.sharding.device_set) == 8
