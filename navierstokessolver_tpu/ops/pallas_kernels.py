@@ -761,7 +761,7 @@ def _ghost_tables(grid: GridSpec, bcs: BCTable):
     return tg, own
 
 
-def to_internal_3d(grid: GridSpec, u, tile: int = 16):
+def to_internal_3d(grid: GridSpec, u, tile: int = 8):
     """Exact face arrays -> the fused-step internal layout: row r <-> global
     row r, sublane j <-> index j, component 2 lane-elided, hi-side zero
     padding to (G+1)*T rows / tile-aligned sublanes/lanes. All-append pads
@@ -1012,7 +1012,7 @@ def predictor_rhs_3d_internal(
     nu: float,
     upwind_gamma: float = 0.0,
     rho: float = 1.0,
-    tile: int = 16,
+    tile: int = 8,
     interpret: bool = False,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
@@ -1074,7 +1074,7 @@ def predictor_rhs_3d(
     nu: float,
     upwind_gamma: float = 0.0,
     rho: float = 1.0,
-    tile: int = 16,
+    tile: int = 8,
     interpret: bool = False,
 ) -> tuple[tuple[Array, Array, Array], Array]:
     """Exact-layout entry point: pads to the internal layout, runs the
@@ -1194,7 +1194,7 @@ def correct_diag_3d_internal(
     u_star_internal,
     p: Array,
     scale,
-    tile: int = 16,
+    tile: int = 8,
     interpret: bool = False,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
@@ -1255,7 +1255,7 @@ def correct_diag_3d(
     u_star_padded: tuple[Array, Array, Array],
     p: Array,
     scale,
-    tile: int = 16,
+    tile: int = 8,
     interpret: bool = False,
 ) -> tuple[tuple[Array, Array, Array], Array, Array]:
     """Exact-layout entry point: runs the internal corrector and converts
