@@ -40,14 +40,23 @@ Value = Union[float, Array]
 
 class BCKind(enum.Enum):
     WALL = "wall"        # no-slip / moving wall: velocity Dirichlet
-    INFLOW = "inflow"    # prescribed velocity (profile allowed): Dirichlet
     OUTFLOW = "outflow"  # zero-gradient velocity, p = 0 (Dirichlet) for pressure
+    INFLOW = "inflow"    # prescribed velocity (profile allowed): Dirichlet
     SLIP = "slip"        # free-slip/symmetry: normal u = 0, tangential d/dn = 0
     PERIODIC = "periodic"  # wrap-around; must be set on BOTH faces of an axis
+    # Convective (non-reflective) outlet: the boundary-normal DOF obeys
+    # du/dt + U du/dn = 0, discretized once per step on u* right after the
+    # predictor (apply_convective_outlets), held fixed through the
+    # projection, then pressure-corrected with the Dirichlet-ghost gradient
+    # (correct_convective_faces). Pressure sees the same p=0 Dirichlet face
+    # as OUTFLOW.
+    CONVECTIVE = "convective"
 
 
 # Faces where the *normal* velocity DOF is Dirichlet.
 _DIRICHLET_KINDS = (BCKind.WALL, BCKind.INFLOW, BCKind.SLIP)
+# Faces treated as zero-gradient outlets by the mid-step BC passes.
+_OUTLET_KINDS = (BCKind.OUTFLOW, BCKind.CONVECTIVE)
 # Faces whose *tangential* ghost is a Dirichlet reflection (SLIP excluded:
 # tangential components are zero-gradient there).
 _TANGENTIAL_REFLECT_KINDS = (BCKind.WALL, BCKind.INFLOW)
@@ -76,6 +85,13 @@ class BCSpec:
     @staticmethod
     def outflow() -> "BCSpec":
         return BCSpec(BCKind.OUTFLOW)
+
+    @staticmethod
+    def convective(speed: float) -> "BCSpec":
+        """Convective outlet with phase speed ``speed`` (e.g. the mean
+        inflow velocity); stores it in the velocity slot for the face
+        normal (the only component the convective update touches)."""
+        return BCSpec(BCKind.CONVECTIVE, (float(speed),))
 
     @staticmethod
     def slip() -> "BCSpec":
@@ -190,6 +206,11 @@ def apply_velocity_bcs(
                     comp = _set_face(
                         comp, a, side, _face_slice(comp, a, inner)
                     )
+                elif bc.kind is BCKind.CONVECTIVE:
+                    # face value is owned by apply_convective_outlets
+                    # (written onto u* before the projection and held fixed
+                    # through it); this pass leaves it untouched
+                    pass
                 else:  # pragma: no cover - enum is closed
                     raise NotImplementedError(bc.kind)
         if face_masks is not None:
@@ -235,6 +256,79 @@ def pad_transverse(
         ghost_hi = jnp.broadcast_to(ghost_hi, edge_hi.shape)
         arr = jnp.concatenate([ghost_lo, arr, ghost_hi], axis=t)
     return arr
+
+
+def apply_convective_outlets(
+    grid: GridSpec,
+    bcs: BCTable,
+    u_new: tuple[Array, ...],
+    u_old: tuple[Array, ...],
+    dt,
+) -> tuple[Array, ...]:
+    """Once-per-step convective-outlet update of the boundary-normal DOFs:
+
+        u_b_new = u_b^n - C (u_b^n - u_inner),   C = U dt / h
+
+    (first-order upwind transport of the boundary value out of the domain;
+    C is clamped to [0, 1] for unconditional stability). Called on u* right
+    after the predictor -- the outlet face is then held FIXED through the
+    projection (the other BC passes skip CONVECTIVE faces), exactly like
+    the zero-gradient outlet's structure, so the post-projection divergence
+    at outlet cells stays at the same small level."""
+    out = list(u_new)
+    for a in range(grid.ndim):
+        for side, inner in ((0, slice(1, 2)), (1, slice(-2, -1))):
+            bc = bcs[(a, side)]
+            if bc.kind is not BCKind.CONVECTIVE:
+                continue
+            speed = float(bc.velocity[0]) if bc.velocity else 1.0
+            # dt may be a traced scalar (CFL-adaptive mode / inside scan)
+            c = jnp.clip(speed * jnp.asarray(dt) / grid.spacing[a], 0.0, 1.0)
+            comp_old = u_old[a]
+            face_idx = 0 if side == 0 else -1
+            u_b = _face_slice(comp_old, a, slice(0, 1) if side == 0 else slice(-1, None))
+            u_i = _face_slice(out[a], a, inner)
+            new_face = u_b - c * (u_b - u_i)
+            out[a] = _set_face(out[a], a, side, new_face)
+    return tuple(out)
+
+
+def correct_convective_faces(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: tuple[Array, ...],
+    p: Array,
+    scale,
+) -> tuple[Array, ...]:
+    """Pressure-correct the convective outlet faces with the Dirichlet-ghost
+    gradient the Poisson operator assumed (ghost p = -p_edge, so the face
+    gradient is -2 p_edge / h on a high face and +2 p_edge / h on a low
+    face). Without this the outlet-cell divergence retains a
+    scale * 2 p_edge / h^2 residue; with it the projection closes exactly,
+    matching the interior divergence level."""
+    out = list(u)
+    nd = grid.ndim
+    for a in range(nd):
+        h = grid.spacing[a]
+        for side in (0, 1):
+            if bcs[(a, side)].kind is not BCKind.CONVECTIVE:
+                continue
+            edge = _face_slice(
+                p, a, slice(0, 1) if side == 0 else slice(-1, None)
+            )
+            grad = (2.0 * edge / h) if side == 0 else (-2.0 * edge / h)
+            face = _face_slice(
+                out[a], a, slice(0, 1) if side == 0 else slice(-1, None)
+            )
+            out[a] = _set_face(out[a], a, side, face - scale * grad)
+    return tuple(out)
+
+
+def has_convective_outlet(grid: GridSpec, bcs: BCTable) -> bool:
+    return any(
+        bcs[(a, s)].kind is BCKind.CONVECTIVE
+        for a in range(grid.ndim) for s in (0, 1)
+    )
 
 
 # ---------------------------------------------------------------------------

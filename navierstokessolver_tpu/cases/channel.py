@@ -34,6 +34,7 @@ def build_channel(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.0,
     dtype=None,
+    outlet: str = "outflow",
     **params_kw,
 ):
     from . import Case
@@ -41,9 +42,13 @@ def build_channel(
     grid = GridSpec(shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32)
     nu = u_max * grid.lengths[1] / re
     profile = parabolic_profile(grid, u_max)
+    # outlet: "outflow" (zero-gradient) or "convective" (du/dt + U du/dn = 0
+    # with U = the bulk inflow speed -- less reflective for unsteady wakes)
+    out_bc = (BCSpec.convective(2.0 * u_max / 3.0)
+              if outlet == "convective" else BCSpec.outflow())
     bcs = {
         (0, 0): BCSpec.inflow((profile, 0.0)),
-        (0, 1): BCSpec.outflow(),
+        (0, 1): out_bc,
         (1, 0): BCSpec.wall((0.0, 0.0)),
         (1, 1): BCSpec.wall((0.0, 0.0)),
     }

@@ -40,6 +40,7 @@ def build_cylinder(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.2,
     dtype=None,
+    outlet: str = "outflow",
     **params_kw,
 ):
     from . import Case
@@ -49,7 +50,8 @@ def build_cylinder(
     solid = cylinder_mask(grid, center, diameter / 2.0)
     bcs = {
         (0, 0): BCSpec.inflow((u_in, 0.0)),
-        (0, 1): BCSpec.outflow(),
+        (0, 1): (BCSpec.convective(u_in) if outlet == "convective"
+                 else BCSpec.outflow()),
         (1, 0): BCSpec.slip(),
         (1, 1): BCSpec.slip(),
     }

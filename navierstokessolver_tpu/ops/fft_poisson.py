@@ -38,7 +38,7 @@ def is_applicable(grid: GridSpec, bcs: BCTable, solid) -> bool:
     if solid is not None and np.any(solid):
         return False
     return all(
-        bcs[(a, s)].kind is not BCKind.OUTFLOW
+        bcs[(a, s)].kind not in (BCKind.OUTFLOW, BCKind.CONVECTIVE)
         for a in range(grid.ndim)
         for s in (0, 1)
     )

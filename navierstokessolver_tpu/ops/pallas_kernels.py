@@ -285,11 +285,14 @@ def _scalar_bc(bcs: BCTable, face, comp: int, ndim: int):
 
 
 def predictor_3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
-    from ..bcs import periodic_axes
+    from ..bcs import BCKind, periodic_axes
 
     if grid.ndim != 3 or grid.dtype != jnp.float32:
         return False
     if any(periodic_axes(grid, bcs)):
+        return False
+    if any(bcs[(a, s)].kind is BCKind.CONVECTIVE
+           for a in range(3) for s in (0, 1)):
         return False
     # in-kernel lane-ghost fixes need scalar BC values on the axis-2 faces
     for side in (0, 1):
@@ -665,6 +668,12 @@ def predictor_2d(
 
 
 def _scalar_bcs_all_axes(bcs: BCTable, ndim: int = 3) -> bool:
+    from ..bcs import BCKind
+
+    for ax in range(ndim):
+        for side in (0, 1):
+            if bcs[(ax, side)].kind is BCKind.CONVECTIVE:
+                return False     # handled by the jnp step path only
     for ax in range(ndim):
         for side in (0, 1):
             for c in range(ndim):

@@ -156,7 +156,7 @@ def build_poisson_op(
         for side in (0, 1):
             face = [slice(None)] * nd
             face[a] = 0 if side == 0 else -1
-            if bcs[(a, side)].kind is BCKind.OUTFLOW:
+            if bcs[(a, side)].kind in (BCKind.OUTFLOW, BCKind.CONVECTIVE):
                 diag[tuple(face)] -= 2.0 * wa
             # WALL/INFLOW: Neumann -> no coupling, no diagonal contribution.
         diag -= wa * (lo.astype(np.float64) + hi.astype(np.float64))
@@ -165,7 +165,8 @@ def build_poisson_op(
     diag[~fluid] = 1.0
 
     singular = not any(
-        bcs[(a, s)].kind is BCKind.OUTFLOW for a in range(nd) for s in (0, 1)
+        bcs[(a, s)].kind in (BCKind.OUTFLOW, BCKind.CONVECTIVE)
+        for a in range(nd) for s in (0, 1)
     )
     dt = grid.dtype
     return PoissonOp(

@@ -178,7 +178,7 @@ class Simulation:
         from .bcs import BCKind
 
         return any(
-            self.bcs[(a, s)].kind is BCKind.OUTFLOW
+            self.bcs[(a, s)].kind in (BCKind.OUTFLOW, BCKind.CONVECTIVE)
             for a in range(self.grid.ndim)
             for s in (0, 1)
         )
@@ -345,6 +345,12 @@ class Simulation:
                 g, u_star, p, dt / pr.rho, self.corr_masks,
                 bcs_mod.periodic_axes(g, b),
             )
+            if bcs_mod.has_convective_outlet(g, b):
+                # convective faces get the Dirichlet-ghost pressure
+                # correction the Poisson row assumed for them
+                u_new = bcs_mod.correct_convective_faces(
+                    g, b, u_new, p, dt / pr.rho
+                )
             # The correction only writes interior faces (and mirrors the
             # periodic wrap face itself), so u_new's boundary DOFs still
             # carry u*'s BC values -- re-application is only needed for
@@ -373,6 +379,10 @@ class Simulation:
             # TODO: the reference's order is unknown, both are offered).
             with jax.named_scope("predictor"):
                 uh_star = self._predict(u, 0.5 * dt, forcing)
+            if bcs_mod.has_convective_outlet(g, b):
+                uh_star = bcs_mod.apply_convective_outlets(
+                    g, b, uh_star, state.u, 0.5 * dt
+                )
             uh, ph, it1, _ = self._project(uh_star, state.p, 0.5 * dt)
             with jax.named_scope("predictor2"):
                 adv = self._predict(uh, dt, forcing)
@@ -380,11 +390,19 @@ class Simulation:
                 u_star = bcs_mod.apply_velocity_bcs(
                     g, b, u_star, self.face_masks
                 )
+            if bcs_mod.has_convective_outlet(g, b):
+                u_star = bcs_mod.apply_convective_outlets(
+                    g, b, u_star, state.u, dt
+                )
             u_new, p, iters, res = self._project(u_star, ph, dt)
             iters = iters + it1
         elif pr.integrator == "euler":
             with jax.named_scope("predictor"):
                 u_star = self._predict(u, dt, forcing)
+            if bcs_mod.has_convective_outlet(g, b):
+                u_star = bcs_mod.apply_convective_outlets(
+                    g, b, u_star, state.u, dt
+                )
             u_new, p, iters, res = self._project(u_star, state.p, dt)
         else:
             raise ValueError(f"unknown integrator {pr.integrator!r}")

@@ -91,3 +91,27 @@ def test_obstacle_face_masks():
     assert cu.shape == (g.shape[0] - 1, g.shape[1])
     assert cu[2, 2] == 0  # face between fluid (2,2) and solid (3,2)
     assert cu[0, 0] == 1
+
+
+def test_convective_outlet_update():
+    """Once-per-step convective update: the boundary-normal DOF relaxes
+    toward the corrected inner face at rate C = U dt / h (clamped to 1)."""
+    import jax.numpy as jnp
+    from navierstokessolver_tpu.bcs import (
+        BCSpec, apply_convective_outlets, no_slip_box,
+    )
+    from navierstokessolver_tpu.grid import GridSpec, zero_state
+
+    g = GridSpec(shape=(8, 6), lengths=(1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.convective(2.0)
+    st = zero_state(g)
+    u_old = (st.u[0].at[-1, :].set(1.0), st.u[1])
+    u_new = (st.u[0].at[-2, :].set(0.5), st.u[1])
+    dt = 0.02
+    out = apply_convective_outlets(g, bcs, u_new, u_old, dt)
+    c = 2.0 * dt / g.spacing[0]     # = 0.32
+    expected = 1.0 - c * (1.0 - 0.5)
+    np.testing.assert_allclose(np.asarray(out[0][-1, :]), expected, rtol=1e-6)
+    # other faces untouched
+    np.testing.assert_allclose(np.asarray(out[0][0, :]), 0.0)

@@ -52,3 +52,22 @@ def test_mass_conservation_inflow_outflow(channel):
     q_in = u[0, :].sum()
     q_out = u[-1, :].sum()
     assert abs(q_out - q_in) / abs(q_in) < 5e-3
+
+
+def test_convective_outlet_preserves_poiseuille():
+    """The analytic parabola is a steady state under the convective outlet
+    too (at steady state the boundary equals its inner neighbor, so the
+    convective update is a no-op)."""
+    from navierstokessolver_tpu.cases.channel import (
+        build_channel, poiseuille_state,
+    )
+
+    import jax.numpy as jnp
+
+    case = build_channel(shape=(64, 32), outlet="convective", poisson_method="mg")
+    sim = case.sim
+    st = poiseuille_state(sim)
+    st2, d = sim.run_scan(st, 200)
+    drift = float(jnp.max(jnp.abs(st2.u[0] - st.u[0])))
+    assert drift < 5e-3, drift
+    assert float(d.max_div[-1]) < 1e-4
