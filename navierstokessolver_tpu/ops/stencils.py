@@ -280,6 +280,39 @@ def vorticity_2d(grid: GridSpec, u: Sequence[Array]) -> Array:
     return dvdx - dudy
 
 
+def vorticity_magnitude_3d(grid: GridSpec, u: Sequence[Array]) -> Array:
+    """|curl u| at interior grid nodes (visualization/diagnostics; shape
+    (nx-1, ny-1, nz-1) -- each curl component is averaged from its natural
+    edge location to the shared corner nodes)."""
+    if grid.ndim != 3:
+        raise ValueError("vorticity_magnitude_3d is 3D only")
+    h = grid.spacing
+    uu, vv, ww = u
+
+    def d(arr, axis, ax_h):
+        nd = arr.ndim
+        hi = _sl(nd, axis, slice(1, None))
+        lo = _sl(nd, axis, slice(0, -1))
+        return (arr[hi] - arr[lo]) / h[ax_h]
+
+    def avg(arr, axis):
+        nd = arr.ndim
+        hi = _sl(nd, axis, slice(1, None))
+        lo = _sl(nd, axis, slice(0, -1))
+        return 0.5 * (arr[hi] + arr[lo])
+
+    # omega_x = dw/dy - dv/dz at (cell, node, node) -> avg over x pairs
+    wx = d(ww[:, :, 1:-1], 1, 1) - d(vv[:, 1:-1, :], 2, 2)
+    # omega_y = du/dz - dw/dx at (node, cell, node) -> avg over y pairs
+    wy = d(uu[1:-1, :, :], 2, 2) - d(ww[:, :, 1:-1], 0, 0)
+    # omega_z = dv/dx - du/dy at (node, node, cell) -> avg over z pairs
+    wz = d(vv[:, 1:-1, :], 0, 0) - d(uu[1:-1, :, :], 1, 1)
+    wx = avg(wx, 0)
+    wy = avg(wy, 1)
+    wz = avg(wz, 2)
+    return jnp.sqrt(wx * wx + wy * wy + wz * wz)
+
+
 def max_cfl(grid: GridSpec, u: Sequence[Array], dt) -> Array:
     """max over axes of |u| dt / h (advective CFL number)."""
     cfl = jnp.asarray(0.0, grid.dtype)

@@ -102,6 +102,14 @@ class Simulation:
         bcs_mod.validate_bcs(grid, bcs)
         if scalar is not None:
             scalar.validate(grid)
+            per = bcs_mod.periodic_axes(grid, bcs)
+            if scalar.buoyancy and any(
+                b != 0.0 and per[a] for a, b in enumerate(scalar.buoyancy)
+            ):
+                raise ValueError(
+                    "Boussinesq buoyancy along a periodic axis is not "
+                    "supported (the wrap predictor expects n-face forcing)"
+                )
         dct_solver = None
         if params.poisson.method == "fft":
             from .ops import fft_poisson

@@ -147,3 +147,23 @@ def test_vorticity_shear():
     v = jnp.zeros(g.face_shape(1), g.dtype)
     w = stencils.vorticity_2d(g, (u, v))
     np.testing.assert_allclose(np.asarray(w), -1.0, rtol=1e-4)
+
+
+def test_vorticity_magnitude_3d_solid_rotation():
+    """Analytic check: u = (-y, x, 0) (solid-body rotation about z) has
+    curl = (0, 0, 2) everywhere -> |curl| = 2 at every node."""
+    from navierstokessolver_tpu.ops.stencils import vorticity_magnitude_3d
+
+    g = GridSpec(shape=(8, 10, 6), lengths=(1.0, 1.0, 1.0))
+    hx, hy, hz = g.spacing
+    # staggered sampling of the rotation field
+    yc = (np.arange(10) + 0.5) * hy
+    xc = (np.arange(8) + 0.5) * hx
+    u0 = jnp.asarray(np.broadcast_to(-yc[None, :, None], (9, 10, 6)),
+                     jnp.float32)
+    u1 = jnp.asarray(np.broadcast_to(xc[:, None, None], (8, 11, 6)),
+                     jnp.float32)
+    u2 = jnp.zeros((8, 10, 7), jnp.float32)
+    w = vorticity_magnitude_3d(g, (u0, u1, u2))
+    assert w.shape == (7, 9, 5)
+    np.testing.assert_allclose(np.asarray(w), 2.0, rtol=1e-5)
