@@ -829,17 +829,40 @@ def _fused_pred_kernel(
     n0, n1, n2 = n
     G = n0 // T + 1
     i_star = n0 // T - 1            # stripe whose window spans global row n0
-    start = jnp.clip(i * T - 1, 0, RP - (T + 3))
-    cps = [
-        pltpu.make_async_copy(ref.at[pl.ds(start, T + 3)], scr, sems.at[k])
-        for k, (ref, scr) in enumerate(
-            [(u0_hbm, s0), (u1_hbm, s1), (u2_hbm, s2)]
-        )
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
+    R3 = T + 3
+    # Double-buffered input windows: each scratch holds two R3-row halves;
+    # stripe i's DMA was started during stripe i-1 (prologue for i=0), and
+    # stripe i starts i+1's transfer into the other half BEFORE waiting, so
+    # the copy engines overlap the VPU work (~0.35 ms/step of serialized
+    # input DMA otherwise at 256^3).
+    phase = jax.lax.rem(i, 2)
+    refs = (u0_hbm, u1_hbm, u2_hbm)
+    scrs = (s0, s1, s2)
+
+    def _dma(j, ph):
+        st = jnp.clip(j * T - 1, 0, RP - R3)
+        return [
+            pltpu.make_async_copy(
+                ref.at[pl.ds(st, R3)],
+                scr.at[pl.ds(ph * R3, R3)],
+                sems.at[ph, k],
+            )
+            for k, (ref, scr) in enumerate(zip(refs, scrs))
+        ]
+
+    @pl.when(i == 0)
+    def _prologue():
+        for cp in _dma(0, 0):
+            cp.start()
+
+    @pl.when(i < G)
+    def _prefetch():
+        for cp in _dma(i + 1, 1 - phase):
+            cp.start()
+
+    for cp in _dma(i, phase):       # same shapes -> same semaphore amount
         cp.wait()
+    off = phase * R3
     dt = sc_ref[0]
     rho_over_dt = sc_ref[1]
     S_RHS = rhs_ref.shape[1]
@@ -858,13 +881,15 @@ def _fused_pred_kernel(
             def _write_hi():
                 for a, scr in ((1, s1), (2, s2)):
                     ah, bh = tg[(a, 0, 1)]
-                    scr[hi_row, :, :] = ah * scr[hi_row - 1, :, :] + bh
+                    scr[pl.ds(off + hi_row, 1)] = (
+                        ah * scr[pl.ds(off + hi_row - 1, 1)] + bh
+                    )
             if i_star == 0:
                 _write_hi()          # branch ro=0 IS stripe i_star
             else:
                 pl.when(i == i_star)(_write_hi)
 
-        wins = [s0[...], s1[...], s2[...]]
+        wins = [scr[pl.ds(off, R3)] for scr in (s0, s1, s2)]
         SOUT = (out0.shape[1], out1.shape[1], out2.shape[1])
 
         def center(a, rows):
@@ -1062,10 +1087,10 @@ def predictor_rhs_3d_internal(
             pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T + 3, S0, L), jnp.float32),
-            pltpu.VMEM((T + 3, S1, L), jnp.float32),
-            pltpu.VMEM((T + 3, S0, L), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2 * (T + 3), S0, L), jnp.float32),
+            pltpu.VMEM((2 * (T + 3), S1, L), jnp.float32),
+            pltpu.VMEM((2 * (T + 3), S0, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -1114,25 +1139,47 @@ def _fused_corr_kernel(
     j = pl.program_id(0)
     n0, n1, n2 = n
     G = n0 // T + 1
-    start0 = jnp.minimum(j * T, RP - (T + 1))
-    cps = [
-        pltpu.make_async_copy(u0_hbm.at[pl.ds(start0, T + 1)], s0, sems.at[0]),
-        pltpu.make_async_copy(u1_hbm.at[pl.ds(jnp.minimum(j * T, RP - T), T)], s1, sems.at[1]),
-        pltpu.make_async_copy(u2_hbm.at[pl.ds(jnp.minimum(j * T, RP - T), T)], s2, sems.at[2]),
-        pltpu.make_async_copy(p_hbm.at[pl.ds(j * T, T + 2)], sp, sems.at[3]),
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
+    # Double-buffered input windows (see _fused_pred_kernel): stripe j+1's
+    # transfers start before stripe j's wait.
+    phase = jax.lax.rem(j, 2)
+    H = (T + 1, T, T, T + 2)            # per-input window heights
+
+    def _dma(jj, ph):
+        st0 = jnp.minimum(jj * T, RP - (T + 1))
+        st = jnp.minimum(jj * T, RP - T)
+        stp = jj * T                     # p is padded to (G+1)*T + 2 rows
+        starts = (st0, st, st, stp)
+        return [
+            pltpu.make_async_copy(
+                ref.at[pl.ds(starts[k], H[k])],
+                scr.at[pl.ds(ph * H[k], H[k])],
+                sems.at[ph, k],
+            )
+            for k, (ref, scr) in enumerate(
+                zip((u0_hbm, u1_hbm, u2_hbm, p_hbm), (s0, s1, s2, sp))
+            )
+        ]
+
+    @pl.when(j == 0)
+    def _prologue():
+        for cp in _dma(0, 0):
+            cp.start()
+
+    @pl.when(j < G)
+    def _prefetch():
+        for cp in _dma(j + 1, 1 - phase):
+            cp.start()
+
+    for cp in _dma(j, phase):
         cp.wait()
     scale = sc_ref[0]
 
     @pl.when(j < G)
     def _data():
-        u0s = s0[...]
-        u1s = s1[...]
-        u2s = s2[...]
-        pw = sp[...]
+        u0s = s0[pl.ds(phase * (T + 1), T + 1)]
+        u1s = s1[pl.ds(phase * T, T)]
+        u2s = s2[pl.ds(phase * T, T)]
+        pw = sp[pl.ds(phase * (T + 2), T + 2)]
         S0 = u0s.shape[1]
         pc = pw[1:T + 1]                     # p at cell rows [jT, jT+T)
 
@@ -1244,11 +1291,11 @@ def correct_diag_3d_internal(
             pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T + 1, S0, L), jnp.float32),
-            pltpu.VMEM((T, S1, L), jnp.float32),
-            pltpu.VMEM((T, S0, L), jnp.float32),
-            pltpu.VMEM((T + 2, S0, L), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2 * (T + 1), S0, L), jnp.float32),
+            pltpu.VMEM((2 * T, S1, L), jnp.float32),
+            pltpu.VMEM((2 * T, S0, L), jnp.float32),
+            pltpu.VMEM((2 * (T + 2), S0, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
