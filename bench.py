@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--ny", type=int, default=2048)
     ap.add_argument("--nz", type=int, default=0, help=">0 switches to 3D")
     ap.add_argument("--re", type=float, default=10_000.0)
+    ap.add_argument("--ra", type=float, default=1e6,
+                    help="Rayleigh number (heated_cavity / rayleigh_benard)")
     # Default = the flagship configuration: direct spectral (DCT/MXU) pressure
     # solve, the fastest exact method for the closed cavity. `cg`/`mg` cover
     # the iterative paths (BASELINE "Poisson iters" metric).
@@ -52,6 +54,9 @@ def main() -> None:
     if args.case in ("cavity", "cavity_hi_re", "cavity3d"):
         case = make_case("cavity" if not args.nz else "cavity3d",
                          upwind_gamma=0.8 if args.re > 1000 else 0.0, **kw)
+    elif args.case in ("heated_cavity", "rayleigh_benard"):
+        kw.pop("re")
+        case = make_case(args.case, ra=args.ra, **kw)
     else:
         case = make_case(args.case, **kw)
     sim = case.sim

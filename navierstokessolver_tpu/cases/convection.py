@@ -37,27 +37,29 @@ def build_heated_cavity(
 ):
     from . import Case
 
-    grid = GridSpec(shape=tuple(shape), lengths=(1.0, 1.0))
+    nd = len(shape)
+    grid = GridSpec(shape=tuple(shape), lengths=(1.0,) * nd)
     nu = math.sqrt(pr / ra)
     alpha = 1.0 / math.sqrt(ra * pr)
-    zeros = (0.0, 0.0)
-    bcs = {(a, s): BCSpec.wall(zeros) for a in range(2) for s in (0, 1)}
+    zeros = (0.0,) * nd
+    bcs = {(a, s): BCSpec.wall(zeros) for a in range(nd) for s in (0, 1)}
+    # hot left / cold right wall along axis 0, buoyancy along the LAST axis
+    # (gravity "down"), adiabatic elsewhere -- dimension-generic
+    sc_bcs = {(a, s): ScalarBC.adiabatic() for a in range(nd) for s in (0, 1)}
+    sc_bcs[(0, 0)] = ScalarBC.dirichlet(1.0)
+    sc_bcs[(0, 1)] = ScalarBC.dirichlet(0.0)
+    buoy = tuple(1.0 if a == nd - 1 else 0.0 for a in range(nd))
+    cond = 1.0 - (np.arange(shape[0]) + 0.5) / shape[0]
+    theta0 = np.broadcast_to(
+        cond.reshape((shape[0],) + (1,) * (nd - 1)), tuple(shape)
+    ).copy()
     scalar = ScalarConfig(
-        bcs={
-            (0, 0): ScalarBC.dirichlet(1.0),   # hot left wall
-            (0, 1): ScalarBC.dirichlet(0.0),   # cold right wall
-            (1, 0): ScalarBC.adiabatic(),
-            (1, 1): ScalarBC.adiabatic(),
-        },
+        bcs=sc_bcs,
         diffusivity=alpha,
-        buoyancy=(0.0, 1.0),                   # gravity along -y, g*beta = 1
+        buoyancy=buoy,
         theta_ref=0.5,
         upwind_gamma=upwind_gamma,
-        # conductive initial profile: linear in x (accelerates settling)
-        theta_init=np.broadcast_to(
-            1.0 - (np.arange(shape[0]) + 0.5) / shape[0],
-            (shape[1], shape[0]),
-        ).T.copy(),
+        theta_init=theta0,
     )
     if dt is None:
         h = min(grid.spacing)

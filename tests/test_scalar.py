@@ -134,3 +134,18 @@ def test_rayleigh_benard_criticality():
     e_super = kinetic_at(5000.0)
     assert e_sub < 1e-5, e_sub            # decayed to conduction
     assert e_super > 1.0, e_super         # saturated convection rolls
+
+
+def test_heated_cavity_3d_smoke():
+    """The convection subsystem is dimension-generic: a 3D differentially
+    heated cavity develops a buoyant circulation with a clean projection."""
+    case = make_case("heated_cavity", shape=(16, 16, 16), ra=1e4)
+    sim = case.sim
+    st = case.initial_state()
+    st, d = sim.run_scan(st, 150)
+    th = np.asarray(st.theta)
+    assert th.shape == (16, 16, 16)
+    assert np.isfinite(th).all() and -0.01 <= th.min() and th.max() <= 1.01
+    # buoyancy drives vertical motion (last axis) near the hot wall
+    assert float(jnp.max(jnp.abs(st.u[2]))) > 1e-2
+    assert float(d.max_div[-1]) < 1e-5
