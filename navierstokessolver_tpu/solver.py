@@ -446,18 +446,60 @@ class Simulation:
 
     # -- scan runner ---------------------------------------------------------
 
+    # -- large-array threading -----------------------------------------------
+    # Simulation's per-cell arrays (Poisson diag/code, the spectral
+    # inverse-eigenvalue tensor, multigrid levels, masks, forcing) would
+    # otherwise be baked into the jitted program as CONSTANTS -- ~150 MB of
+    # program at 256^3 and >1 GB at 512^3, which breaks the remote-compile
+    # transport and bloats every executable. run_scan threads them through
+    # as traced arguments instead.
+
+    def _consts(self):
+        c = {
+            "op": self.op,
+            "face_masks": self.face_masks,
+            "corr_masks": self.corr_masks,
+            "forcing": self.forcing,
+        }
+        if self.dct_solver is not None:
+            c["inv_eig"] = self.dct_solver.inv_eig
+        if self.mg_solver is not None:
+            c["mg_ops"] = self.mg_solver.ops
+        return c
+
+    def _bind(self, c) -> "Simulation":
+        """A copy of this Simulation whose big arrays are the (traced)
+        pytree ``c`` -- used inside jit so they arrive as arguments."""
+        dct = self.dct_solver
+        if dct is not None:
+            dct = dataclasses.replace(dct, inv_eig=c["inv_eig"])
+        mg = self.mg_solver
+        if mg is not None:
+            mg = dataclasses.replace(mg, ops=c["mg_ops"])
+        return dataclasses.replace(
+            self,
+            op=c["op"],
+            face_masks=c["face_masks"],
+            corr_masks=c["corr_masks"],
+            forcing=c["forcing"],
+            dct_solver=dct,
+            mg_solver=mg,
+        )
+
     def run_scan(self, state: State, n_steps: int) -> tuple[State, StepDiagnostics]:
         """Advance ``n_steps`` inside a single jitted ``lax.scan``.
 
         Returns the final state and per-step stacked diagnostics. Compiles
         once per (shape, n_steps).
         """
-        return _run_scan_jit(self, state, n_steps)
+        return _run_scan_jit(self, self._consts(), state, n_steps)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _run_scan_jit(sim: Simulation, state: State, n_steps: int):
-    # `sim` is hashable-by-id static; its arrays become jit constants.
+@partial(jax.jit, static_argnums=(0, 3))
+def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
+    # `sim` is hashable-by-id static; its big arrays arrive via `consts`
+    # (traced jit arguments, NOT embedded program constants).
+    sim = sim._bind(consts)
     if sim._fused3d_ok():
         # Carry the fused kernels' internal padded layout THROUGH the scan:
         # kernel B's outputs are exactly what kernel A reads, so the
