@@ -341,13 +341,19 @@ def predictor_3d(
     dt,
     nu: float,
     upwind_gamma: float = 0.0,
-    tile: int = 32,
+    tile: int = None,
     interpret: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Fused Pallas 3D predictor; same contract as the 2D kernel (boundary
     faces carry garbage for the caller's BC pass to overwrite)."""
     h = grid.spacing
     n = grid.shape
+    if tile is None:
+        # scale the stripe height to the plane footprint so the three
+        # canonical windows + output block stay within VMEM (512-wide
+        # planes need ~4x shorter stripes than 256-wide ones)
+        plane = _round_up(n[1] + 1, 8) * _round_up(n[2], 128)
+        tile = 32 if plane <= 128 * 1024 else 8
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
 
     T = tile
@@ -686,6 +692,14 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
     from ..bcs import BCKind, periodic_axes
 
     if grid.ndim != 3 or grid.dtype != jnp.float32:
+        return False
+    # VMEM budget: the whole-step kernels hold double-buffered windows for
+    # all three components plus four output blocks and temporaries -- at
+    # 512-wide planes that is ~220 MB > the 128 MB VMEM. Gate to plane
+    # sizes where tile=8 fits (measured at 256^3); larger planes fall back
+    # to the per-component predictor kernels (adaptive tile) + jnp step.
+    n1, n2 = grid.shape[1], grid.shape[2]
+    if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 128 * 1024:
         return False
     if any(periodic_axes(grid, bcs)):
         return False
