@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .grid import GridSpec, State
+from .grid import GridSpec
 
 Array = jax.Array
 Value = Union[float, Array]
