@@ -25,6 +25,7 @@ from .channel import build_channel, build_channel_periodic
 from .convection import build_heated_cavity, build_rayleigh_benard
 from .cylinder import build_cylinder
 from .taylor_green import build_taylor_green
+from .turbulence import build_decaying_turbulence
 
 
 @dataclasses.dataclass(eq=False)
@@ -56,6 +57,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "taylor_green": build_taylor_green,
     "heated_cavity": build_heated_cavity,
     "rayleigh_benard": build_rayleigh_benard,
+    "decaying_turbulence": build_decaying_turbulence,
 }
 
 
