@@ -135,11 +135,26 @@ class DCTPoissonSolver:
                     if n >= 1024 and n % 2 == 0:
                         return dct_mod.CircSplitPlan(n, grid.dtype)
                     return dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
-                return dct_mod.SplitPlan(
-                    n,
-                    _auto_levels(n) if split_levels is None else split_levels,
-                    grid.dtype,
-                )
+                lv = _auto_levels(n) if split_levels is None else split_levels
+                if lv and n < 1024 and jax.default_backend() == "tpu":
+                    # SAFETY CLAMP for explicit overrides: split transforms
+                    # below n=1024 are only validated on CPU. On the TPU
+                    # backend the split at n=256 in 3D (65536-lane batch
+                    # matmuls) MISCOMPILES to silently wrong results
+                    # (measured rel res 0.86 vs 1.5e-6 dense; exact at 64^3
+                    # and at 2048^2, so the trigger is shape-specific).
+                    # Splitting never pays below 1024 anyway (measured),
+                    # so clamp rather than risk corrupt physics.
+                    import sys
+
+                    print(
+                        f"[fft_poisson] split_levels={lv} requested for "
+                        f"n={n} < 1024: clamped to 0 (TPU miscompilation "
+                        "guard; see DCTPoissonSolver.build)",
+                        file=sys.stderr,
+                    )
+                    lv = 0
+                return dct_mod.SplitPlan(n, lv, grid.dtype)
 
             plans = tuple(_plan(a, n) for a, n in enumerate(grid.shape))
             # Spectral multiplier stored in REVERSED axis order: the matmul
