@@ -228,12 +228,21 @@ class DCTPoissonSolver:
 
         With ``refine > 0`` (requires ``op``), applies mixed-precision
         iterative refinement: ``p += direct(b - A p)`` with the residual
-        evaluated by the exact f32 stencil operator.
+        evaluated by the exact f32 stencil operator (via the fused Pallas
+        residual kernel on TPU in 3D -- XLA's fusion of the 7-point
+        uint8-decoded stencil re-reads the shifted p planes and measured
+        2.3x the HBM floor at 256^3).
         """
         p = self._direct(b)
         if self.refine and op is not None:
+            from . import pallas_kernels
+
+            use_kernel = pallas_kernels.residual_3d_applicable(op, b)
             for _ in range(self.refine):
-                r = (b - apply_A(op, p)) * op.fluid
+                if use_kernel:
+                    r = pallas_kernels.residual_3d(op, p, b)
+                else:
+                    r = (b - apply_A(op, p)) * op.fluid
                 p = p + self._direct(r)
         return p
 

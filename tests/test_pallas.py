@@ -205,3 +205,31 @@ def test_predictor3d_slip_outflow_lane_faces():
             np.asarray(ref[a])[tuple(idx)],
             atol=3e-5,
         )
+
+
+def test_residual_3d_matches_jnp():
+    """Fused Poisson-residual kernel vs ops.poisson (interpret mode):
+    r = (b - A p) * fluid to f32 roundoff, with and without obstacles."""
+    import numpy as np
+    import jax.numpy as jnp
+    from navierstokessolver_tpu import GridSpec
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.ops.poisson import apply_A, build_poisson_op
+    from navierstokessolver_tpu.ops.pallas_kernels import residual_3d
+
+    rng = np.random.default_rng(0)
+    for shape, mk_solid in (((16, 12, 16), False), ((24, 16, 16), True)):
+        g = GridSpec(shape=shape, lengths=(1.0, 1.0, 1.0))
+        bcs = no_slip_box(g)
+        bcs[(1, 1)] = BCSpec.outflow()
+        solid = None
+        if mk_solid:
+            solid = np.zeros(shape, bool)
+            solid[8:12, 4:8, 6:10] = True
+        op = build_poisson_op(g, bcs, solid)
+        p = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * op.fluid
+        b = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * op.fluid
+        ref = (b - apply_A(op, p)) * op.fluid
+        got = residual_3d(op, p, b, tile=8, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+        assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-6
