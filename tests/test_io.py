@@ -94,3 +94,24 @@ def test_cli_end_to_end(tmp_path):
         "--chunk", "20", "--out", out, "--resume", os.path.join(out, "ckpt.npz"),
     ])
     assert rc == 0
+
+
+def test_cli_sharded_devices(tmp_path):
+    """--devices N drives the GSPMD domain-decomposed path end-to-end
+    (virtual 8-device CPU mesh), including checkpointing a sharded state."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    from navierstokessolver_tpu.cli import main
+
+    out = str(tmp_path / "run_sh")
+    rc = main([
+        "--case", "cavity", "--shape", "16,16", "--steps", "20",
+        "--chunk", "10", "--out", out, "--devices", "4",
+        "--checkpoint-every", "10",
+    ])
+    assert rc == 0
+    assert "ckpt.npz" in os.listdir(out)
