@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--re", type=float, default=200.0)
     ap.add_argument("--t-end", type=float, default=150.0)
     ap.add_argument("--poisson", default="mg")
+    ap.add_argument("--outlet", default="outflow",
+                    choices=["outflow", "convective"])
     ap.add_argument("--chunk", type=int, default=25)  # ~0.2 time units/sample: ~23 samples per shedding period
     args = ap.parse_args()
     shape = tuple(int(x) for x in args.shape.split(","))
@@ -41,7 +43,8 @@ def main() -> None:
     from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
 
     case = make_case(
-        "cylinder", shape=shape, re=args.re, poisson_method=args.poisson
+        "cylinder", shape=shape, re=args.re, poisson_method=args.poisson,
+        outlet=args.outlet,
     )
     sim = case.sim
     g = sim.grid
