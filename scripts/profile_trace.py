@@ -25,6 +25,7 @@ def main() -> None:
     ap.add_argument("--case", default="cavity")
     ap.add_argument("--nx", type=int, default=2048)
     ap.add_argument("--ny", type=int, default=2048)
+    ap.add_argument("--nz", type=int, default=0, help=">0 switches to 3D")
     ap.add_argument("--re", type=float, default=10_000.0)
     ap.add_argument("--poisson", default="fft")
     ap.add_argument("--steps", type=int, default=20)
@@ -38,9 +39,10 @@ def main() -> None:
 
     from navierstokessolver_tpu.cases import make_case
 
+    shape = (args.nx, args.ny, args.nz) if args.nz else (args.nx, args.ny)
+    name = "cavity3d" if (args.case == "cavity" and args.nz) else args.case
     case = make_case(
-        args.case, shape=(args.nx, args.ny), re=args.re,
-        poisson_method=args.poisson,
+        name, shape=shape, re=args.re, poisson_method=args.poisson,
     )
     sim = case.sim
     state = case.initial_state()

@@ -70,3 +70,27 @@ def test_cfl_adaptive_dt():
     # lid speed 1, h = 1/32 -> advective limit kicks in below the cap
     assert dts.min() < sim.params.dt
     assert float(np.max(np.asarray(diag.max_cfl))) < 0.5
+
+
+def test_diag_residual_toggle_identical_physics():
+    """PoissonConfig.diag_residual=False skips only the REPORT: pressure
+    and velocities are bit-identical, diagnostics carry the -1 sentinel."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cavity", shape=(16, 16))
+    st = case.initial_state()
+    ref, d_on = case.sim.run_scan(st, 10)
+    p_off = dataclasses.replace(
+        case.sim.params,
+        poisson=dataclasses.replace(
+            case.sim.params.poisson, diag_residual=False
+        ),
+    )
+    sim_off = dataclasses.replace(case.sim, params=p_off)
+    out, d_off = sim_off.run_scan(st, 10)
+    np.testing.assert_array_equal(np.asarray(out.p), np.asarray(ref.p))
+    np.testing.assert_array_equal(np.asarray(out.u[0]), np.asarray(ref.u[0]))
+    assert float(d_off.poisson_res[-1]) == -1.0
+    assert 0.0 <= float(d_on.poisson_res[-1]) < 1e-4
