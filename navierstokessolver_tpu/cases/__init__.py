@@ -4,8 +4,15 @@ One entry per BASELINE.json config (SURVEY.md SS2 "Config/CLI" row):
   cavity        -- 2D lid-driven cavity, Re=100, 64x64 (config #1)
   channel       -- 2D Poiseuille channel, inflow/outflow, 256x64 (config #2)
   cylinder      -- 2D flow past a cylinder, Re=200, 512x256 (config #3)
-  cavity_hi_re  -- 2D cavity, Re=10k, 2048^2, matrix-free CG (config #4)
+  cavity_hi_re  -- 2D cavity, Re=10k, 2048^2 (config #4)
   cavity3d      -- 3D lid-driven cavity, 256^3 (config #5)
+
+Beyond the BASELINE set:
+  channel_periodic    -- body-force-driven periodic channel
+  taylor_green        -- fully periodic analytic-decay oracle
+  heated_cavity       -- de Vahl Davis natural convection (2D/3D)
+  rayleigh_benard     -- periodic-x convection, critical-Ra oracle
+  decaying_turbulence -- 2D periodic turbulence, inverse-cascade oracle
 
 Each builder accepts overrides so tests can shrink grids.
 """
