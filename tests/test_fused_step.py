@@ -165,3 +165,30 @@ def test_fused_sim_step_matches_reference():
     assert float(df.max_div) < 5e-6 and float(dr.max_div) < 5e-6
     np.testing.assert_allclose(float(df.max_cfl), float(dr.max_cfl),
                                rtol=1e-3, atol=1e-8)
+
+
+def test_fused_resume_equals_unbroken_run(tmp_path):
+    """Checkpoint/resume through the fused path: the saved state's boundary
+    faces carry their BC values (the invariant the fused kernels rely on),
+    so a resumed scan continues identically to an unbroken one."""
+    from navierstokessolver_tpu import io as io_mod
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0,
+                     poisson_method="fft")
+    p_fused = dataclasses.replace(case.sim.params, use_pallas=True)
+    sim = dataclasses.replace(case.sim, params=p_fused,
+                              pallas_interpret=True)
+    assert sim._fused3d_ok()
+    st0 = case.initial_state()
+    mid, _ = sim.run_scan(st0, 6)
+    path = str(tmp_path / "ck.npz")
+    h = io_mod.config_hash(sim.grid, sim.params)
+    io_mod.save_checkpoint(path, mid, 6, h)
+    loaded, step = io_mod.load_checkpoint(path, sim.grid, h)
+    assert step == 6
+    a, _ = sim.run_scan(mid, 6)
+    b, _ = sim.run_scan(loaded, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
