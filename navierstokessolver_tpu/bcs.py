@@ -285,7 +285,6 @@ def apply_convective_outlets(
             # dt may be a traced scalar (CFL-adaptive mode / inside scan)
             c = jnp.clip(speed * jnp.asarray(dt) / grid.spacing[a], 0.0, 1.0)
             comp_old = u_old[a]
-            face_idx = 0 if side == 0 else -1
             u_b = _face_slice(comp_old, a, slice(0, 1) if side == 0 else slice(-1, None))
             u_i = _face_slice(out[a], a, inner)
             new_face = u_b - c * (u_b - u_i)

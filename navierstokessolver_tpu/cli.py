@@ -90,11 +90,14 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.devices)
         sim = sharded_simulation(sim, mesh)
 
-    cfg_hash = io_mod.config_hash(sim.grid, sim.params)
+    cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar)
     step0 = 0
     state = case.initial_state()
     if args.resume:
-        state, step0 = io_mod.load_checkpoint(args.resume, sim.grid, cfg_hash)
+        state, step0 = io_mod.load_checkpoint(
+            args.resume, sim.grid, cfg_hash,
+            expect_scalar=sim.scalar is not None,
+        )
         print(f"[cli] resumed from {args.resume} at step {step0}", file=sys.stderr)
     if args.devices > 1:
         state = shard_state(state, mesh, sim.grid)

@@ -184,7 +184,34 @@ class AsyncSnapshotWriter:
 # ---------------------------------------------------------------------------
 
 
-def config_hash(grid: GridSpec, params) -> str:
+def _scalar_blob(scalar) -> Optional[dict]:
+    """JSON-able digest of a ScalarConfig (physics-affecting fields only).
+
+    theta_init is deliberately excluded: it shapes the *initial* state, not
+    the resumed dynamics (the checkpointed theta supersedes it).
+    """
+    if scalar is None:
+        return None
+
+    def bcval(v):
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            return float(arr)
+        return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
+
+    return dict(
+        diffusivity=scalar.diffusivity,
+        buoyancy=list(scalar.buoyancy),
+        theta_ref=scalar.theta_ref,
+        upwind_gamma=scalar.upwind_gamma,
+        bcs={
+            f"{a},{s}": [bc.kind.value, bcval(bc.value)]
+            for (a, s), bc in sorted(scalar.bcs.items())
+        },
+    )
+
+
+def config_hash(grid: GridSpec, params, scalar=None) -> str:
     blob = json.dumps(
         dict(
             shape=list(grid.shape),
@@ -194,7 +221,9 @@ def config_hash(grid: GridSpec, params) -> str:
             nu=params.nu,
             rho=params.rho,
             upwind_gamma=params.upwind_gamma,
+            integrator=params.integrator,
             poisson=dataclasses.asdict(params.poisson),
+            scalar=_scalar_blob(scalar),
         ),
         sort_keys=True,
     )
@@ -212,14 +241,31 @@ def save_checkpoint(path: str, state: State, step: int, cfg_hash: str) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, grid: GridSpec, cfg_hash: Optional[str] = None):
-    """Returns (state, step). Raises on config-hash mismatch when given."""
+def load_checkpoint(
+    path: str,
+    grid: GridSpec,
+    cfg_hash: Optional[str] = None,
+    expect_scalar: bool = False,
+):
+    """Returns (state, step). Raises on config-hash mismatch when given.
+
+    ``expect_scalar=True`` (pass when the resuming Simulation has a scalar
+    configured) makes a theta-less checkpoint a hard error instead of a
+    silent physics change (the step loop would quietly skip scalar
+    transport + buoyancy on theta=None).
+    """
     with np.load(path) as z:
         saved = bytes(z["cfg"]).decode()
         if cfg_hash is not None and saved != cfg_hash:
             raise ValueError(
                 f"checkpoint config hash {saved} != current {cfg_hash}; "
                 "refusing to resume a different configuration"
+            )
+        if expect_scalar and "theta" not in z.files:
+            raise ValueError(
+                "simulation has a transported scalar configured but the "
+                f"checkpoint {path!r} has no theta field; refusing to resume "
+                "with silently-disabled scalar transport"
             )
         u = tuple(
             jax.numpy.asarray(z[f"u{a}"], grid.dtype) for a in range(grid.ndim)

@@ -1219,6 +1219,25 @@ def _fused_corr_kernel(
         v2_lo = _shift_fix(u2n, 2, 1, None) if own[(2, 0)][0] == "copy" else u2s
         u2n = jnp.where(l_i == 0, v2_lo, u2n)
 
+        # Scan-carried pad regions must stay identically zero: the next
+        # step's predictor re-evolves whatever is here through the nonlinear
+        # advection term (quadratic in the pad values), which can overflow
+        # to inf/NaN over long scans even though no valid output ever reads
+        # it. Valid faces/cells are untouched by these masks.
+        zr = jnp.zeros((), u0n.dtype)
+        u0n = jnp.where(
+            (_ax_iota(u0n.shape, 0) + j * T <= n0)
+            & (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
+            u0n, zr)
+        u1n = jnp.where(
+            (_ax_iota(u1n.shape, 0) + j * T < n0)
+            & (s_i <= n1) & (_ax_iota(u1n.shape, 2) < n2),
+            u1n, zr)
+        u2n = jnp.where(
+            (_ax_iota(u2n.shape, 0) + j * T < n0)
+            & (_ax_iota(u2n.shape, 1) < n1) & (l_i < n2),
+            u2n, zr)
+
         out0[...] = u0n[:T]
         out1[...] = u1n
         out2[...] = u2n

@@ -9,6 +9,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from navierstokessolver_tpu import GridSpec
 from navierstokessolver_tpu.bcs import no_slip_box
@@ -103,9 +104,9 @@ def test_scalar_checkpoint_roundtrip(tmp_path):
     st = case.initial_state()
     st, _ = sim.run_scan(st, 20)
     path = str(tmp_path / "ckpt.npz")
-    h = io_mod.config_hash(sim.grid, sim.params)
+    h = io_mod.config_hash(sim.grid, sim.params, sim.scalar)
     io_mod.save_checkpoint(path, st, 20, h)
-    st2, step = io_mod.load_checkpoint(path, sim.grid, h)
+    st2, step = io_mod.load_checkpoint(path, sim.grid, h, expect_scalar=True)
     assert step == 20
     np.testing.assert_array_equal(np.asarray(st2.theta), np.asarray(st.theta))
     # resumed run continues identically
@@ -114,6 +115,39 @@ def test_scalar_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.theta), np.asarray(b.theta), atol=1e-7
     )
+
+
+def test_checkpoint_scalar_and_integrator_guards(tmp_path):
+    """ADVICE r1: resuming must not silently change physics.
+
+    (a) config_hash distinguishes integrator and scalar-on/off configs;
+    (b) a theta-less checkpoint refuses to resume into a scalar-enabled sim.
+    """
+    import dataclasses
+
+    from navierstokessolver_tpu import io as io_mod
+
+    plain = make_case("cavity", shape=(16, 16))
+    heated = make_case("heated_cavity", shape=(16, 16), ra=1e3)
+
+    h_plain = io_mod.config_hash(plain.sim.grid, plain.sim.params)
+    h_rk2 = io_mod.config_hash(
+        plain.sim.grid,
+        dataclasses.replace(plain.sim.params, integrator="rk2"),
+    )
+    assert h_plain != h_rk2
+    h_scalar = io_mod.config_hash(
+        heated.sim.grid, heated.sim.params, heated.sim.scalar
+    )
+    h_noscalar = io_mod.config_hash(heated.sim.grid, heated.sim.params)
+    assert h_scalar != h_noscalar
+
+    # Save a theta-less checkpoint, try to resume it as a scalar run.
+    st = plain.initial_state()
+    path = str(tmp_path / "plain.npz")
+    io_mod.save_checkpoint(path, st, 0, h_plain)
+    with pytest.raises(ValueError, match="no theta"):
+        io_mod.load_checkpoint(path, plain.sim.grid, expect_scalar=True)
 
 
 def test_rayleigh_benard_criticality():
