@@ -84,6 +84,8 @@ class DCTPoissonSolver:
         refine: int = 1,
         split_levels: Optional[int] = None,
         periodic: Optional[tuple[bool, ...]] = None,
+        self_check: bool = True,
+        _force_dense: bool = False,
     ) -> "DCTPoissonSolver":
         periodic = periodic or (False,) * grid.ndim
         if any(periodic) and mode != "matmul":
@@ -132,27 +134,11 @@ class DCTPoissonSolver:
                 if periodic[a]:
                     # symmetric-fold circulant split (2x MACs) pays at the
                     # same scale threshold as the DCT split
-                    if n >= 1024 and n % 2 == 0:
+                    if n >= 1024 and n % 2 == 0 and not _force_dense:
                         return dct_mod.CircSplitPlan(n, grid.dtype)
                     return dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
                 lv = _auto_levels(n) if split_levels is None else split_levels
-                if lv and n < 1024 and jax.default_backend() == "tpu":
-                    # SAFETY CLAMP for explicit overrides: split transforms
-                    # below n=1024 are only validated on CPU. On the TPU
-                    # backend the split at n=256 in 3D (65536-lane batch
-                    # matmuls) MISCOMPILES to silently wrong results
-                    # (measured rel res 0.86 vs 1.5e-6 dense; exact at 64^3
-                    # and at 2048^2, so the trigger is shape-specific).
-                    # Splitting never pays below 1024 anyway (measured),
-                    # so clamp rather than risk corrupt physics.
-                    import sys
-
-                    print(
-                        f"[fft_poisson] split_levels={lv} requested for "
-                        f"n={n} < 1024: clamped to 0 (TPU miscompilation "
-                        "guard; see DCTPoissonSolver.build)",
-                        file=sys.stderr,
-                    )
+                if _force_dense:
                     lv = 0
                 return dct_mod.SplitPlan(n, lv, grid.dtype)
 
@@ -176,7 +162,7 @@ class DCTPoissonSolver:
                         grid.shape[a], plan.levels
                     )
                 inv = np.take(inv, perm, axis=j)
-        return DCTPoissonSolver(
+        solver = DCTPoissonSolver(
             grid=grid,
             inv_eig=jnp.asarray(inv, grid.dtype),
             plans=plans,
@@ -184,6 +170,89 @@ class DCTPoissonSolver:
             precision=precision,
             refine=refine,
         )
+        if self_check:
+            # Build-time self-check (replaces the former n<1024 TPU shape
+            # clamp): round 1 found that the split transform at n=256-in-3D
+            # silently MISCOMPILES on TPU (rel err 0.86 vs 1.5e-6 dense),
+            # and shape-specific compiler bugs move between releases. Solve
+            # a manufactured multi-eigenmode RHS once and verify; on failure
+            # fall back to the dense (level-0) plans, which covers any
+            # future shape-specific miscompile at negligible build cost.
+            err = solver._self_check_error(periodic)
+            if not (err < 0.05):
+                import sys
+
+                if mode == "matmul" and not _force_dense:
+                    print(
+                        f"[fft_poisson] split-transform self-check FAILED "
+                        f"(rel err {err:.3g}) for shape {grid.shape} on "
+                        f"backend {jax.default_backend()!r}; falling back "
+                        "to dense level-0 transforms",
+                        file=sys.stderr,
+                    )
+                    return DCTPoissonSolver.build(
+                        grid, mode, precision, refine,
+                        split_levels=0, periodic=periodic,
+                        self_check=True, _force_dense=True,
+                    )
+                raise RuntimeError(
+                    f"DCT Poisson self-check failed (rel err {err:.3g}) "
+                    f"for shape {grid.shape}, mode {mode!r}, even with "
+                    "dense transforms; refusing to produce corrupt physics"
+                )
+        return solver
+
+    def _self_check_error(self, periodic: tuple[bool, ...]) -> float:
+        """Relative error of one direct solve on an exact-eigenfunction RHS.
+
+        The test field is a fixed-seed combination of ~8 discrete Laplacian
+        eigenmodes (cos products; Neumann axes use cos(pi k (i+1/2)/n),
+        periodic axes cos(2 pi k i/n)) with wavenumbers spread across the
+        spectrum, so every radix-split block carries signal. Eigenvalues are
+        computed analytically, making solve(sum c lam_m p_m) == sum c p_m
+        exact in exact arithmetic; f32 transform error is ~1e-4..1e-2,
+        while the miscompile class this guards against is O(1).
+        """
+        shape = self.grid.shape
+        spacing = self.grid.spacing
+        nd = self.grid.ndim
+        rng = np.random.RandomState(0)
+        p = np.zeros(shape, np.float64)
+        b = np.zeros(shape, np.float64)
+        for m in range(8):
+            lam = 0.0
+            prod = np.ones((1,) * nd, np.float64)
+            all_zero = True
+            for a, (n, h) in enumerate(zip(shape, spacing)):
+                if m == 0:
+                    k = min(1, n - 1)
+                elif m == 1:
+                    k = n - 1
+                else:
+                    k = int(rng.randint(0, n))
+                if k:
+                    all_zero = False
+                i = np.arange(n, dtype=np.float64)
+                if periodic[a]:
+                    theta = 2.0 * np.pi * k / n
+                    basis = np.cos(2.0 * np.pi * k * i / n)
+                else:
+                    theta = np.pi * k / n
+                    basis = np.cos(np.pi * k * (i + 0.5) / n)
+                lam += (2.0 * np.cos(theta) - 2.0) / (h * h)
+                sh = [1] * nd
+                sh[a] = n
+                prod = prod * basis.reshape(sh)
+            if all_zero:
+                continue  # constant mode is deflated by construction
+            c = float(rng.uniform(0.5, 1.0))
+            p += c * prod
+            b += c * lam * prod
+        p -= p.mean()
+        got = np.asarray(self._direct(jnp.asarray(b, self.grid.dtype)))
+        got = got - got.mean()
+        denom = float(np.linalg.norm(p.ravel())) or 1.0
+        return float(np.linalg.norm((got - p).ravel())) / denom
 
     def _direct(self, b: Array) -> Array:
         """One application of the diagonalized inverse Laplacian."""
