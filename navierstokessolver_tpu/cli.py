@@ -57,6 +57,7 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
 
     import jax
+    import numpy as np
 
     from . import io as io_mod
     from .cases import make_case
@@ -119,18 +120,36 @@ def main(argv=None) -> int:
     try:
         while step < step0 + n_steps:
             chunk = min(args.chunk, step0 + n_steps - step)
+            # Snapshot cadence is decoupled from the scan-chunk/window size:
+            # the window is split into scan segments that land exactly on
+            # snapshot steps (scan(a) then scan(b) is bitwise scan(a+b), so
+            # enabling snapshots is trajectory-neutral -- tested in
+            # tests/test_io.py). Each enqueue hands the still-on-device
+            # arrays to the writer thread without blocking the next segment.
             t0 = time.perf_counter()
-            state, diag = sim.run_scan(state, chunk)
+            diags = []
+            done = 0
+            while done < chunk:
+                seg = chunk - done
+                if next_snap is not None:
+                    seg = min(seg, next_snap - step)
+                state, diag = sim.run_scan(state, seg)
+                diags.append(diag)
+                step += seg
+                done += seg
+                if writer is not None and step == next_snap:
+                    writer.enqueue(state, step, step * sim.params.dt)
+                if next_snap is not None and step >= next_snap:
+                    next_snap += args.snapshot_every
             jax.block_until_ready(state.p)
             wall = time.perf_counter() - t0
-            step += chunk
+            diag = jax.tree.map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *diags
+            ) if len(diags) > 1 else diags[0]
             logger.log(WindowStats.from_diag(
                 diag, step=step, dt=sim.params.dt, wall_s=wall,
                 n_cells=sim.grid.num_cells(),
             ))
-            if writer is not None and next_snap is not None and step >= next_snap:
-                writer.enqueue(state, step, step * sim.params.dt)
-                next_snap += args.snapshot_every
             if args.checkpoint_every and step % args.checkpoint_every < chunk:
                 io_mod.save_checkpoint(
                     os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash

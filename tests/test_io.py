@@ -115,3 +115,31 @@ def test_cli_sharded_devices(tmp_path):
     ])
     assert rc == 0
     assert "ckpt.npz" in os.listdir(out)
+
+
+def test_snapshot_cadence_decoupled_from_chunk(tmp_path):
+    """VERDICT r1 item 7: --snapshot-every 7 --chunk 200 emits exactly every
+    7 steps, and enabling snapshots is bit-neutral on the trajectory."""
+    from navierstokessolver_tpu.cli import main
+
+    out_a = str(tmp_path / "with_snaps")
+    rc = main([
+        "--case", "cavity", "--shape", "16,16", "--steps", "21",
+        "--chunk", "200", "--out", out_a, "--snapshot-every", "7",
+        "--checkpoint-every", "1000",
+    ])
+    assert rc == 0
+    snaps = sorted(f for f in os.listdir(out_a) if f.startswith("snap_"))
+    assert snaps == ["snap_00000007.npz", "snap_00000014.npz",
+                     "snap_00000021.npz"]
+
+    out_b = str(tmp_path / "no_snaps")
+    rc = main([
+        "--case", "cavity", "--shape", "16,16", "--steps", "21",
+        "--chunk", "200", "--out", out_b, "--checkpoint-every", "1000",
+    ])
+    assert rc == 0
+    with np.load(os.path.join(out_a, "ckpt.npz")) as za, \
+            np.load(os.path.join(out_b, "ckpt.npz")) as zb:
+        for k in ("u0", "u1", "p"):
+            np.testing.assert_array_equal(za[k], zb[k])
