@@ -81,9 +81,11 @@ def main() -> None:
 
     # Warmup and measurement reuse the SAME chunk length: run_scan compiles
     # per static scan length, so a different measured length would fold a
-    # fresh multi-minute compile into the timing.
+    # fresh multi-minute compile into the timing. --warmup counts EXTRA
+    # post-compile warmup steps (ceil'd to whole chunks) beyond the compile
+    # chunk itself.
     chunk = args.steps
-    n_chunks = max(1, args.warmup // chunk) if args.warmup else 1
+    extra_warm_chunks = -(-args.warmup // chunk) if args.warmup else 0
 
     state = case.initial_state()
     t0 = time.perf_counter()
@@ -95,7 +97,7 @@ def main() -> None:
         f"poisson iters last={int(diag.poisson_iters[-1])}",
         file=sys.stderr,
     )
-    for _ in range(n_chunks - 1):
+    for _ in range(extra_warm_chunks):
         state, diag = sim.run_scan(state, chunk)
     jax.block_until_ready(state.p)
 

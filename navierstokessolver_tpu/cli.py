@@ -50,6 +50,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--csv", default=None, help="CSV metrics path")
     ap.add_argument("--devices", type=int, default=0,
                     help="shard over the first N devices (0 = single device)")
+    ap.add_argument("--poisson-comm", default="gspmd",
+                    choices=["gspmd", "halo"],
+                    help="distributed pressure solve: GSPMD auto-collectives "
+                         "or the explicit shard_map+ppermute halo ring")
     return ap
 
 
@@ -89,7 +93,7 @@ def main(argv=None) -> int:
         from .parallel import make_mesh, shard_state, sharded_simulation
 
         mesh = make_mesh(args.devices)
-        sim = sharded_simulation(sim, mesh)
+        sim = sharded_simulation(sim, mesh, poisson_comm=args.poisson_comm)
 
     cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar)
     step0 = 0

@@ -29,7 +29,11 @@ import jax
 import numpy as np
 
 from .grid import GridSpec, State, interpolate_to_centers
-from .ops.stencils import vorticity_2d, vorticity_magnitude_3d
+from .ops.stencils import (
+    streamfunction_2d,
+    vorticity_2d,
+    vorticity_magnitude_3d,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -51,6 +55,7 @@ def snapshot_arrays(grid: GridSpec, state: State) -> dict[str, np.ndarray]:
         out["theta"] = np.asarray(state.theta)
     if grid.ndim == 2:
         out["vorticity"] = np.asarray(vorticity_2d(grid, state.u))
+        out["streamfunction"] = np.asarray(streamfunction_2d(grid, state.u))
     else:
         out["vorticity_mag"] = np.asarray(
             vorticity_magnitude_3d(grid, state.u)

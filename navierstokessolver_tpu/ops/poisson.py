@@ -179,15 +179,95 @@ def build_poisson_op(
     )
 
 
-def _neighbor_sum(op: PoissonOp, p: Array) -> Array:
+@dataclasses.dataclass(frozen=True)
+class ShardCtx:
+    """Distribution context: run the SAME solver bodies inside a shard_map
+    block (SURVEY.md SS5 "the halo exchange IS the ring").
+
+    One implementation, two modes (VERDICT r1 item 4 -- the explicit
+    halo-exchange solver must not fork the convergence semantics): with
+    ``ctx=None`` every function below is the plain single-device math; with
+    a ctx, neighbor fetches along sharded axes become ``ppermute`` ghost
+    slabs over ICI (wraparound ring ends on periodic axes), reductions
+    become ``psum`` over the mesh axes, and red-black parity picks up the
+    shard's global offset.
+
+    axes:  per grid axis, the mesh axis name it is sharded over (None =
+           locally resident).
+    sizes: devices per grid axis (1 where unsharded).
+    """
+
+    axes: tuple
+    sizes: tuple
+
+    @property
+    def names(self) -> tuple:
+        return tuple(n for n in self.axes if n is not None)
+
+    def psum(self, x):
+        names = self.names
+        return jax.lax.psum(x, names) if names else x
+
+    def parity_offset(self, local_shape):
+        off = jnp.int32(0)
+        for a, name in enumerate(self.axes):
+            if name is not None:
+                off = off + jax.lax.axis_index(name).astype(jnp.int32) * (
+                    local_shape[a]
+                )
+        return off
+
+    def ghosts(self, p: Array, a: int, periodic: bool):
+        """(lo, hi) ghost slabs along grid axis ``a`` from the ring
+        neighbors. Non-periodic ring ends receive zeros (their coupling
+        bits are cleared in the stencil code, so the content is multiplied
+        by zero); periodic axes close the ring with a wraparound link."""
+        name = self.axes[a]
+        n = self.sizes[a]
+        nd = p.ndim
+        lo_sl = [slice(None)] * nd
+        lo_sl[a] = slice(0, 1)
+        hi_sl = [slice(None)] * nd
+        hi_sl[a] = slice(-1, None)
+        fwd = [(k, k + 1) for k in range(n - 1)]
+        bwd = [(k, k - 1) for k in range(1, n)]
+        if periodic:
+            fwd.append((n - 1, 0))
+            bwd.append((0, n - 1))
+        lo = jax.lax.ppermute(p[tuple(hi_sl)], name, fwd)
+        hi = jax.lax.ppermute(p[tuple(lo_sl)], name, bwd)
+        return lo, hi
+
+    def sharded(self, a: int) -> bool:
+        return self.axes[a] is not None and self.sizes[a] > 1
+
+
+def _neighbor_sum(op: PoissonOp, p: Array, ctx: Optional[ShardCtx] = None) -> Array:
     """``sum_d c_d * p_neighbor_d``, coefficients decoded from the stencil
     code (select-then-scale: a masked-out neighbor contributes exactly 0,
-    which also kills the zero-pad ghosts)."""
+    which also kills the zero-pad ghosts). With a ShardCtx, neighbors along
+    sharded axes arrive as ppermute'd ghost slabs."""
     nd = p.ndim
     code = op.code
     periodic = op.periodic or (False,) * nd
     out = jnp.zeros_like(p)
     for a in range(nd):
+        if ctx is not None and ctx.sharded(a):
+            gl, gr = ctx.ghosts(p, a, periodic[a])
+            pad = jnp.concatenate([gl, p, gr], axis=a)
+            sl_lo = [slice(None)] * nd
+            sl_lo[a] = slice(0, -2)
+            sl_hi = [slice(None)] * nd
+            sl_hi[a] = slice(2, None)
+            p_lo = pad[tuple(sl_lo)]
+            p_hi = pad[tuple(sl_hi)]
+            has_lo = (code & (1 << (2 * a))) > 0
+            has_hi = (code & (1 << (2 * a + 1))) > 0
+            zero = jnp.zeros((), p.dtype)
+            out = out + op.w[a] * (
+                jnp.where(has_lo, p_lo, zero) + jnp.where(has_hi, p_hi, zero)
+            )
+            continue
         if periodic[a]:
             p_lo = jnp.roll(p, 1, axis=a)
             p_hi = jnp.roll(p, -1, axis=a)
@@ -217,22 +297,33 @@ def _neighbor_sum(op: PoissonOp, p: Array) -> Array:
     return out
 
 
-def apply_A(op: PoissonOp, p: Array) -> Array:
-    return op.diag * p + _neighbor_sum(op, p)
+def apply_A(op: PoissonOp, p: Array, ctx: Optional[ShardCtx] = None) -> Array:
+    return op.diag * p + _neighbor_sum(op, p, ctx)
 
 
-def deflate(op: PoissonOp, x: Array) -> Array:
-    """Remove the constant nullspace component over fluid cells (singular case)."""
+def deflate(op: PoissonOp, x: Array, ctx: Optional[ShardCtx] = None) -> Array:
+    """Remove the constant nullspace component over fluid cells (singular case).
+
+    ``op.inv_fluid_count`` is the GLOBAL reciprocal count, so under a ctx
+    the psum'd local sums produce the global mean."""
     if not op.singular:
         return x
     fluid = op.fluid
-    mean = jnp.sum(x * fluid) * op.inv_fluid_count
+    s = jnp.sum(x * fluid)
+    if ctx is not None:
+        s = ctx.psum(s)
+    mean = s * op.inv_fluid_count
     return (x - mean) * fluid
 
 
-def residual_norm(op: PoissonOp, p: Array, b: Array) -> Array:
-    r = (b - apply_A(op, p)) * op.fluid
-    return jnp.sqrt(jnp.sum(r * r))
+def residual_norm(
+    op: PoissonOp, p: Array, b: Array, ctx: Optional[ShardCtx] = None
+) -> Array:
+    r = (b - apply_A(op, p, ctx)) * op.fluid
+    s = jnp.sum(r * r)
+    if ctx is not None:
+        s = ctx.psum(s)
+    return jnp.sqrt(s)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -274,37 +365,48 @@ def solve_poisson(
     p0: Array,
     grid: GridSpec,
     cfg: PoissonConfig,
+    ctx: Optional[ShardCtx] = None,
 ) -> tuple[Array, Array, Array]:
     """Solve ``A p = b``; returns ``(p, iters, final_relative_residual)``.
 
-    jit-safe: fixed-structure ``lax.while_loop`` with iteration cap.
+    jit-safe: fixed-structure ``lax.while_loop`` with iteration cap. With a
+    ``ShardCtx`` this same body runs distributed inside a shard_map block
+    (parallel/halo.py): identical convergence semantics by construction --
+    every device evaluates the same psum'd predicate, control flow stays
+    lockstep with zero host round-trips.
     """
     dt = grid.dtype
     b = b * op.fluid
-    b = deflate(op, b) if op.singular else b
+    b = deflate(op, b, ctx) if op.singular else b
     p0 = (p0 * op.fluid).astype(dt)
-    bnorm = jnp.sqrt(jnp.sum(b * b))
+    bsq = jnp.sum(b * b)
+    if ctx is not None:
+        bsq = ctx.psum(bsq)
+    bnorm = jnp.sqrt(bsq)
     tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
     inv_bnorm = 1.0 / jnp.maximum(bnorm, tiny)
     tol = jnp.asarray(cfg.tol, dt)
 
     if cfg.method == "cg":
-        return _solve_cg(op, b, p0, inv_bnorm, tol, cfg.max_iters)
+        return _solve_cg(op, b, p0, inv_bnorm, tol, cfg.max_iters, ctx)
     if cfg.method in ("jacobi", "gs", "sor"):
         if cfg.method == "jacobi":
             w = cfg.jacobi_weight
-            sweep = lambda p: _jacobi_sweep(op, p, b, w)
+            sweep = lambda p: _jacobi_sweep(op, p, b, w, ctx)
         else:
             omega = 1.0 if cfg.method == "gs" else (
                 cfg.omega if cfg.omega is not None else _auto_omega(grid)
             )
-            sweep = lambda p: _rb_sweep(op, p, b, omega)
-        return _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg)
+            sweep = lambda p: _rb_sweep(op, p, b, omega, ctx=ctx)
+        return _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg, ctx)
     raise ValueError(f"unknown poisson method {cfg.method!r}")
 
 
-def _jacobi_sweep(op: PoissonOp, p: Array, b: Array, weight: float = 1.0) -> Array:
-    p_new = (b - _neighbor_sum(op, p)) / op.diag
+def _jacobi_sweep(
+    op: PoissonOp, p: Array, b: Array, weight: float = 1.0,
+    ctx: Optional[ShardCtx] = None,
+) -> Array:
+    p_new = (b - _neighbor_sum(op, p, ctx)) / op.diag
     if weight != 1.0:
         p_new = (1.0 - weight) * p + weight * p_new
     return p_new * op.fluid
@@ -325,19 +427,22 @@ def _rb_masks(op: PoissonOp) -> tuple[Array, Array]:
 
 
 def _rb_sweep(
-    op: PoissonOp, p: Array, b: Array, omega: float, parity_offset=0
+    op: PoissonOp, p: Array, b: Array, omega: float, parity_offset=0,
+    ctx: Optional[ShardCtx] = None,
 ) -> Array:
+    if ctx is not None:
+        parity_offset = parity_offset + ctx.parity_offset(p.shape)
     red = _parity(p.shape, parity_offset)
     fluid = op.fluid
     for is_red in (True, False):
         color = red if is_red else jnp.logical_not(red)
-        gs = (b - _neighbor_sum(op, p)) / op.diag
+        gs = (b - _neighbor_sum(op, p, ctx)) / op.diag
         p_new = (1.0 - omega) * p + omega * gs
         p = jnp.where(color, p_new, p) * fluid
     return p
 
 
-def _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg):
+def _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg, ctx=None):
     check = max(1, int(cfg.check_every))
 
     def cond(carry):
@@ -349,16 +454,16 @@ def _relaxation_loop(op, b, p0, sweep, inv_bnorm, tol, cfg):
         for _ in range(check):
             p = sweep(p)
         if op.singular:
-            p = deflate(op, p)
-        res = residual_norm(op, p, b) * inv_bnorm
+            p = deflate(op, p, ctx)
+        res = residual_norm(op, p, b, ctx) * inv_bnorm
         return p, k + check, res
 
-    res0 = residual_norm(op, p0, b) * inv_bnorm
+    res0 = residual_norm(op, p0, b, ctx) * inv_bnorm
     p, iters, res = jax.lax.while_loop(cond, body, (p0, jnp.int32(0), res0))
     return p, iters, res
 
 
-def _solve_cg(op, b, p0, inv_bnorm, tol, max_iters):
+def _solve_cg(op, b, p0, inv_bnorm, tol, max_iters, ctx=None):
     """Matrix-free conjugate gradients on the masked Laplacian.
 
     The discrete Laplacian here is negative (semi-)definite, so CG runs on the
@@ -369,15 +474,16 @@ def _solve_cg(op, b, p0, inv_bnorm, tol, max_iters):
     """
 
     def dot(x, y):
-        return jnp.sum(x * y)
+        s = jnp.sum(x * y)
+        return ctx.psum(s) if ctx is not None else s
 
     def matvec(x):
-        ax = -apply_A(op, x) * op.fluid
-        return deflate(op, ax) if op.singular else ax
+        ax = -apply_A(op, x, ctx) * op.fluid
+        return deflate(op, ax, ctx) if op.singular else ax
 
     b = -b
     r0 = (b - matvec(p0)) * op.fluid
-    r0 = deflate(op, r0) if op.singular else r0
+    r0 = deflate(op, r0, ctx) if op.singular else r0
     d0 = r0
     rs0 = dot(r0, r0)
 
@@ -400,5 +506,5 @@ def _solve_cg(op, b, p0, inv_bnorm, tol, max_iters):
         cond, body, (p0, r0, d0, rs0, jnp.int32(0))
     )
     if op.singular:
-        p = deflate(op, p)
+        p = deflate(op, p, ctx)
     return p, iters, jnp.sqrt(rs) * inv_bnorm

@@ -280,6 +280,25 @@ def vorticity_2d(grid: GridSpec, u: Sequence[Array]) -> Array:
     return dvdx - dudy
 
 
+def streamfunction_2d(grid: GridSpec, u: Sequence[Array]) -> Array:
+    """Discrete streamfunction psi at grid nodes, shape (nx+1, ny+1).
+
+    SURVEY.md SS3.3 lists streamfunction as an (optional) reference-derived
+    output. MAC-exact construction: psi(i, j+1) - psi(i, j) = u[i, j] * dy,
+    psi(i, 0) = 0 along the bottom boundary nodes -- then
+    psi(i+1, j) - psi(i, j) = -v[i, j] * dx holds identically wherever the
+    discrete divergence vanishes (i.e. everywhere after projection), making
+    the column integral path-independent to solver tolerance. Contours of
+    psi are streamlines; the cavity's primary-vortex psi_min is a classic
+    Ghia et al. (1982) benchmark quantity."""
+    if grid.ndim != 2:
+        raise ValueError("streamfunction_2d is 2D only")
+    dy = grid.spacing[1]
+    uu = u[0]  # (nx+1, ny) x-face normal velocities
+    psi = jnp.cumsum(uu, axis=1) * dy
+    return jnp.pad(psi, [(0, 0), (1, 0)])
+
+
 def vorticity_magnitude_3d(grid: GridSpec, u: Sequence[Array]) -> Array:
     """|curl u| at interior grid nodes (visualization/diagnostics; shape
     (nx-1, ny-1, nz-1) -- each curl component is averaged from its natural

@@ -96,11 +96,33 @@ def shard_state(state: State, mesh: Mesh, grid: GridSpec) -> State:
     return jax.device_put(state, shardings)
 
 
-def sharded_simulation(sim, mesh: Mesh):
-    """Return a copy of ``sim`` whose step constrains fields to the mesh."""
+def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
+    """Return a copy of ``sim`` whose step constrains fields to the mesh.
+
+    ``poisson_comm`` selects the distributed pressure-solve mechanism:
+      * ``"gspmd"`` (default): XLA's SPMD partitioner inserts the halo
+        collectives for every stencil in the Poisson while_loop;
+      * ``"halo"``: the explicit shard_map + ppermute solver
+        (parallel/halo.py) -- hand-written ring halos over ICI + psum
+        reductions, same convergence semantics (one shared implementation).
+        Requires an iterative method (jacobi/gs/sor/cg).
+    """
     import dataclasses
 
-    return dataclasses.replace(sim, shardings=state_shardings(mesh, sim.grid))
+    halo_solver = None
+    if poisson_comm == "halo":
+        from .halo import ShardedPoissonSolver
+
+        halo_solver = ShardedPoissonSolver.build(
+            sim.grid, sim.op, mesh, sim.params.poisson
+        )
+    elif poisson_comm != "gspmd":
+        raise ValueError(f"unknown poisson_comm {poisson_comm!r}")
+    return dataclasses.replace(
+        sim,
+        shardings=state_shardings(mesh, sim.grid),
+        halo_solver=halo_solver,
+    )
 
 
 def replicate_state(state: State, mesh: Mesh) -> State:

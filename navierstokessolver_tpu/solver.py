@@ -85,6 +85,12 @@ class Simulation:
     dct_solver: Optional[object] = None
     # Geometric multigrid solver (set when params.poisson.method == "mg").
     mg_solver: Optional[object] = None
+    # Explicit halo-exchange pressure solver (parallel/halo.py): set by
+    # parallel.sharded_simulation(..., poisson_comm="halo") for
+    # jacobi/gs/sor/cg runs; the Poisson while_loop then runs as ONE
+    # shard_map'd program with hand-written ppermute halos + psum
+    # reductions instead of GSPMD-inserted collectives.
+    halo_solver: Optional[object] = None
     # Run Pallas kernels in interpret mode (CPU testing only).
     pallas_interpret: bool = False
     # Optional transported scalar + Boussinesq coupling (scalar.py).
@@ -243,6 +249,10 @@ class Simulation:
     def _solve_pressure(self, rhs: Array, p0: Array):
         """Dispatch to the configured pressure solver; returns (p, iters, res)."""
         pr = self.params
+        if self.halo_solver is not None:
+            # op passed explicitly: its arrays are threaded as traced jit
+            # arguments (run_scan consts), not baked program constants.
+            return self.halo_solver.solve(rhs, p0, op=self.op)
         if self.dct_solver is not None:
             from .ops import fft_poisson
 

@@ -69,3 +69,84 @@ def test_build_rejects_bad_mesh():
     op = build_poisson_op(g, no_slip_box(g))
     with pytest.raises(ValueError, match="divide"):
         ShardedPoissonSolver.build(g, op, make_mesh(8), PoissonConfig())
+
+
+@requires_8
+def test_sharded_solve_2d_pencil_mesh():
+    """VERDICT r1 item 4: the explicit halo solver supports pencil (2D)
+    meshes -- ppermute rings along BOTH grid axes."""
+    g = GridSpec(shape=(32, 32), lengths=(1.0, 1.0))
+    op = build_poisson_op(g, no_slip_box(g))
+    mesh = make_mesh((2, 4))
+    cfg = PoissonConfig(method="cg", tol=1e-6, max_iters=20000)
+    solver = ShardedPoissonSolver.build(g, op, mesh, cfg)
+    r = np.random.default_rng(2)
+    b = jnp.asarray(r.normal(size=g.shape).astype(np.float32))
+    p_sh, it_sh, res = solver.solve(b, jnp.zeros(g.shape, g.dtype))
+    assert float(res) < 1.1e-6
+    p_ref, it_ref, _ = solve_poisson(op, b, jnp.zeros(g.shape, g.dtype), g, cfg)
+    d = np.asarray(deflate(op, p_sh)) - np.asarray(deflate(op, p_ref))
+    assert np.abs(d).max() < 5e-4
+    assert len(p_sh.sharding.device_set) == 8
+
+
+@requires_8
+@pytest.mark.parametrize("method", ["sor", "cg"])
+def test_sharded_solve_periodic_ring_ends(method):
+    """Periodic axes close the ppermute ring with a wraparound link (the
+    former NotImplementedError)."""
+    import math
+
+    g = GridSpec(shape=(64, 16), lengths=(2 * math.pi, 1.0))
+    bcs = {(0, s): BCSpec.periodic() for s in (0, 1)}
+    bcs.update({(1, s): BCSpec.wall((0.0, 0.0)) for s in (0, 1)})
+    op = build_poisson_op(g, bcs)
+    assert op.periodic[0] and not op.periodic[1]
+    mesh = make_mesh(8)  # shards the PERIODIC axis
+    cfg = PoissonConfig(method=method, tol=1e-5, max_iters=30000)
+    solver = ShardedPoissonSolver.build(g, op, mesh, cfg)
+    r = np.random.default_rng(3)
+    b = r.normal(size=g.shape).astype(np.float32)
+    b -= b.mean()
+    b = jnp.asarray(b)
+    p_sh, _, res = solver.solve(b, jnp.zeros(g.shape, g.dtype))
+    assert float(res) <= 1.1e-5
+    p_ref, _, _ = solve_poisson(op, b, jnp.zeros(g.shape, g.dtype), g, cfg)
+    d = np.asarray(deflate(op, p_sh)) - np.asarray(deflate(op, p_ref))
+    assert np.abs(d).max() < 5e-4
+
+
+@requires_8
+def test_simulation_halo_comm_matches_gspmd():
+    """Production wiring: sharded_simulation(..., poisson_comm='halo')
+    dispatches the explicit solver from Simulation._solve_pressure and the
+    trajectory matches the GSPMD path and the single-device run."""
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.parallel import (
+        shard_state,
+        sharded_simulation,
+    )
+
+    case = make_case("cavity", shape=(32, 32), poisson_method="cg",
+                     poisson_tol=1e-6, poisson_iters=20000)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 20)
+
+    mesh = make_mesh(8)
+    sim_halo = sharded_simulation(sim, mesh, poisson_comm="halo")
+    assert sim_halo.halo_solver is not None
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, diag = sim_halo.run_scan(st, 20)
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=5e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p), atol=5e-4)
+    assert len(out.p.sharding.device_set) == 8
+
+    sim_gspmd = sharded_simulation(sim, mesh, poisson_comm="gspmd")
+    out2, _ = sim_gspmd.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 20
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(out2.u[0]), atol=5e-5
+    )

@@ -167,3 +167,23 @@ def test_vorticity_magnitude_3d_solid_rotation():
     w = vorticity_magnitude_3d(g, (u0, u1, u2))
     assert w.shape == (7, 9, 5)
     np.testing.assert_allclose(np.asarray(w), 2.0, rtol=1e-5)
+
+
+def test_streamfunction_consistency():
+    """psi's x-differences reproduce -v wherever div u = 0 (MAC-exact), and
+    psi vanishes on the solid left/bottom boundaries of the cavity."""
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.ops.stencils import streamfunction_2d
+
+    case = make_case("cavity", shape=(24, 24))
+    st, d = case.sim.run_scan(case.initial_state(), 200)
+    g = case.sim.grid
+    psi = np.asarray(streamfunction_2d(g, st.u))
+    assert psi.shape == (g.shape[0] + 1, g.shape[1] + 1)
+    np.testing.assert_allclose(psi[0, :], 0.0, atol=1e-7)
+    np.testing.assert_allclose(psi[:, 0], 0.0, atol=1e-7)
+    dx = g.spacing[0]
+    v = np.asarray(st.u[1])
+    got_v = -(psi[1:, :] - psi[:-1, :]) / dx  # (nx, ny+1)
+    # holds to the projection tolerance (max_div ~ 1e-5 * dy accumulation)
+    np.testing.assert_allclose(got_v, v, atol=5e-5)
