@@ -334,19 +334,8 @@ def _lane_fixes(grid: GridSpec, bcs: BCTable, c: int):
     return None, fix, fix
 
 
-def predictor_3d(
-    grid: GridSpec,
-    bcs: BCTable,
-    u: Sequence[Array],
-    dt,
-    nu: float,
-    upwind_gamma: float = 0.0,
-    tile: int = None,
-    interpret: bool = False,
-) -> tuple[Array, Array, Array]:
-    """Fused Pallas 3D predictor; same contract as the 2D kernel (boundary
-    faces carry garbage for the caller's BC pass to overwrite)."""
-    h = grid.spacing
+def _canon_dims_3d(grid: GridSpec, tile=None):
+    """(T, NP0, S1, L2, shape_pad) of the canonical padded 3D operands."""
     n = grid.shape
     if tile is None:
         # scale the stripe height to the plane footprint so the three
@@ -354,41 +343,47 @@ def predictor_3d(
         # planes need ~4x shorter stripes than 256-wide ones)
         plane = _round_up(n[1] + 1, 8) * _round_up(n[2], 128)
         tile = 32 if plane <= 128 * 1024 else 8
-    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
-
     T = tile
     NP0 = _round_up(n[0] + 1, T)            # covers every component's e0
     S1 = _round_up(_round_up(n[1] + 1, 8) + 2, 8)
     L2 = _round_up(n[2], 128)
-    shape_pad = (NP0 + 2, S1, L2)
+    return T, NP0, S1, L2, (NP0 + 2, S1, L2)
 
-    # canonical padded components (built once, shared by all three kernels):
-    # aprons on axes 0 and 1 only (pad_transverse would also pad axis 2,
-    # whose ghosts are synthesized in-kernel), lanes exact.
-    fixes = [_lane_fixes(grid, bcs, c) for c in range(3)]
+
+def bc_ghost_slab_3d(grid: GridSpec, bcs: BCTable, c: int, x: Array,
+                     ax: int, side: int) -> Array:
+    """BC ghost plane of component ``c`` along TRANSVERSE axis ``ax``:
+    reflection ``2 v_bc - edge`` at wall/inflow, edge copy otherwise."""
     from ..bcs import BCKind, _face_slice
 
-    def ghost_pad(c, x, ax):
-        lo_bc = bcs[(ax, 0)]
-        hi_bc = bcs[(ax, 1)]
-        e_lo = _face_slice(x, ax, slice(0, 1))
-        e_hi = _face_slice(x, ax, slice(-1, None))
-        def ghost(bc, edge, side):
-            if bc.kind in (BCKind.WALL, BCKind.INFLOW):
-                val = jnp.asarray(bc.component(c, 3), grid.dtype)
-                return jnp.broadcast_to(2.0 * val - edge, edge.shape)
-            return edge
-        return jnp.concatenate(
-            [ghost(lo_bc, e_lo, 0), x, ghost(hi_bc, e_hi, 1)], axis=ax
-        )
+    bc = bcs[(ax, side)]
+    edge = _face_slice(x, ax, slice(0, 1) if side == 0 else slice(-1, None))
+    if bc.kind in (BCKind.WALL, BCKind.INFLOW):
+        val = jnp.asarray(bc.component(c, grid.ndim), grid.dtype)
+        return jnp.broadcast_to(2.0 * val - edge, edge.shape)
+    return edge
 
-    canon = []
-    for c in range(3):
-        x = u[c][:, :, :-1] if c == 2 else u[c]
-        for ax in (0, 1):
-            x = _edge_pad(x, ax) if ax == c else ghost_pad(c, x, ax)
-        x = jnp.pad(x, [(0, shape_pad[d] - x.shape[d]) for d in range(3)])
-        canon.append(x)
+
+def predictor_3d_from_canon(
+    grid: GridSpec,
+    bcs: BCTable,
+    canon: Sequence[Array],
+    dt,
+    nu: float,
+    upwind_gamma: float = 0.0,
+    tile: int = None,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Kernel invocations over pre-built canonical operands (see
+    :func:`predictor_3d` for the canonical layout). Split out so the
+    sharded wrapper (parallel/pallas_sharded.py) can splice ppermute halo
+    planes into the canon instead of BC ghosts and reuse the kernels
+    verbatim on its local block."""
+    h = grid.spacing
+    n = grid.shape
+    T, NP0, S1, L2, shape_pad = _canon_dims_3d(grid, tile)
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
+    fixes = [_lane_fixes(grid, bcs, c) for c in range(3)]
 
     out = []
     for a in range(3):
@@ -435,6 +430,44 @@ def predictor_3d(
             res = jnp.concatenate([res, res[:, :, -1:]], axis=2)
         out.append(res)
     return tuple(out)
+
+
+def predictor_3d(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: Sequence[Array],
+    dt,
+    nu: float,
+    upwind_gamma: float = 0.0,
+    tile: int = None,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Fused Pallas 3D predictor; same contract as the 2D kernel (boundary
+    faces carry garbage for the caller's BC pass to overwrite)."""
+    T, NP0, S1, L2, shape_pad = _canon_dims_3d(grid, tile)
+    # canonical padded components (built once, shared by all three kernels):
+    # aprons on axes 0 and 1 only (pad_transverse would also pad axis 2,
+    # whose ghosts are synthesized in-kernel), lanes exact.
+    canon = []
+    for c in range(3):
+        x = u[c][:, :, :-1] if c == 2 else u[c]
+        for ax in (0, 1):
+            if ax == c:
+                x = _edge_pad(x, ax)
+            else:
+                x = jnp.concatenate(
+                    [
+                        bc_ghost_slab_3d(grid, bcs, c, x, ax, 0),
+                        x,
+                        bc_ghost_slab_3d(grid, bcs, c, x, ax, 1),
+                    ],
+                    axis=ax,
+                )
+        x = jnp.pad(x, [(0, shape_pad[d] - x.shape[d]) for d in range(3)])
+        canon.append(x)
+    return predictor_3d_from_canon(
+        grid, bcs, canon, dt, nu, upwind_gamma, T, interpret
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,213 @@
+"""Sharded fused Pallas predictor: shard_map + ppermute halos around the
+SAME kernels (VERDICT r1 item 3 -- multi-chip runs must keep the Pallas
+path; round 1 silently fell back to the jnp step under GSPMD).
+
+Why this works without touching the kernels: the 3D predictor's ghost
+values along axes 0 and 1 are materialized at the jnp level as 1-plane
+"canon" aprons (ops/pallas_kernels.predictor_3d); only axis-2 (lane) ghosts
+are synthesized in-kernel from the BC table. So under a spatial mesh over
+grid axes 0/1 each device can build its LOCAL canon with
+
+  * ppermute'd neighbor planes at interior shard boundaries (the halo), and
+  * the usual BC-formula ghosts at true domain boundaries,
+
+selected per shard by ``axis_index`` (SPMD-uniform program), and then run
+``predictor_3d_from_canon`` verbatim on its local block. Communication is
+exactly the stencil halo: 1 plane per component per sharded-axis side per
+step, riding ICI -- the same volume GSPMD would move, but explicit.
+
+Staggered faces: the component along a sharded axis is carried TRIMMED
+(n rows, dropping the globally-last boundary face) so shard_map sees evenly
+divisible arrays; the shared face at each internal boundary is owned by the
+lower shard and travels to the upper shard as its lo-halo, the true
+boundary face value is reconstructed from the BC table (Dirichlet value /
+outflow copy -- the input state invariant is that boundary faces carry BC
+values, bcs.apply_velocity_bcs), and the caller's BC pass re-appends /
+overwrites the dropped global face row.
+
+Axis-2 sharding is NOT supported (lane ghosts are in-kernel); meshes over
+('sx',) slabs and ('sx', 'sy') pencils cover the BASELINE #5 topology
+(256^3 slab-decomposed).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..bcs import BCTable
+from ..grid import GridSpec
+from ..ops import pallas_kernels as pk
+
+Array = jax.Array
+
+
+def mesh_axis_sizes(mesh: Mesh, grid: GridSpec) -> tuple[int, ...]:
+    """Devices per grid axis (1 where unsharded) for a spatial mesh."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    from .sharding import SPATIAL_AXES
+
+    return tuple(
+        sizes.get(SPATIAL_AXES[a], 1) if a < len(SPATIAL_AXES) else 1
+        for a in range(grid.ndim)
+    )
+
+
+def predictor_3d_sharded_applicable(
+    grid: GridSpec, bcs: BCTable, mesh: Mesh
+) -> bool:
+    from .sharding import SPATIAL_AXES
+
+    if tuple(mesh.axis_names) != SPATIAL_AXES[: len(mesh.axis_names)]:
+        return False
+    sizes = mesh_axis_sizes(mesh, grid)
+    if grid.ndim != 3 or sizes[2] > 1:
+        return False  # lane ghosts are in-kernel; axis 2 must be local
+    if any(grid.shape[a] % sizes[a] for a in range(3)):
+        return False
+    if min(grid.shape[a] // sizes[a] for a in range(2)) < 4:
+        return False  # degenerate slabs: halo wider than the block
+    return pk.predictor_3d_applicable(grid, bcs)
+
+
+def _ghost_plane(x: Array, a: int, side: int, name: str, n_dev: int,
+                 bc_slab: Array) -> Array:
+    """One ghost plane along grid axis ``a``: the ring neighbor's edge plane
+    at interior shard boundaries, ``bc_slab`` at the true domain boundary.
+    ``side``: 0 = plane BELOW the local block, 1 = plane ABOVE it."""
+    nd = x.ndim
+    sl = [slice(None)] * nd
+    if side == 0:
+        sl[a] = slice(-1, None)       # neighbor below sends its TOP plane
+        perm = [(k, k + 1) for k in range(n_dev - 1)]
+        is_edge = jax.lax.axis_index(name) == 0
+    else:
+        sl[a] = slice(0, 1)           # neighbor above sends its BOTTOM plane
+        perm = [(k, k - 1) for k in range(1, n_dev)]
+        is_edge = jax.lax.axis_index(name) == n_dev - 1
+    halo = jax.lax.ppermute(x[tuple(sl)], name, perm)
+    return jnp.where(is_edge, bc_slab, halo)
+
+
+def _own_face_value(bcs: BCTable, a: int, x: Array, grid: GridSpec) -> Array:
+    """The globally-last boundary face of component ``a`` (trimmed off for
+    shard_map): Dirichlet value or outflow copy of the adjacent face."""
+    spec = pk._own_face_spec(bcs, a, 1)
+    sl = [slice(None)] * x.ndim
+    sl[a] = slice(-1, None)
+    edge = x[tuple(sl)]
+    if spec[0] == "copy":
+        return edge
+    return jnp.full(edge.shape, spec[1], grid.dtype)
+
+
+def predictor_3d_sharded(
+    grid: GridSpec,
+    bcs: BCTable,
+    mesh: Mesh,
+    u: Sequence[Array],
+    dt,
+    nu: float,
+    upwind_gamma: float = 0.0,
+    tile: int = None,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Sharded fused 3D predictor; same contract as predictor_3d (boundary
+    faces -- including each dropped global face row, re-appended here as
+    zeros -- carry garbage for the caller's BC pass to overwrite)."""
+    from .sharding import SPATIAL_AXES
+
+    sizes = mesh_axis_sizes(mesh, grid)
+    names = tuple(mesh.axis_names)
+    n = grid.shape
+    sharded = tuple(sizes[a] > 1 for a in range(3))
+    local_shape = tuple(n[a] // sizes[a] for a in range(3))
+    h = grid.spacing
+    local_grid = GridSpec(
+        shape=local_shape,
+        lengths=tuple(local_shape[a] * h[a] for a in range(3)),
+        dtype=grid.dtype,
+    )
+
+    def spec_for(_):
+        return P(*names, *([None] * (3 - len(names))))
+
+    def body(u0l, u1l, u2l):
+        ul = [u0l, u1l, u2l]
+        canon = []
+        T, NP0, S1, L2, shape_pad = pk._canon_dims_3d(local_grid, tile)
+        for c in range(3):
+            x = ul[c][:, :, :-1] if c == 2 else ul[c]
+            for ax in (0, 1):
+                if not sharded[ax]:
+                    if ax == c:
+                        x = pk._edge_pad(x, ax)
+                    else:
+                        x = jnp.concatenate(
+                            [
+                                pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 0),
+                                x,
+                                pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 1),
+                            ],
+                            axis=ax,
+                        )
+                    continue
+                name, nd_ = names[ax], sizes[ax]
+                lo_sl = [slice(None)] * 3
+                lo_sl[ax] = slice(0, 1)
+                hi_sl = [slice(None)] * 3
+                hi_sl[ax] = slice(-1, None)
+                if ax == c:
+                    # own (staggered) axis, trimmed representation:
+                    # [apron(face kB-1), B faces, true face (k+1)B, apron]
+                    lo = _ghost_plane(x, ax, 0, name, nd_, x[tuple(lo_sl)])
+                    hi_face = _ghost_plane(
+                        x, ax, 1, name, nd_,
+                        _own_face_value(bcs, c, x, grid),
+                    )
+                    x = jnp.concatenate([lo, x, hi_face, hi_face], axis=ax)
+                else:
+                    lo = _ghost_plane(
+                        x, ax, 0, name, nd_,
+                        pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 0),
+                    )
+                    hi = _ghost_plane(
+                        x, ax, 1, name, nd_,
+                        pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 1),
+                    )
+                    x = jnp.concatenate([lo, x, hi], axis=ax)
+            x = jnp.pad(
+                x, [(0, shape_pad[d] - x.shape[d]) for d in range(3)]
+            )
+            canon.append(x)
+        res = pk.predictor_3d_from_canon(
+            local_grid, bcs, canon, dt, nu, upwind_gamma, T, interpret
+        )
+        # drop the shared face at each internal boundary (owned by the
+        # lower shard) to keep blocks even
+        out0 = res[0][: local_shape[0]] if sharded[0] else res[0]
+        out1 = res[1][:, : local_shape[1]] if sharded[1] else res[1]
+        return out0, out1, res[2]
+
+    # trimmed inputs: evenly divisible blocks for shard_map
+    u_in = [u[0][:-1] if sharded[0] else u[0],
+            u[1][:, :-1] if sharded[1] else u[1],
+            u[2]]
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(spec_for(a) for a in range(3)),
+        out_specs=tuple(spec_for(a) for a in range(3)),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    o0, o1, o2 = mapped(*u_in)
+    # re-append the dropped global boundary face rows (BC-pass territory)
+    if sharded[0]:
+        o0 = jnp.concatenate([o0, jnp.zeros_like(o0[-1:])], axis=0)
+    if sharded[1]:
+        o1 = jnp.concatenate([o1, jnp.zeros_like(o1[:, -1:])], axis=1)
+    return o0, o1, o2

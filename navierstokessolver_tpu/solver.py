@@ -178,12 +178,22 @@ class Simulation:
             )
         if not use or self.forcing is not None:
             return False
-        if self.shardings is not None:
-            return False
         if any(bcs_mod.periodic_axes(self.grid, self.bcs)):
             return False  # wrap stencils not wired into the kernels yet
         from .ops import pallas_kernels
 
+        if self.shardings is not None:
+            # Sharded runs keep the Pallas path via shard_map + ppermute
+            # halos (parallel/pallas_sharded.py); 3D over sx/sy meshes.
+            if self.grid.ndim != 3:
+                return False
+            from .parallel.pallas_sharded import (
+                predictor_3d_sharded_applicable,
+            )
+
+            return predictor_3d_sharded_applicable(
+                self.grid, self.bcs, self.shardings.p.mesh
+            )
         if self.grid.ndim == 3:
             return pallas_kernels.predictor_3d_applicable(self.grid, self.bcs)
         return pallas_kernels.predictor_2d_applicable(self.grid)
@@ -339,12 +349,20 @@ class Simulation:
         if forcing is None and self._pallas_ok():
             from .ops import pallas_kernels
 
-            pred = (pallas_kernels.predictor_3d if g.ndim == 3
-                    else pallas_kernels.predictor_2d)
-            u_star = pred(
-                g, b, u, dt, pr.nu, pr.upwind_gamma,
-                interpret=self.pallas_interpret,
-            )
+            if self.shardings is not None:
+                from .parallel.pallas_sharded import predictor_3d_sharded
+
+                u_star = predictor_3d_sharded(
+                    g, b, self.shardings.p.mesh, u, dt, pr.nu,
+                    pr.upwind_gamma, interpret=self.pallas_interpret,
+                )
+            else:
+                pred = (pallas_kernels.predictor_3d if g.ndim == 3
+                        else pallas_kernels.predictor_2d)
+                u_star = pred(
+                    g, b, u, dt, pr.nu, pr.upwind_gamma,
+                    interpret=self.pallas_interpret,
+                )
         else:
             u_star = stencils.predictor(
                 g, b, u, dt, pr.nu, pr.upwind_gamma, forcing

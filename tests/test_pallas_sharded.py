@@ -1,0 +1,115 @@
+"""Sharded fused Pallas predictor (VERDICT r1 item 3): shard_map + ppermute
+halo planes around the unmodified 3D kernels, validated in interpret mode on
+the virtual 8-device CPU mesh against the single-device paths."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu import GridSpec
+from navierstokessolver_tpu.bcs import BCSpec, apply_velocity_bcs, no_slip_box
+from navierstokessolver_tpu.cases import make_case
+from navierstokessolver_tpu.ops import pallas_kernels as pk
+from navierstokessolver_tpu.parallel import (
+    make_mesh,
+    shard_state,
+    sharded_simulation,
+)
+from navierstokessolver_tpu.parallel.pallas_sharded import (
+    predictor_3d_sharded,
+    predictor_3d_sharded_applicable,
+)
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _random_state(g, bcs, seed=0):
+    r = np.random.default_rng(seed)
+    u = tuple(
+        jnp.asarray(r.normal(size=g.face_shape(a)).astype(np.float32)) * 0.1
+        for a in range(3)
+    )
+    return apply_velocity_bcs(g, bcs, u, None)
+
+
+@requires_8
+@pytest.mark.parametrize("mesh_shape", [(8,), (2, 4), (4, 2)])
+def test_sharded_predictor_matches_unsharded(mesh_shape):
+    g = GridSpec(shape=(32, 16, 8), lengths=(2.0, 1.0, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.wall((0.0, 1.0, 0.0))  # moving lid
+    u = _random_state(g, bcs)
+    dt, nu, gamma = 1e-3, 0.01, 0.3
+    ref = pk.predictor_3d(g, bcs, u, dt, nu, gamma, interpret=True)
+    mesh = make_mesh(mesh_shape)
+    assert predictor_3d_sharded_applicable(g, bcs, mesh)
+    got = predictor_3d_sharded(g, bcs, mesh, u, dt, nu, gamma, interpret=True)
+    interior = tuple(slice(1, -1) for _ in range(3))
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got[a])[interior], np.asarray(ref[a])[interior],
+            atol=1e-6,
+        )
+
+
+@requires_8
+def test_sharded_predictor_outflow_faces():
+    """Own-face reconstruction of the trimmed boundary face covers the
+    outflow (zero-gradient copy) case, not just Dirichlet walls."""
+    g = GridSpec(shape=(32, 16, 8), lengths=(2.0, 1.0, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.inflow((1.0, 0.0, 0.0))
+    bcs[(0, 1)] = BCSpec.outflow()
+    u = _random_state(g, bcs, seed=1)
+    dt, nu = 1e-3, 0.01
+    ref = pk.predictor_3d(g, bcs, u, dt, nu, 0.0, interpret=True)
+    got = predictor_3d_sharded(
+        g, bcs, make_mesh(8), u, dt, nu, 0.0, interpret=True
+    )
+    interior = tuple(slice(1, -1) for _ in range(3))
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got[a])[interior], np.asarray(ref[a])[interior],
+            atol=1e-6,
+        )
+
+
+@requires_8
+def test_sharded_pallas_step_end_to_end():
+    """Production wiring: a sharded Simulation with use_pallas=True keeps
+    the Pallas predictor (shard_map path) and its trajectory matches the
+    single-device jnp run."""
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 10)
+
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    mesh = make_mesh((2, 2))
+    sim_sp = sharded_simulation(sim_p, mesh)
+    assert sim_sp._pallas_ok()  # no longer gated off under sharding
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 10)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    assert len(out.p.sharding.device_set) == 4
+    assert float(d.max_div[-1]) < 1e-4
+
+
+@requires_8
+def test_sharded_applicability_gate():
+    g = GridSpec(shape=(32, 16, 8), lengths=(2.0, 1.0, 0.5))
+    bcs = no_slip_box(g)
+    assert predictor_3d_sharded_applicable(g, bcs, make_mesh(8))
+    # axis-2 sharding unsupported (lane ghosts are in-kernel)
+    assert not predictor_3d_sharded_applicable(g, bcs, make_mesh((1, 1, 2)))
+    # non-divisible decomposition
+    g2 = GridSpec(shape=(30, 16, 8), lengths=(2.0, 1.0, 0.5))
+    assert not predictor_3d_sharded_applicable(g2, no_slip_box(g2), make_mesh(8))
