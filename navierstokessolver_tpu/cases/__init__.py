@@ -31,7 +31,7 @@ from .cavity import build_cavity, build_cavity3d
 from .channel import build_channel, build_channel_periodic
 from .convection import build_heated_cavity, build_rayleigh_benard
 from .cylinder import build_cylinder
-from .taylor_green import build_taylor_green
+from .taylor_green import build_taylor_green, build_taylor_green3d
 from .turbulence import build_decaying_turbulence
 
 
@@ -62,6 +62,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "channel_periodic": build_channel_periodic,
     "cylinder": build_cylinder,
     "taylor_green": build_taylor_green,
+    "taylor_green3d": build_taylor_green3d,
     "heated_cavity": build_heated_cavity,
     "rayleigh_benard": build_rayleigh_benard,
     "decaying_turbulence": build_decaying_turbulence,

@@ -32,6 +32,7 @@ def build_cavity(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.0,
     dtype=None,
+    poisson_extrapolate: float = 0.0,
     **params_kw,
 ):
     from . import Case  # local import to avoid a cycle
@@ -57,7 +58,11 @@ def build_cavity(
         upwind_gamma=upwind_gamma,
         **params_kw,
         poisson=PoissonConfig(
-            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters,
+            # opt-in damped extrapolating warm start for iterative solves
+            # (see PoissonConfig.extrapolate); meaningless for fft (1 appl.)
+            extrapolate=(poisson_extrapolate
+                         if poisson_method != "fft" else 0.0),
         ),
     )
     sim = Simulation.build(grid, bcs, params)

@@ -41,6 +41,7 @@ def build_cylinder(
     upwind_gamma: float = 0.2,
     dtype=None,
     outlet: str = "outflow",
+    poisson_extrapolate: float = 0.8,
     **params_kw,
 ):
     from . import Case
@@ -62,7 +63,12 @@ def build_cylinder(
         upwind_gamma=upwind_gamma,
         **params_kw,
         poisson=PoissonConfig(
-            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters,
+            # iterative solves warm-start from p + 0.8 (p - p_prev): the
+            # unsteady wake drifts the rhs every step and the extrapolated
+            # guess cuts V-cycles/step materially (docs/PARITY.md)
+            extrapolate=(poisson_extrapolate
+                         if poisson_method != "fft" else 0.0),
         ),
     )
     sim = Simulation.build(grid, bcs, params, solid=solid)
@@ -82,4 +88,4 @@ def impulsive_start_state(sim: Simulation, u_in: float = 1.0) -> State:
     from .. import bcs as bcs_mod
 
     u = bcs_mod.apply_velocity_bcs(grid, sim.bcs, (u0, st.u[1]), sim.face_masks)
-    return State(u=u, p=st.p)
+    return State(u=u, p=st.p, p_prev=st.p_prev)

@@ -104,6 +104,13 @@ def main(argv=None) -> int:
             expect_scalar=sim.scalar is not None,
         )
         print(f"[cli] resumed from {args.resume} at step {step0}", file=sys.stderr)
+        if sim.params.poisson.extrapolate and state.p_prev is None:
+            # older checkpoint without the extrapolation carry: backfill
+            # (first resumed step then warm-starts from p instead of 2p-p_prev)
+            from .grid import State as _State
+
+            state = _State(u=state.u, p=state.p, theta=state.theta,
+                           p_prev=state.p)
     if args.devices > 1:
         state = shard_state(state, mesh, sim.grid)
 

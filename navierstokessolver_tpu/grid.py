@@ -102,14 +102,17 @@ class State:
     u: tuple[Array, ...]
     p: Array
     theta: Array | None = None
+    # Previous step's pressure, carried when PoissonConfig.extrapolate is on
+    # (iterative-solve warm start p_guess = 2 p - p_prev); None otherwise.
+    p_prev: Array | None = None
 
     def tree_flatten(self):
-        return (self.u, self.p, self.theta), None
+        return (self.u, self.p, self.theta, self.p_prev), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        u, p, theta = children
-        return cls(u=tuple(u), p=p, theta=theta)
+        u, p, theta, p_prev = children
+        return cls(u=tuple(u), p=p, theta=theta, p_prev=p_prev)
 
     @property
     def ndim(self) -> int:
@@ -120,6 +123,7 @@ class State:
             u=tuple(c.astype(dtype) for c in self.u),
             p=self.p.astype(dtype),
             theta=None if self.theta is None else self.theta.astype(dtype),
+            p_prev=None if self.p_prev is None else self.p_prev.astype(dtype),
         )
 
 

@@ -241,6 +241,8 @@ def save_checkpoint(path: str, state: State, step: int, cfg_hash: str) -> None:
     arrays["p"] = np.asarray(state.p)
     if state.theta is not None:
         arrays["theta"] = np.asarray(state.theta)
+    if state.p_prev is not None:
+        arrays["p_prev"] = np.asarray(state.p_prev)
     tmp = path + ".tmp.npz"
     np.savez(tmp, step=np.int64(step), cfg=np.bytes_(cfg_hash.encode()), **arrays)
     os.replace(tmp, path)
@@ -278,5 +280,7 @@ def load_checkpoint(
         p = jax.numpy.asarray(z["p"], grid.dtype)
         theta = (jax.numpy.asarray(z["theta"], grid.dtype)
                  if "theta" in z.files else None)
+        p_prev = (jax.numpy.asarray(z["p_prev"], grid.dtype)
+                  if "p_prev" in z.files else None)
         step = int(z["step"])
-    return State(u=u, p=p, theta=theta), step
+    return State(u=u, p=p, theta=theta, p_prev=p_prev), step

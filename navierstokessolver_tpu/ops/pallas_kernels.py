@@ -289,16 +289,20 @@ def predictor_3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
 
     if grid.ndim != 3 or grid.dtype != jnp.float32:
         return False
-    if any(periodic_axes(grid, bcs)):
+    per = periodic_axes(grid, bcs)
+    if per[2] and grid.shape[2] % 128:
+        # lane wrap is exact only without lane padding (roll == wraparound)
         return False
     if any(bcs[(a, s)].kind is BCKind.CONVECTIVE
            for a in range(3) for s in (0, 1)):
         return False
     # in-kernel lane-ghost fixes need scalar BC values on the axis-2 faces
-    for side in (0, 1):
-        for c in range(3):
-            if _scalar_bc(bcs, (2, side), c, 3) is None:
-                return False
+    # (periodic lanes need no values: the roll IS the wrap)
+    if not per[2]:
+        for side in (0, 1):
+            for c in range(3):
+                if _scalar_bc(bcs, (2, side), c, 3) is None:
+                    return False
     return True
 
 
@@ -314,6 +318,12 @@ def _lane_fixes(grid: GridSpec, bcs: BCTable, c: int):
     n2 = grid.shape[2]
     lo_bc = bcs[(2, 0)]
     hi_bc = bcs[(2, 1)]
+    if lo_bc.kind is BCKind.PERIODIC:
+        # exact-lane wrap (applicability requires n2 % 128 == 0): the
+        # in-kernel roll IS the periodic neighbor, for every component --
+        # including comp 2, whose elided duplicate face n2 == face 0 makes
+        # the rolled lane 0 exactly the face-n2 value.
+        return None, None, None
 
     def tangential(bc, edge):
         if bc.kind in (BCKind.WALL, BCKind.INFLOW):
@@ -357,6 +367,11 @@ def bc_ghost_slab_3d(grid: GridSpec, bcs: BCTable, c: int, x: Array,
     from ..bcs import BCKind, _face_slice
 
     bc = bcs[(ax, side)]
+    if bc.kind is BCKind.PERIODIC:
+        # wrap: the ghost plane is the OPPOSITE edge plane
+        return _face_slice(
+            x, ax, slice(-1, None) if side == 0 else slice(0, 1)
+        )
     edge = _face_slice(x, ax, slice(0, 1) if side == 0 else slice(-1, None))
     if bc.kind in (BCKind.WALL, BCKind.INFLOW):
         val = jnp.asarray(bc.component(c, grid.ndim), grid.dtype)
@@ -448,12 +463,24 @@ def predictor_3d(
     # canonical padded components (built once, shared by all three kernels):
     # aprons on axes 0 and 1 only (pad_transverse would also pad axis 2,
     # whose ghosts are synthesized in-kernel), lanes exact.
+    from ..bcs import _face_slice, periodic_axes
+
+    per = periodic_axes(grid, bcs)
     canon = []
     for c in range(3):
         x = u[c][:, :, :-1] if c == 2 else u[c]
         for ax in (0, 1):
             if ax == c:
-                x = _edge_pad(x, ax)
+                if per[ax]:
+                    # staggered periodic: x carries the duplicate boundary
+                    # face (x[n] == x[0]); face -1 == face n-1, face n+1 ==
+                    # face 1
+                    nfc = grid.shape[ax]
+                    lo = _face_slice(x, ax, slice(nfc - 1, nfc))
+                    hi = _face_slice(x, ax, slice(1, 2))
+                    x = jnp.concatenate([lo, x, hi], axis=ax)
+                else:
+                    x = _edge_pad(x, ax)
             else:
                 x = jnp.concatenate(
                     [

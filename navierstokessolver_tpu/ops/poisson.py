@@ -349,6 +349,19 @@ class PoissonConfig:
     # False -> diagnostics carry the sentinel -1.0 and callers that need
     # the number run one diagnostic step with it re-enabled.
     diag_residual: bool = True
+    # Damped second-order warm start for the ITERATIVE solvers: seed each
+    # step's solve with ``p_n + beta (p_n - p_{n-1})`` instead of ``p_n``
+    # (the State then carries p_prev through the scan). The pressure field
+    # evolves smoothly in time, so the extrapolated guess starts closer.
+    # beta MUST stay < 1: the error recurrence e_{n+1} ~ (1+beta) e_n -
+    # beta e_{n-1} has roots {1, beta} -- strictly stable second root --
+    # while beta = 1 is a double root at 1 whose linearly-growing
+    # uncorrected error compounds whenever the solver bails at its f32
+    # residual floor instead of tol (observed: mg at 2048x1024 floors near
+    # 2e-5 and full extrapolation NaN'd within 50 steps). 0.0 = off
+    # (default: extrapolation perturbs the tolerance-equivalent trajectory,
+    # which would invalidate the pinned golden files).
+    extrapolate: float = 0.0
 
 
 def _auto_omega(grid: GridSpec) -> float:

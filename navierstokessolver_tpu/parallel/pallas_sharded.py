@@ -68,6 +68,10 @@ def predictor_3d_sharded_applicable(
         return False  # lane ghosts are in-kernel; axis 2 must be local
     if any(grid.shape[a] % sizes[a] for a in range(3)):
         return False
+    from ..bcs import periodic_axes
+
+    if any(periodic_axes(grid, bcs)):
+        return False  # wraparound ppermute ring for the canon: not wired yet
     if min(grid.shape[a] // sizes[a] for a in range(2)) < 4:
         return False  # degenerate slabs: halo wider than the block
     return pk.predictor_3d_applicable(grid, bcs)

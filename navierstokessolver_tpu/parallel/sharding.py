@@ -92,6 +92,8 @@ def shard_state(state: State, mesh: Mesh, grid: GridSpec) -> State:
         p=_divisible_spec(mesh, grid, state.p.shape),
         theta=(None if state.theta is None
                else _divisible_spec(mesh, grid, state.theta.shape)),
+        p_prev=(None if state.p_prev is None
+                else _divisible_spec(mesh, grid, state.p_prev.shape)),
     )
     return jax.device_put(state, shardings)
 

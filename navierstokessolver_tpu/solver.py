@@ -158,12 +158,15 @@ class Simulation:
             init = getattr(self.scalar, "theta_init", None)
             theta = (jnp.zeros(self.grid.shape, self.grid.dtype)
                      if init is None else jnp.asarray(init, self.grid.dtype))
-        return State(u=u, p=st.p, theta=theta)
+        # extrapolating warm start carries p_prev through the scan (pytree
+        # structure must be static, so it is populated from step 0)
+        p_prev = st.p if self.params.poisson.extrapolate else None
+        return State(u=u, p=st.p, theta=theta, p_prev=p_prev)
 
     def _pallas_ok(self) -> bool:
-        """Fused predictor applies to unsharded 2D/3D float32 runs w/o
-        forcing. (Sharded runs keep the jnp path: a pallas_call under GSPMD
-        would need shard_map plumbing -- planned, not wired yet.)"""
+        """Fused predictor applies to 2D/3D float32 runs w/o forcing.
+        Sharded 3D runs keep the Pallas path via shard_map + ppermute halo
+        planes (parallel/pallas_sharded.py)."""
         use = self.params.use_pallas
         if use is None:
             # Auto: only the 3D kernel wins end-to-end (6.3 -> ~2 ms of
@@ -178,8 +181,10 @@ class Simulation:
             )
         if not use or self.forcing is not None:
             return False
-        if any(bcs_mod.periodic_axes(self.grid, self.bcs)):
-            return False  # wrap stencils not wired into the kernels yet
+        if self.grid.ndim == 2 and any(
+            bcs_mod.periodic_axes(self.grid, self.bcs)
+        ):
+            return False  # 2D kernels have no wrap path (and are auto-off)
         from .ops import pallas_kernels
 
         if self.shardings is not None:
@@ -211,9 +216,16 @@ class Simulation:
         if self.shardings is None:
             return state
         sh = self.shardings
-        if state.theta is not None and sh.theta is None:
-            # the scalar is cell-centered: it shares p's decomposition
-            sh = State(u=sh.u, p=sh.p, theta=sh.p)
+        if (state.theta is not None and sh.theta is None) or (
+            state.p_prev is not None and sh.p_prev is None
+        ):
+            # theta and p_prev are cell-centered: they share p's decomposition
+            sh = State(
+                u=sh.u,
+                p=sh.p,
+                theta=None if state.theta is None else sh.p,
+                p_prev=None if state.p_prev is None else sh.p,
+            )
         return jax.lax.with_sharding_constraint(state, sh)
 
     def _step_dt(self, u):
@@ -297,7 +309,12 @@ class Simulation:
                 interpret=self.pallas_interpret,
             )
         with jax.named_scope("poisson"):
-            p, iters, res = self._solve_pressure(rhs, istate.p)
+            beta = pr.poisson.extrapolate
+            if beta and istate.p_prev is not None:
+                p_start = istate.p + beta * (istate.p - istate.p_prev)
+            else:
+                p_start = istate.p
+            p, iters, res = self._solve_pressure(rhs, p_start)
         with jax.named_scope("correction"):
             iu_new, max_div, max_vel = pallas_kernels.correct_diag_3d_internal(
                 g, b, u_star, p, dt / pr.rho,
@@ -310,7 +327,8 @@ class Simulation:
             max_cfl=max_vel * dt,
             dt=dt,
         )
-        return State(u=iu_new, p=p), diag
+        p_prev_new = istate.p if istate.p_prev is not None else None
+        return State(u=iu_new, p=p, p_prev=p_prev_new), diag
 
     def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
         """Whole-step fused path on exact-layout state: convert to the
@@ -319,13 +337,13 @@ class Simulation:
 
         iu = pallas_kernels.to_internal_3d(self.grid, state.u)
         istate, diag = self._step_fused3d_internal(
-            State(u=iu, p=state.p)
+            State(u=iu, p=state.p, p_prev=state.p_prev)
         )
         u0, u1, u2e, face = pallas_kernels.from_internal_3d(
             self.grid, self.bcs, istate.u
         )
         u2 = jnp.concatenate([u2e, face], axis=2)
-        return State(u=(u0, u1, u2), p=istate.p), diag
+        return State(u=(u0, u1, u2), p=istate.p, p_prev=istate.p_prev), diag
 
     def _combined_forcing(self, theta):
         """Static body forcing + Boussinesq buoyancy from the scalar."""
@@ -407,6 +425,15 @@ class Simulation:
             u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
         dt = self._step_dt(u)
         forcing = self._combined_forcing(state.theta)
+        # Warm start for the iterative pressure solve: linear extrapolation
+        # 2 p_n - p_{n-1} when enabled (PoissonConfig.extrapolate), else the
+        # previous pressure.
+        beta = pr.poisson.extrapolate
+        if beta and state.p_prev is not None:
+            p_start = state.p + beta * (state.p - state.p_prev)
+        else:
+            p_start = state.p
+        p_prev_new = state.p if state.p_prev is not None else None
         if pr.integrator == "rk2":
             # Midpoint rule with a projection per stage: advance half a step,
             # project, then advance the FULL step using the midpoint field's
@@ -419,7 +446,7 @@ class Simulation:
                 uh_star = bcs_mod.apply_convective_outlets(
                     g, b, uh_star, state.u, 0.5 * dt
                 )
-            uh, ph, it1, _ = self._project(uh_star, state.p, 0.5 * dt)
+            uh, ph, it1, _ = self._project(uh_star, p_start, 0.5 * dt)
             with jax.named_scope("predictor2"):
                 adv = self._predict(uh, dt, forcing)
                 u_star = tuple(a + (b2 - b1) for a, b2, b1 in zip(u, adv, uh))
@@ -439,7 +466,7 @@ class Simulation:
                 u_star = bcs_mod.apply_convective_outlets(
                     g, b, u_star, state.u, dt
                 )
-            u_new, p, iters, res = self._project(u_star, state.p, dt)
+            u_new, p, iters, res = self._project(u_star, p_start, dt)
         else:
             raise ValueError(f"unknown integrator {pr.integrator!r}")
         theta_new = state.theta
@@ -454,7 +481,9 @@ class Simulation:
                 theta_new = state.theta + dt * scalar_mod.scalar_rhs(
                     g, self.scalar, u_new, state.theta
                 )
-        new_state = self._constrain(State(u=u_new, p=p, theta=theta_new))
+        new_state = self._constrain(
+            State(u=u_new, p=p, theta=theta_new, p_prev=p_prev_new)
+        )
         with jax.named_scope("diagnostics"):
             div = stencils.divergence(g, new_state.u) * self.op.fluid
             diag = StepDiagnostics(
@@ -537,13 +566,14 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         iu = pallas_kernels.to_internal_3d(sim.grid, state.u)
         istate, diags = jax.lax.scan(
             lambda c, _: sim._step_fused3d_internal(c),
-            State(u=iu, p=state.p), xs=None, length=n_steps,
+            State(u=iu, p=state.p, p_prev=state.p_prev),
+            xs=None, length=n_steps,
         )
         u0, u1, u2e, face = pallas_kernels.from_internal_3d(
             sim.grid, sim.bcs, istate.u
         )
         u2 = jnp.concatenate([u2e, face], axis=2)
-        return State(u=(u0, u1, u2), p=istate.p), diags
+        return State(u=(u0, u1, u2), p=istate.p, p_prev=istate.p_prev), diags
     step_fn = sim.make_step_fn()
     return jax.lax.scan(step_fn, state, xs=None, length=n_steps)
 

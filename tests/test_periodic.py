@@ -204,3 +204,64 @@ def test_circulant_split_solver_path():
     p = solver.solve(jnp.asarray(b), op)
     rel = np.linalg.norm(np.asarray(apply_A(op, p)) - b) / np.linalg.norm(b)
     assert rel < 5e-5, rel
+
+
+def test_periodic_3d_pallas_predictor_parity():
+    """VERDICT r1 item 6: periodic wrap in the Pallas 3D predictor (canon
+    wrap planes on axes 0/1; exact-lane roll wrap on axis 2)."""
+    from navierstokessolver_tpu.bcs import apply_velocity_bcs
+    from navierstokessolver_tpu.ops import pallas_kernels as pk
+    from navierstokessolver_tpu.ops import stencils
+
+    g = GridSpec(
+        shape=(16, 12, 128),
+        lengths=(2 * math.pi, 2 * math.pi, 2 * math.pi),
+    )
+    bcs = {(a, s): BCSpec.periodic() for a in range(3) for s in (0, 1)}
+    assert pk.predictor_3d_applicable(g, bcs)
+    # lane padding breaks the roll wrap -> gate must close
+    g_pad = GridSpec(shape=(16, 12, 120), lengths=g.lengths)
+    assert not pk.predictor_3d_applicable(g_pad, bcs)
+
+    r = np.random.default_rng(0)
+    u = tuple(
+        jnp.asarray(r.normal(size=g.face_shape(a)).astype(np.float32)) * 0.1
+        for a in range(3)
+    )
+    u = apply_velocity_bcs(g, bcs, u, None)
+    dt, nu, gamma = 1e-3, 0.01, 0.3
+    ref = stencils.predictor(g, bcs, u, dt, nu, gamma, None)
+    got = pk.predictor_3d(g, bcs, u, dt, nu, gamma, interpret=True)
+    for a in range(3):
+        sl = [slice(None)] * 3
+        sl[a] = slice(0, g.shape[a])  # wrap-duplicate face is BC-pass owned
+        np.testing.assert_allclose(
+            np.asarray(got[a])[tuple(sl)], np.asarray(ref[a])[tuple(sl)],
+            atol=1e-6,
+        )
+
+
+def test_taylor_green3d_case():
+    """3D TGV: discretely divergence-free start, energy decays, and the
+    periodic Pallas step path matches the jnp trajectory."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.ops import stencils
+
+    case = make_case("taylor_green3d", shape=(16, 16, 128), re=400.0)
+    sim = case.sim
+    st = case.initial_state()
+    assert float(abs(stencils.divergence(sim.grid, st.u)).max()) < 1e-5
+    e0 = sum(float((np.asarray(c) ** 2).sum()) for c in st.u)
+    st, d = sim.run_scan(st, 20)
+    e1 = sum(float((np.asarray(c) ** 2).sum()) for c in st.u)
+    assert e1 < e0 and np.isfinite(e1)
+    assert float(d.max_div[-1]) < 1e-5
+
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    assert sim_p._pallas_ok()
+    st2, _ = sim_p.run_scan(case.initial_state(), 20)
+    for a, b in zip(st.u, st2.u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)

@@ -94,3 +94,59 @@ def test_diag_residual_toggle_identical_physics():
     np.testing.assert_array_equal(np.asarray(out.u[0]), np.asarray(ref.u[0]))
     assert float(d_off.poisson_res[-1]) == -1.0
     assert 0.0 <= float(d_on.poisson_res[-1]) < 1e-4
+
+
+def test_extrapolated_warm_start():
+    """PoissonConfig.extrapolate: fewer iterations, same physics, stable.
+
+    The damped (beta < 1) extrapolation p + beta (p - p_prev) must match
+    the plain warm start's trajectory to solver tolerance while cutting
+    iteration counts once the flow evolves smoothly (measured here on the
+    cylinder: ~3.0 -> ~2.0 V-cycles/step after spin-up)."""
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+
+    its = {}
+    states = {}
+    for beta in (0.0, 0.8):
+        case = make_case(
+            "cylinder", shape=(96, 48), lengths=(12.0, 6.0),
+            center=(3.0, 3.01), poisson_extrapolate=beta,
+        )
+        sim = case.sim
+        assert sim.params.poisson.extrapolate == beta
+        st = impulsive_start_state(sim)
+        assert (st.p_prev is not None) == (beta > 0)
+        total = 0.0
+        for _ in range(4):
+            st, d = sim.run_scan(st, 25)
+            total += float(np.asarray(d.poisson_iters).sum())
+        its[beta] = total
+        states[beta] = st
+        assert np.isfinite(np.asarray(st.p)).all()
+    # same flow to (roughly) solver tolerance
+    np.testing.assert_allclose(
+        np.asarray(states[0.8].u[0]), np.asarray(states[0.0].u[0]), atol=2e-3
+    )
+    assert its[0.8] < its[0.0], its
+
+
+def test_extrapolation_checkpoint_roundtrip(tmp_path):
+    """p_prev survives checkpoint/resume bit-exactly (resume == unbroken)."""
+    from navierstokessolver_tpu import io as io_mod
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cavity", shape=(16, 16), poisson_method="cg",
+                     poisson_extrapolate=0.8)
+    sim = case.sim
+    st = case.initial_state()
+    st, _ = sim.run_scan(st, 12)
+    h = io_mod.config_hash(sim.grid, sim.params)
+    path = str(tmp_path / "ck.npz")
+    io_mod.save_checkpoint(path, st, 12, h)
+    st2, step = io_mod.load_checkpoint(path, sim.grid, h)
+    assert step == 12 and st2.p_prev is not None
+    a, _ = sim.run_scan(st, 10)
+    b, _ = sim.run_scan(st2, 10)
+    np.testing.assert_array_equal(np.asarray(a.u[0]), np.asarray(b.u[0]))
+    np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
