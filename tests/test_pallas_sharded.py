@@ -113,3 +113,27 @@ def test_sharded_applicability_gate():
     # non-divisible decomposition
     g2 = GridSpec(shape=(30, 16, 8), lengths=(2.0, 1.0, 0.5))
     assert not predictor_3d_sharded_applicable(g2, no_slip_box(g2), make_mesh(8))
+
+
+@requires_8
+def test_sharded_mg_with_pallas_predictor():
+    """BASELINE config #5 production stack: domain-decomposed 3D cavity,
+    multigrid pressure solve (GSPMD collectives), Pallas predictor under
+    shard_map -- trajectory and V-cycle counts match single-device."""
+    case = make_case("cavity3d", shape=(32, 32, 16), re=100.0,
+                     poisson_method="mg")
+    sim = case.sim
+    ref, dref = sim.run_scan(case.initial_state(), 10)
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    mesh = make_mesh((4, 2))
+    sim_sp = sharded_simulation(sim_p, mesh)
+    assert sim_sp._pallas_ok()
+    out, d = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 10
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    assert int(d.poisson_iters[-1]) == int(dref.poisson_iters[-1])
