@@ -879,9 +879,9 @@ def from_internal_3d(grid: GridSpec, bcs: BCTable, iu):
 
 def _fused_pred_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, out0, out1, out2, rhs_ref,
-    s0, s1, s2, sems,
+    s0, s1, s2, sems, sg0, sg1, sg2, gsems,
     *, T: int, n: tuple, h: tuple, nu: float, gamma: float,
-    tg: dict, own: dict, RP: int,
+    tg: dict, own: dict, RP: int, halo: bool = False,
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
@@ -901,7 +901,13 @@ def _fused_pred_kernel(
     """
     i = pl.program_id(0)
     n0, n1, n2 = n
-    G = n0 // T + 1
+    # halo mode (sharded whole-step; parallel/fused_sharded.py): n0 is the
+    # LOCAL row count B (comp 0 trimmed to B faces); rows B, B+1 of each
+    # input hold jnp-refreshed hi ghosts (neighbor halo / BC synthesis) and
+    # row RP-1 holds the lo ghost (global row kB-1). No in-kernel axis-0
+    # ghost synthesis; boundary-face overwrites gate on the is_first /
+    # is_last scalars (sc_ref[2], sc_ref[3]).
+    G = n0 // T if halo else n0 // T + 1
     i_star = n0 // T - 1            # stripe whose window spans global row n0
     R3 = T + 3
     # Double-buffered input windows: each scratch holds two R3-row halves;
@@ -934,11 +940,29 @@ def _fused_pred_kernel(
         for cp in _dma(i + 1, 1 - phase):
             cp.start()
 
+    if halo:
+        gcopies = [
+            pltpu.make_async_copy(
+                ref.at[pl.ds(RP - 1, 1)], scr, gsems.at[k]
+            )
+            for k, (ref, scr) in enumerate(zip(refs, (sg0, sg1, sg2)))
+        ]
+
+        @pl.when(i == 0)
+        def _lo_ghost_dma():
+            for cp in gcopies:
+                cp.start()
+            for cp in gcopies:
+                cp.wait()
+
     for cp in _dma(i, phase):       # same shapes -> same semaphore amount
         cp.wait()
     off = phase * R3
     dt = sc_ref[0]
     rho_over_dt = sc_ref[1]
+    if halo:
+        is_first = sc_ref[2] > 0.5
+        is_last = sc_ref[3] > 0.5
     S_RHS = rhs_ref.shape[1]
 
     def own2_hi_fix():
@@ -950,8 +974,9 @@ def _fused_pred_kernel(
     def body(ro: int):
         # hi-side axis-0 ghost rows for comps 1/2 (global row n0), written
         # into the scratch window once; static row index per branch.
+        # (halo mode: the hi ghosts are DATA rows B, B+1 -- nothing to write.)
         hi_row = n0 - i_star * T + ro
-        if (i_star == 0) == (ro == 0):
+        if not halo and (i_star == 0) == (ro == 0):
             def _write_hi():
                 for a, scr in ((1, s1), (2, s2)):
                     ah, bh = tg[(a, 0, 1)]
@@ -977,11 +1002,15 @@ def _fused_pred_kernel(
                     return w[ro + d:ro + d + rows, :S]
                 # stripe 0, d = -1: global row -1 ghost via roll + fix
                 r = jnp.roll(w, 1, axis=0)[0:rows, :S]
+                rows_i = _ax_iota(r.shape, 0)
+                if halo:
+                    # the lo ghost row (global kB-1) is real data at RP-1
+                    g_scr = (sg0, sg1, sg2)[a]
+                    return jnp.where(rows_i == 0, g_scr[0:1, :S], r)
                 if a == 0:
                     return r         # only feeds the BC-written face 0
                 al, bl = tg[(a, 0, 0)]
                 c = w[0:rows, :S]
-                rows_i = _ax_iota(r.shape, 0)
                 return jnp.where(rows_i == 0, al * c + bl, r)
             c = w[ro:ro + rows, :S]
             if ax == 1:
@@ -1019,6 +1048,23 @@ def _fused_pred_kernel(
                 hi = m[ro:ro + rows, :S]
                 if ro == 0:
                     lo = jnp.roll(m, 1, axis=0)[0:rows, :S]  # feeds face 0
+                    if halo:
+                        # M_t at cell kB-1 from the comp-t lo ghost row
+                        if t == 1:
+                            gW = sg1.shape[1] - 1
+                            m_m1 = 0.5 * (sg1[0:1, 0:gW] + sg1[0:1, 1:1 + gW])
+                        else:
+                            m_m1 = 0.5 * (
+                                sg2[0:1]
+                                + _shift_fix(sg2[0:1], 2, 1, own2_hi_fix())
+                            )
+                        if m_m1.shape[1] < S:
+                            m_m1 = jnp.pad(
+                                m_m1, [(0, 0), (0, S - m_m1.shape[1]), (0, 0)]
+                            )
+                        lo = jnp.where(
+                            _ax_iota(lo.shape, 0) == 0, m_m1[:, :S], lo
+                        )
                 else:
                     lo = m[ro - 1:ro - 1 + rows, :S]
                 return 0.5 * (lo + hi)
@@ -1065,9 +1111,19 @@ def _fused_pred_kernel(
                 g = _ax_iota(star.shape, 0) + i * T
                 v_lo = jnp.roll(star, -1, axis=0) if lo[0] == "copy" else lo[1]
                 v_hi = jnp.roll(star, 1, axis=0) if hi[0] == "copy" else hi[1]
-                star = jnp.where(
-                    g == 0, v_lo, jnp.where(g == n0, v_hi, star)
-                )
+                if halo:
+                    # face 0 / face B(=n0, in-register only: the divergence
+                    # epilogue needs the shared/BC face value, the OUTPUT is
+                    # trimmed to rows [0, B)) are boundary faces only on the
+                    # edge shards
+                    star = jnp.where(
+                        (g == 0) & is_first, v_lo,
+                        jnp.where((g == n0) & is_last, v_hi, star),
+                    )
+                else:
+                    star = jnp.where(
+                        g == 0, v_lo, jnp.where(g == n0, v_hi, star)
+                    )
             elif a == 1:
                 s_i = _ax_iota(star.shape, 1)
                 v_lo = (_shift_fix(star, 1, 1, None)
@@ -1112,6 +1168,16 @@ def _fused_pred_kernel(
         rhs_ref[...] = jnp.zeros(rhs_ref.shape, rhs_ref.dtype)
 
 
+def _halo_dims(grid: GridSpec, tile: int):
+    """Internal-layout dims for the SHARDED (halo-mode) fused step: local
+    block of B=n0 rows, G data stripes + 1 margin, hi ghosts at rows B/B+1
+    inside the margin, lo ghost at row RP-1."""
+    n0, n1, n2 = grid.shape
+    T = _fused_tile(tile, n0)
+    return T, n0 // T, n0 + T, _round_up(n1, 8), _round_up(n1 + 1, 8), \
+        _round_up(n2, 128)
+
+
 def predictor_rhs_3d_internal(
     grid: GridSpec,
     bcs: BCTable,
@@ -1122,22 +1188,34 @@ def predictor_rhs_3d_internal(
     rho: float = 1.0,
     tile: int = 8,
     interpret: bool = False,
+    halo: bool = False,
+    edge_flags=None,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
-    internal-layout u* and the exact-shaped rhs."""
+    internal-layout u* and the exact-shaped rhs.
+
+    ``halo=True`` (parallel/fused_sharded.py): ``grid`` is the LOCAL block,
+    ``iu`` the halo-mode layout (ghost slots filled), ``edge_flags`` the
+    (is_first, is_last) traced 0/1 scalars."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
-    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    if halo:
+        T, G, RP, S0, S1, L = _halo_dims(grid, tile)
+    else:
+        T, G, RP, S0, S1, L = _fused_dims(grid, tile)
 
     tg, own = _ghost_tables(grid, bcs)
-    sc = jnp.stack([
+    parts = [
         jnp.asarray(dt, jnp.float32),
         jnp.asarray(rho, jnp.float32) / jnp.asarray(dt, jnp.float32),
-    ])
+    ]
+    if halo:
+        parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
+    sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own, RP=RP,
+        tg=tg, own=own, RP=RP, halo=halo,
     )
     out0, out1, out2, rhs = pl.pallas_call(
         kern,
@@ -1165,6 +1243,10 @@ def predictor_rhs_3d_internal(
             pltpu.VMEM((2 * (T + 3), S1, L), jnp.float32),
             pltpu.VMEM((2 * (T + 3), S0, L), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((1, S0, L), jnp.float32),
+            pltpu.VMEM((1, S1, L), jnp.float32),
+            pltpu.VMEM((1, S0, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -1198,7 +1280,7 @@ def _fused_corr_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, p_hbm,
     out0, out1, out2, divmax_ref, velmax_ref,
     s0, s1, s2, sp, sems,
-    *, T: int, n: tuple, h: tuple, own: dict, RP: int,
+    *, T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
 ):
     """One axis-0 stripe of the projection corrector + step diagnostics,
     internal layout in AND out (row r <-> global row r).
@@ -1212,7 +1294,10 @@ def _fused_corr_kernel(
     """
     j = pl.program_id(0)
     n0, n1, n2 = n
-    G = n0 // T + 1
+    # halo mode: n0 = local B; u* row B holds the exchanged shared-face
+    # (or BC) value, p window ghosts come pre-concatenated in p_hbm, and
+    # boundary-face preservation gates on sc_ref[1]/sc_ref[2].
+    G = n0 // T if halo else n0 // T + 1
     # Double-buffered input windows (see _fused_pred_kernel): stripe j+1's
     # transfers start before stripe j's wait.
     phase = jax.lax.rem(j, 2)
@@ -1247,6 +1332,9 @@ def _fused_corr_kernel(
     for cp in _dma(j, phase):
         cp.wait()
     scale = sc_ref[0]
+    if halo:
+        is_first = sc_ref[1] > 0.5
+        is_last = sc_ref[2] > 0.5
 
     @pl.when(j < G)
     def _data():
@@ -1261,7 +1349,13 @@ def _fused_corr_kernel(
         g0 = (pw[1:T + 2] - pw[:T + 1]) * (1.0 / h[0])
         u0n = u0s - scale * g0
         grow = _ax_iota(u0n.shape, 0) + j * T
-        u0n = jnp.where((grow == 0) | (grow == n0), u0s, u0n)
+        if halo:
+            u0n = jnp.where(
+                ((grow == 0) & is_first) | ((grow == n0) & is_last),
+                u0s, u0n,
+            )
+        else:
+            u0n = jnp.where((grow == 0) | (grow == n0), u0s, u0n)
 
         # comp 1: boundary faces Dirichlet-preserved or outflow-copied
         g1 = (pc - _shift_fix(pc, 1, -1, None)) * (1.0 / h[1])
@@ -1285,6 +1379,8 @@ def _fused_corr_kernel(
         # to inf/NaN over long scans even though no valid output ever reads
         # it. Valid faces/cells are untouched by these masks.
         zr = jnp.zeros((), u0n.dtype)
+        # (halo mode: data stripes only cover valid rows [0, B); the row
+        # bound is only live unsharded, the sublane/lane bounds in both.)
         u0n = jnp.where(
             (_ax_iota(u0n.shape, 0) + j * T <= n0)
             & (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
@@ -1313,8 +1409,15 @@ def _fused_corr_kernel(
         l_c = _ax_iota(dd.shape, 2)
         valid = (r_c < n0) & (s_c < n1) & (l_c < n2)
         divm = jnp.max(jnp.where(valid, jnp.abs(dd), 0.0))
+        if halo:
+            # the shared face row B is counted by the shard that owns it
+            # (the next shard's row 0) except on the last shard, where row
+            # B is the domain-boundary face
+            lim0 = jnp.where(is_last, n0 + 1, n0)
+        else:
+            lim0 = n0 + 1
         vel = jnp.max(jnp.where(
-            (_ax_iota(u0n.shape, 0) + j * T <= n0)
+            (_ax_iota(u0n.shape, 0) + j * T < lim0)
             & (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
             jnp.abs(u0n), 0.0)) * (1.0 / h[0])
         vel = jnp.maximum(vel, jnp.max(jnp.where(
@@ -1345,19 +1448,33 @@ def correct_diag_3d_internal(
     scale,
     tile: int = 8,
     interpret: bool = False,
+    halo: bool = False,
+    edge_flags=None,
+    pp=None,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
-    internal-layout u_new plus (max |div u|, max_a |u_a|/h_a)."""
+    internal-layout u_new plus (max |div u|, max_a |u_a|/h_a).
+
+    ``halo=True``: local-block mode; ``pp`` must be the pre-built padded
+    pressure with ppermute ghost rows at [0] and [B+1]."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
-    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    if halo:
+        T, G, RP, S0, S1, L = _halo_dims(grid, tile)
+    else:
+        T, G, RP, S0, S1, L = _fused_dims(grid, tile)
 
     u0p, u1p, u2p = u_star_internal
-    pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, S0 - n1), (0, L - n2)])
+    if pp is None:
+        pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, S0 - n1), (0, L - n2)])
     _, own = _ghost_tables(grid, bcs)
-    sc = jnp.asarray(scale, jnp.float32).reshape(1)
+    parts = [jnp.asarray(scale, jnp.float32)]
+    if halo:
+        parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
+    sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
+        halo=halo,
     )
     out0, out1, out2, divp, velp = pl.pallas_call(
         kern,

@@ -268,6 +268,31 @@ class Simulation:
 
         return pallas_kernels.fused_step3d_applicable(self.grid, self.bcs)
 
+    def _fused3d_sharded_ok(self) -> bool:
+        """Sharded whole-step fused path (parallel/fused_sharded.py): 1D
+        'sx' slab mesh, same gating as _fused3d_ok otherwise. Used from
+        run_scan only (the internal layout is carried across the scan)."""
+        if self.shardings is None or self.grid.ndim != 3:
+            return False
+        use = self.params.use_pallas
+        if use is None:
+            use = (
+                jax.default_backend() == "tpu"
+                and not self.pallas_interpret
+            )
+        if not use:
+            return False
+        if self.params.integrator != "euler" or self.params.cfl is not None:
+            return False
+        if (self.forcing is not None or self.face_masks is not None
+                or self.scalar is not None or self.halo_solver is not None):
+            return False
+        from .parallel.fused_sharded import fused_step3d_sharded_applicable
+
+        return fused_step3d_sharded_applicable(
+            self.grid, self.bcs, self.shardings.p.mesh
+        )
+
     def _solve_pressure(self, rhs: Array, p0: Array):
         """Dispatch to the configured pressure solver; returns (p, iters, res)."""
         pr = self.params
@@ -557,6 +582,12 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
     # `sim` is hashable-by-id static; its big arrays arrive via `consts`
     # (traced jit arguments, NOT embedded program constants).
     sim = sim._bind(consts)
+    if sim._fused3d_sharded_ok():
+        from .parallel.fused_sharded import run_scan_sharded_fused
+
+        return run_scan_sharded_fused(
+            sim, sim.shardings.p.mesh, state, n_steps
+        )
     if sim._fused3d_ok():
         # Carry the fused kernels' internal padded layout THROUGH the scan:
         # kernel B's outputs are exactly what kernel A reads, so the

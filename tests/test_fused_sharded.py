@@ -1,0 +1,108 @@
+"""Sharded fused whole-step (VERDICT r1 item 3, completion): the internal-
+layout predictor+RHS / corrector+diag kernels under shard_map with per-step
+ppermute ghost refresh, validated in interpret mode on the virtual CPU mesh
+against the single-device jnp trajectory."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from navierstokessolver_tpu.cases import make_case
+from navierstokessolver_tpu.parallel import (
+    make_mesh,
+    shard_state,
+    sharded_simulation,
+)
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _sharded_pallas(sim, mesh):
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    return sharded_simulation(sim_p, mesh)
+
+
+@requires_8
+@pytest.mark.parametrize("method", ["mg", "fft"])
+def test_sharded_fused_step_matches_unsharded(method):
+    case = make_case("cavity3d", shape=(32, 16, 16), re=100.0,
+                     poisson_method=method)
+    sim = case.sim
+    ref, dref = sim.run_scan(case.initial_state(), 10)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 10)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p), atol=5e-4)
+    # diagnostics agree (not just the fields)
+    np.testing.assert_allclose(
+        np.asarray(d.max_cfl), np.asarray(dref.max_cfl), atol=1e-6
+    )
+    assert abs(float(d.max_div[-1]) - float(dref.max_div[-1])) < 1e-5
+    assert len(out.p.sharding.device_set) == 4
+
+
+@requires_8
+def test_sharded_fused_step_two_shards_long_scan():
+    """Longer scan on 2 shards: the carried ghost slots stay consistent
+    across many refresh cycles; trajectory still tracks single-device."""
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 40)
+    mesh = make_mesh(2)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, d = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 40
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=1e-4
+        )
+    assert np.isfinite(np.asarray(d.max_div)).all()
+
+
+@requires_8
+def test_sharded_fused_with_extrapolation():
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0,
+                     poisson_method="cg", poisson_extrapolate=0.8)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 15)
+    mesh = make_mesh(2)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, _ = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 15
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    assert out.p_prev is not None
+
+
+@requires_8
+def test_sharded_fused_gate():
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0)
+    sim = case.sim
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    # 2D pencil mesh: whole-step path needs a 1D slab, falls back to the
+    # per-component sharded predictor
+    sim_2d = sharded_simulation(sim_p, make_mesh((2, 2)))
+    assert not sim_2d._fused3d_sharded_ok()
+    assert sim_2d._pallas_ok()
+    # degenerate slab (local rows < 8)
+    sim_8 = sharded_simulation(sim_p, make_mesh(8))
+    assert not sim_8._fused3d_sharded_ok()
