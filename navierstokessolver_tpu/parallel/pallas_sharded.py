@@ -68,31 +68,35 @@ def predictor_3d_sharded_applicable(
         return False  # lane ghosts are in-kernel; axis 2 must be local
     if any(grid.shape[a] % sizes[a] for a in range(3)):
         return False
-    from ..bcs import periodic_axes
 
-    if any(periodic_axes(grid, bcs)):
-        return False  # wraparound ppermute ring for the canon: not wired yet
     if min(grid.shape[a] // sizes[a] for a in range(2)) < 4:
         return False  # degenerate slabs: halo wider than the block
     return pk.predictor_3d_applicable(grid, bcs)
 
 
 def _ghost_plane(x: Array, a: int, side: int, name: str, n_dev: int,
-                 bc_slab: Array) -> Array:
+                 bc_slab, periodic: bool = False) -> Array:
     """One ghost plane along grid axis ``a``: the ring neighbor's edge plane
-    at interior shard boundaries, ``bc_slab`` at the true domain boundary.
+    at interior shard boundaries, ``bc_slab`` at the true domain boundary
+    (periodic axes close the ring with a wraparound link instead).
     ``side``: 0 = plane BELOW the local block, 1 = plane ABOVE it."""
     nd = x.ndim
     sl = [slice(None)] * nd
     if side == 0:
         sl[a] = slice(-1, None)       # neighbor below sends its TOP plane
         perm = [(k, k + 1) for k in range(n_dev - 1)]
+        if periodic:
+            perm.append((n_dev - 1, 0))
         is_edge = jax.lax.axis_index(name) == 0
     else:
         sl[a] = slice(0, 1)           # neighbor above sends its BOTTOM plane
         perm = [(k, k - 1) for k in range(1, n_dev)]
+        if periodic:
+            perm.append((0, n_dev - 1))
         is_edge = jax.lax.axis_index(name) == n_dev - 1
     halo = jax.lax.ppermute(x[tuple(sl)], name, perm)
+    if periodic:
+        return halo
     return jnp.where(is_edge, bc_slab, halo)
 
 
@@ -124,6 +128,9 @@ def predictor_3d_sharded(
     zeros -- carry garbage for the caller's BC pass to overwrite)."""
     from .sharding import SPATIAL_AXES
 
+    from ..bcs import periodic_axes
+
+    per = periodic_axes(grid, bcs)
     sizes = mesh_axis_sizes(mesh, grid)
     names = tuple(mesh.axis_names)
     n = grid.shape
@@ -148,7 +155,17 @@ def predictor_3d_sharded(
             for ax in (0, 1):
                 if not sharded[ax]:
                     if ax == c:
-                        x = pk._edge_pad(x, ax)
+                        if per[ax]:
+                            # periodic staggered: local x carries the
+                            # duplicate face; wrap as in pk.predictor_3d
+                            from ..bcs import _face_slice
+
+                            nfc = local_shape[ax]
+                            lo_w = _face_slice(x, ax, slice(nfc - 1, nfc))
+                            hi_w = _face_slice(x, ax, slice(1, 2))
+                            x = jnp.concatenate([lo_w, x, hi_w], axis=ax)
+                        else:
+                            x = pk._edge_pad(x, ax)
                     else:
                         x = jnp.concatenate(
                             [
@@ -167,20 +184,28 @@ def predictor_3d_sharded(
                 if ax == c:
                     # own (staggered) axis, trimmed representation:
                     # [apron(face kB-1), B faces, true face (k+1)B, apron]
-                    lo = _ghost_plane(x, ax, 0, name, nd_, x[tuple(lo_sl)])
+                    # (periodic: the wraparound ring delivers face n0 == 0)
+                    lo = _ghost_plane(
+                        x, ax, 0, name, nd_, x[tuple(lo_sl)], per[ax]
+                    )
                     hi_face = _ghost_plane(
                         x, ax, 1, name, nd_,
-                        _own_face_value(bcs, c, x, grid),
+                        None if per[ax] else _own_face_value(bcs, c, x, grid),
+                        per[ax],
                     )
                     x = jnp.concatenate([lo, x, hi_face, hi_face], axis=ax)
                 else:
                     lo = _ghost_plane(
                         x, ax, 0, name, nd_,
-                        pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 0),
+                        None if per[ax]
+                        else pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 0),
+                        per[ax],
                     )
                     hi = _ghost_plane(
                         x, ax, 1, name, nd_,
-                        pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 1),
+                        None if per[ax]
+                        else pk.bc_ghost_slab_3d(grid, bcs, c, x, ax, 1),
+                        per[ax],
                     )
                     x = jnp.concatenate([lo, x, hi], axis=ax)
             x = jnp.pad(

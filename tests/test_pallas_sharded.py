@@ -137,3 +137,46 @@ def test_sharded_mg_with_pallas_predictor():
             np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
         )
     assert int(d.poisson_iters[-1]) == int(dref.poisson_iters[-1])
+
+
+@requires_8
+@pytest.mark.parametrize("mesh_shape", [(8,), (2, 4)])
+def test_sharded_predictor_periodic(mesh_shape):
+    """Periodic axes under sharding: the ghost rings close with wraparound
+    ppermute links; parity vs the unsharded periodic predictor."""
+    import math
+
+    g = GridSpec(shape=(32, 16, 128), lengths=(2 * math.pi,) * 3)
+    bcs = {(a, s): BCSpec.periodic() for a in range(3) for s in (0, 1)}
+    u = _random_state(g, bcs)
+    dt, nu, gamma = 1e-3, 0.01, 0.3
+    ref = pk.predictor_3d(g, bcs, u, dt, nu, gamma, interpret=True)
+    mesh = make_mesh(mesh_shape)
+    assert predictor_3d_sharded_applicable(g, bcs, mesh)
+    got = predictor_3d_sharded(g, bcs, mesh, u, dt, nu, gamma, interpret=True)
+    for a in range(3):
+        sl = [slice(None)] * 3
+        sl[a] = slice(0, g.shape[a])
+        np.testing.assert_allclose(
+            np.asarray(got[a])[tuple(sl)], np.asarray(ref[a])[tuple(sl)],
+            atol=1e-6,
+        )
+
+
+@requires_8
+def test_taylor_green3d_sharded_end_to_end():
+    case = make_case("taylor_green3d", shape=(16, 16, 128), re=400.0)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 10)
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    mesh = make_mesh(2)
+    sim_sp = sharded_simulation(sim_p, mesh)
+    assert sim_sp._pallas_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 10)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    assert float(d.max_div[-1]) < 1e-5
