@@ -285,7 +285,7 @@ class Simulation:
         if self.params.integrator != "euler" or self.params.cfl is not None:
             return False
         if (self.forcing is not None or self.face_masks is not None
-                or self.scalar is not None or self.halo_solver is not None):
+                or self.scalar is not None):
             return False
         from .parallel.fused_sharded import fused_step3d_sharded_applicable
 

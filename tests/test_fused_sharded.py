@@ -106,3 +106,26 @@ def test_sharded_fused_gate():
     # degenerate slab (local rows < 8)
     sim_8 = sharded_simulation(sim_p, make_mesh(8))
     assert not sim_8._fused3d_sharded_ok()
+
+
+@requires_8
+def test_sharded_fused_with_explicit_halo_poisson():
+    """The fully-explicit multi-chip path: shard_map fused kernels around a
+    shard_map ppermute-CG pressure solve (poisson_comm='halo')."""
+    case = make_case("cavity3d", shape=(32, 16, 16), re=100.0,
+                     poisson_method="cg", poisson_tol=1e-6,
+                     poisson_iters=20000)
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 10)
+    mesh = make_mesh(4)
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    sim_sp = sharded_simulation(sim_p, mesh, poisson_comm="halo")
+    assert sim_sp._fused3d_sharded_ok() and sim_sp.halo_solver is not None
+    out, _ = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 10
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
