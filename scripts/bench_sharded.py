@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--poisson", default="fft")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--mesh", default="", help="e.g. 2,4 (default: 1D over all devices)")
+    ap.add_argument("--poisson-comm", default="gspmd",
+                    choices=["gspmd", "halo"],
+                    help="distributed pressure solve mechanism")
+    ap.add_argument("--pallas", action="store_true",
+                    help="force the sharded Pallas kernel paths "
+                         "(auto on TPU for 3D)")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual CPU device count (with --platform cpu)")
     ap.add_argument("--platform", default="",
                     help="force backend (e.g. 'cpu' with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=8; "
@@ -47,6 +55,8 @@ def main() -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.devices > 1:
+            jax.config.update("jax_num_cpu_devices", args.devices)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -67,7 +77,18 @@ def main() -> None:
     shape = (args.nx, args.ny, args.nz) if args.nz else (args.nx, args.ny)
     case = make_case(args.case, shape=shape, re=args.re,
                      poisson_method=args.poisson)
-    sim = sharded_simulation(case.sim, mesh)
+    sim0 = case.sim
+    if args.pallas:
+        import dataclasses
+
+        sim0 = dataclasses.replace(
+            sim0, params=dataclasses.replace(sim0.params, use_pallas=True)
+        )
+    sim = sharded_simulation(sim0, mesh, poisson_comm=args.poisson_comm)
+    if sim.grid.ndim == 3:
+        print(f"[bench_sharded] fused sharded step: "
+              f"{sim._fused3d_sharded_ok()}; sharded predictor: "
+              f"{sim._pallas_ok()}", file=sys.stderr)
     state = shard_state(case.initial_state(), mesh, sim.grid)
     n_cells = sim.grid.num_cells()
 
