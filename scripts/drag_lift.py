@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Cylinder drag/lift coefficients via control-volume momentum balance.
+
+Oracle (public literature, Re=200): mean Cd ~ 1.3-1.4, Cl amplitude ~ 0.7,
+shedding at St ~ 0.2 (e.g. Braza et al. 1986).
+
+Usage: python scripts/drag_lift.py [--shape 512,256] [--t-end 150]
+Writes one JSON line: {"cd_mean": ..., "cl_amp": ..., ...}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="512,256")
+    ap.add_argument("--re", type=float, default=200.0)
+    ap.add_argument("--t-end", type=float, default=150.0)
+    ap.add_argument("--poisson", default="mg")
+    ap.add_argument("--chunk", type=int, default=25)
+    args = ap.parse_args()
+    shape = tuple(int(x) for x in args.shape.split(","))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+    from navierstokessolver_tpu.utils.forces import cv_terms, drag_lift_series
+
+    case = make_case("cylinder", shape=shape, re=args.re,
+                     poisson_method=args.poisson)
+    sim = case.sim
+    g = sim.grid
+    dt = sim.params.dt
+    # CV box: 1 diameter of margin around the cylinder (center (4, ~4), D=1)
+    hx, hy = g.spacing
+    i0, i1 = int(2.5 / hx), int(5.5 / hx)
+    j0, j1 = int(2.5 / hy), int(5.5 / hy)
+    box = (i0, i1, j0, j1)
+
+    state = impulsive_start_state(sim)
+    n_steps = int(args.t_end / dt)
+    sfx, sfy, mx, my = [], [], [], []
+    t0 = time.time()
+    done = 0
+    while done + args.chunk <= n_steps:
+        state, diag = sim.run_scan(state, args.chunk)
+        a, b, c, d = cv_terms(g, state, sim.params.nu, box)
+        sfx.append(float(a)); sfy.append(float(b))
+        mx.append(float(c)); my.append(float(d))
+        done += args.chunk
+
+    cd, cl = drag_lift_series(
+        g, sim.params.nu, box, sfx, sfy, mx, my, args.chunk * dt
+    )
+    half = len(cd) // 2
+    out = {
+        "cd_mean": round(float(np.mean(cd[half:])), 4),
+        "cl_amp": round(float((cl[half:].max() - cl[half:].min()) / 2), 4),
+        "re": args.re, "shape": list(shape), "t_end": done * dt,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

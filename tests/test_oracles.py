@@ -83,3 +83,57 @@ def test_strouhal_smoke():
     amp = np.abs(np.fft.rfft(sig))
     st = float(freqs[np.argmax(amp[1:]) + 1])  # D = U = 1
     assert 0.15 < st < 0.25, st
+
+
+def test_uniform_flow_zero_force():
+    """CV sanity (fast): a body-free box in steady uniform flow carries no
+    net force (flux/pressure surface terms cancel)."""
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu import GridSpec
+    from navierstokessolver_tpu.grid import State
+    from navierstokessolver_tpu.utils.forces import cv_terms
+
+    g = GridSpec(shape=(32, 32), lengths=(1.0, 1.0))
+    u = jnp.ones(g.face_shape(0))
+    v = jnp.zeros(g.face_shape(1))
+    p = jnp.full(g.shape, 0.3)
+    sfx, sfy, mx, my = cv_terms(
+        g, State(u=(u, v), p=p), 0.01, (8, 24, 8, 24)
+    )
+    assert abs(float(sfx)) < 1e-5 and abs(float(sfy)) < 1e-5
+    assert abs(float(mx) - 0.25) < 1e-5  # 0.5x0.5 box of unit u
+
+
+def test_cylinder_drag_coefficient():
+    """Mean drag at Re=200 on a small grid lands in the literature bracket
+    (Cd ~ 1.3-1.4 at production resolution; loose bracket here)."""
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+    from navierstokessolver_tpu.utils.forces import cv_terms, drag_lift_series
+
+    case = make_case("cylinder", shape=(192, 96), re=200.0,
+                     poisson_method="mg")
+    sim = case.sim
+    g = sim.grid
+    dt = sim.params.dt
+    hx, hy = g.spacing
+    box = (int(2.5 / hx), int(5.5 / hx), int(2.5 / hy), int(5.5 / hy))
+    state = impulsive_start_state(sim)
+    chunk = 25
+    sfx, sfy, mx, my = [], [], [], []
+    n_steps = int(90.0 / dt)
+    done = 0
+    while done + chunk <= n_steps:
+        state, _ = sim.run_scan(state, chunk)
+        a, b, c, d = cv_terms(g, state, sim.params.nu, box)
+        sfx.append(float(a)); sfy.append(float(b))
+        mx.append(float(c)); my.append(float(d))
+        done += chunk
+    cd, cl = drag_lift_series(g, sim.params.nu, box, sfx, sfy, mx, my,
+                              chunk * dt)
+    half = len(cd) // 2
+    cd_mean = float(np.mean(cd[half:]))
+    cl_amp = float((cl[half:].max() - cl[half:].min()) / 2)
+    assert 1.0 < cd_mean < 1.8, cd_mean
+    assert cl_amp > 0.2, cl_amp  # shedding-driven lift oscillation
