@@ -48,6 +48,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", default=None, help="checkpoint path")
     ap.add_argument("--csv", default=None, help="CSV metrics path")
+    ap.add_argument("--forces-box", default=None,
+                    help="i0,i1,j0,j1 cell box: sample control-volume "
+                         "drag/lift terms each window into forces.csv "
+                         "(2D; see utils/forces.py)")
     ap.add_argument("--devices", type=int, default=0,
                     help="shard over the first N devices (0 = single device)")
     ap.add_argument("--poisson-comm", default="gspmd",
@@ -126,6 +130,14 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
+    forces_box = None
+    forces_rows = []
+    if args.forces_box:
+        forces_box = tuple(int(x) for x in args.forces_box.split(","))
+        if sim.grid.ndim != 2:
+            print("[cli] --forces-box is 2D only; ignoring", file=sys.stderr)
+            forces_box = None
+
     step = step0
     next_snap = step + args.snapshot_every if args.snapshot_every else None
     try:
@@ -161,6 +173,15 @@ def main(argv=None) -> int:
                 diag, step=step, dt=sim.params.dt, wall_s=wall,
                 n_cells=sim.grid.num_cells(),
             ))
+            if forces_box is not None:
+                from .utils.forces import cv_terms
+
+                a, b, c, d = cv_terms(
+                    sim.grid, state, sim.params.nu, forces_box
+                )
+                forces_rows.append(
+                    (step, float(a), float(b), float(c), float(d))
+                )
             if args.checkpoint_every and step % args.checkpoint_every < chunk:
                 io_mod.save_checkpoint(
                     os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash
@@ -172,6 +193,16 @@ def main(argv=None) -> int:
         io_mod.save_checkpoint(
             os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash
         )
+    if forces_rows:
+        import csv
+
+        path = os.path.join(out_dir, "forces.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["step", "sf_x", "sf_y", "mom_x", "mom_y"])
+            w.writerows(forces_rows)
+        print(f"[cli] wrote {path} ({len(forces_rows)} samples); assemble "
+              "Cd/Cl with utils.forces.drag_lift_series", file=sys.stderr)
     print(f"[cli] done at step {step}", file=sys.stderr)
     return 0
 
