@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--poisson", default="fft")
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--warmup", type=int, default=50)
+    ap.add_argument("--pallas", action="store_true",
+                    help="force use_pallas=True (e.g. the fused 2D step)")
     ap.add_argument("--steps", type=int, default=100)
     args = ap.parse_args()
 
@@ -66,6 +68,10 @@ def main() -> None:
     # residual once afterwards with a diagnostic-enabled sim.
     import dataclasses
 
+    if args.pallas:
+        sim = dataclasses.replace(
+            sim, params=dataclasses.replace(sim.params, use_pallas=True)
+        )
     sim_diag = sim
     if args.poisson == "fft":
         sim = dataclasses.replace(

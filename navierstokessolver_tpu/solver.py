@@ -293,6 +293,84 @@ class Simulation:
             self.grid, self.bcs, self.shardings.p.mesh
         )
 
+    def _fused2d_ok(self) -> bool:
+        """Fused 2D whole-step (ops/pallas_2d.py): unsharded 2D float32
+        euler runs, obstacles and outflow INCLUDED (unlike 3D). Gated to
+        explicit use_pallas=True until the TPU win is measured; flip the
+        auto default then."""
+        use = self.params.use_pallas
+        if not use or self.grid.ndim != 2:
+            return False
+        if self.params.integrator != "euler" or self.params.cfl is not None:
+            return False
+        if (self.forcing is not None or self.shardings is not None
+                or self.scalar is not None):
+            return False
+        from .ops import pallas_2d
+
+        return pallas_2d.fused_step2d_applicable(self.grid, self.bcs)
+
+    def _face_codes_2d(self):
+        from .ops import pallas_2d
+
+        if not hasattr(self, "_fc2d_cache"):
+            codes = pallas_2d.build_face_codes(
+                self.grid, self.face_masks, self.corr_masks
+            )
+            fc = (pallas_2d.pad_fluid_code(self.grid, self.op.code)
+                  if codes is not None else None)
+            object.__setattr__(self, "_fc2d_cache", (codes, fc))
+        return self._fc2d_cache
+
+    def _step_fused2d_internal(
+        self, istate: State
+    ) -> tuple[State, StepDiagnostics]:
+        """One fused 2D step over the internal layout (carried across scan
+        iterations; ops/pallas_2d.to_internal_2d)."""
+        from .ops import pallas_2d
+
+        g, b, pr = self.grid, self.bcs, self.params
+        dt = jnp.asarray(pr.dt, g.dtype)
+        codes, fc = self._face_codes_2d()
+        with jax.named_scope("predictor"):
+            u_star, rhs = pallas_2d.predictor_rhs_2d_internal(
+                g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
+                face_codes=codes, fluid_code=fc,
+                interpret=self.pallas_interpret,
+            )
+        with jax.named_scope("poisson"):
+            beta = pr.poisson.extrapolate
+            if beta and istate.p_prev is not None:
+                p_start = istate.p + beta * (istate.p - istate.p_prev)
+            else:
+                p_start = istate.p
+            p, iters, res = self._solve_pressure(rhs, p_start)
+        with jax.named_scope("correction"):
+            iu_new, max_div, max_vel = pallas_2d.correct_diag_2d_internal(
+                g, b, u_star, p, dt / pr.rho,
+                face_codes=codes, fluid_code=fc,
+                interpret=self.pallas_interpret,
+            )
+        diag = StepDiagnostics(
+            poisson_iters=iters,
+            poisson_res=res,
+            max_div=max_div,
+            max_cfl=max_vel * dt,
+            dt=dt,
+        )
+        p_prev_new = istate.p if istate.p_prev is not None else None
+        return State(u=iu_new, p=p, p_prev=p_prev_new), diag
+
+    def _step_fused2d(self, state: State) -> tuple[State, StepDiagnostics]:
+        from .ops import pallas_2d
+
+        iu = pallas_2d.to_internal_2d(self.grid, state.u)
+        istate, diag = self._step_fused2d_internal(
+            State(u=iu, p=state.p, p_prev=state.p_prev)
+        )
+        u0, u1 = pallas_2d.from_internal_2d(self.grid, self.bcs, istate.u)
+        return State(u=(u0, u1), p=istate.p, p_prev=istate.p_prev), diag
+
     def _solve_pressure(self, rhs: Array, p0: Array):
         """Dispatch to the configured pressure solver; returns (p, iters, res)."""
         pr = self.params
@@ -445,6 +523,8 @@ class Simulation:
         g, b, pr = self.grid, self.bcs, self.params
         if self._fused3d_ok():
             return self._step_fused3d(state)
+        if self._fused2d_ok():
+            return self._step_fused2d(state)
         state = self._constrain(state)
         with jax.named_scope("bcs"):
             u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
@@ -543,6 +623,10 @@ class Simulation:
             "corr_masks": self.corr_masks,
             "forcing": self.forcing,
         }
+        if self._fused2d_ok():
+            # build the uint8 face codes EAGERLY (from concrete masks) and
+            # thread them as traced args like every other per-cell array
+            c["fc2d"] = self._face_codes_2d()
         if self.dct_solver is not None:
             c["inv_eig"] = self.dct_solver.inv_eig
         if self.mg_solver is not None:
@@ -558,7 +642,7 @@ class Simulation:
         mg = self.mg_solver
         if mg is not None:
             mg = dataclasses.replace(mg, ops=c["mg_ops"])
-        return dataclasses.replace(
+        bound = dataclasses.replace(
             self,
             op=c["op"],
             face_masks=c["face_masks"],
@@ -567,6 +651,9 @@ class Simulation:
             dct_solver=dct,
             mg_solver=mg,
         )
+        if "fc2d" in c:
+            object.__setattr__(bound, "_fc2d_cache", c["fc2d"])
+        return bound
 
     def run_scan(self, state: State, n_steps: int) -> tuple[State, StepDiagnostics]:
         """Advance ``n_steps`` inside a single jitted ``lax.scan``.
@@ -587,6 +674,19 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
 
         return run_scan_sharded_fused(
             sim, sim.shardings.p.mesh, state, n_steps
+        )
+    if sim._fused2d_ok():
+        from .ops import pallas_2d
+
+        iu = pallas_2d.to_internal_2d(sim.grid, state.u)
+        istate, diags = jax.lax.scan(
+            lambda c, _: sim._step_fused2d_internal(c),
+            State(u=iu, p=state.p, p_prev=state.p_prev),
+            xs=None, length=n_steps,
+        )
+        u0, u1 = pallas_2d.from_internal_2d(sim.grid, sim.bcs, istate.u)
+        return (
+            State(u=(u0, u1), p=istate.p, p_prev=istate.p_prev), diags
         )
     if sim._fused3d_ok():
         # Carry the fused kernels' internal padded layout THROUGH the scan:
