@@ -123,6 +123,13 @@ class MGPoissonSolver:
     coarse_omega: float = 1.0          # coarse-solve relaxation (RB-SOR)
     # Fused Pallas sweep kernel for the large 2D levels (auto on TPU).
     use_pallas: bool = False
+    # Fused V-cycle level kernels (pallas_kernels.mg_pre_sweeps_residual /
+    # mg_add_post_sweeps): collapse pre-smooth+residual and prolong-add+
+    # post-smooth+convergence-check into one HBM pass each on 2D >=128
+    # non-periodic levels. Auto-on for TPU in build(); must be disabled
+    # under GSPMD sharding (parallel/sharding.sharded_simulation does).
+    fused: bool = False
+    interpret: bool = False            # pallas interpret mode (CPU tests)
 
     @staticmethod
     def build(
@@ -135,6 +142,7 @@ class MGPoissonSolver:
         min_size: int = 4,
         max_levels: int = 8,
         use_pallas: Optional[bool] = None,
+        fused: Optional[bool] = None,
     ) -> "MGPoissonSolver":
         """``max_levels`` bounds the hierarchy depth: each level statically
         unrolls into the jitted program, and on very large grids (2048^2 is
@@ -167,10 +175,15 @@ class MGPoissonSolver:
         # Kept selectable for experimentation + interpret-mode validation.
         if use_pallas is None:
             use_pallas = False
+        # The fused V-cycle level kernels DO win (unlike plain K-sweep
+        # fusion): they also eliminate the separate residual/restrict-input
+        # and correction-add passes plus the per-cycle convergence check.
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
         return MGPoissonSolver(
             grid=grid, ops=ops, pre=pre, post=post,
             coarse_iters=coarse_iters, coarse_omega=coarse_omega,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, fused=fused,
         )
 
     # -- one V-cycle (statically unrolled over levels) ----------------------
@@ -195,19 +208,55 @@ class MGPoissonSolver:
             0, n, lambda i, p: _rb_sweep(op, p, b, omega), x
         )
 
-    def _v_cycle(self, level: int, x: Array, b: Array) -> Array:
+    def _fused_ok(self, level: int) -> bool:
+        if not self.fused or level == len(self.ops) - 1:
+            return False
+        if not (1 <= self.pre <= 8 and 1 <= self.post <= 8):
+            return False
+        from . import pallas_kernels
+
+        return pallas_kernels.mg_fused_applicable(self.ops[level])
+
+    def _v_cycle(
+        self, level: int, x: Array, b: Array, want_rsq: bool = False
+    ):
+        """One V-cycle at ``level``. With ``want_rsq`` also returns
+        sum(((b - A x')*fluid)^2) of the RETURNED iterate -- the solve
+        loop's convergence quantity (free on the fused path: K2 emits it
+        as per-stripe partials)."""
         op = self.ops[level]
         if level == len(self.ops) - 1:
-            return self._smooth(
+            x = self._smooth(
                 level, x, b, self.coarse_iters, self.coarse_omega
             )
+            if want_rsq:
+                rn = residual_norm(op, x, b)
+                return x, rn * rn
+            return x
+        if self._fused_ok(level):
+            from . import pallas_kernels
+
+            x, r = pallas_kernels.mg_pre_sweeps_residual(
+                op, x, b, self.pre, self.omega, interpret=self.interpret
+            )
+            rc = _restrict(r) * self.ops[level + 1].fluid
+            ec = self._v_cycle(level + 1, jnp.zeros_like(rc), rc)
+            e = _prolong(ec, op.periodic)
+            x, rsq = pallas_kernels.mg_add_post_sweeps(
+                op, x, b, e, self.post, self.omega, interpret=self.interpret
+            )
+            return (x, rsq) if want_rsq else x
         x = self._smooth(level, x, b, self.pre)
         r = (b - apply_A(op, x)) * op.fluid
         rc = _restrict(r) * self.ops[level + 1].fluid
         ec = jnp.zeros_like(rc)
         ec = self._v_cycle(level + 1, ec, rc)
         x = (x + _prolong(ec, op.periodic)) * op.fluid
-        return self._smooth(level, x, b, self.post)
+        x = self._smooth(level, x, b, self.post)
+        if want_rsq:
+            rn = residual_norm(op, x, b)
+            return x, rn * rn
+        return x
 
     def solve(
         self, b: Array, p0: Array, tol: float, max_cycles: int
@@ -238,10 +287,15 @@ class MGPoissonSolver:
 
         def body(carry):
             p, k, res, _ = carry
-            p = self._v_cycle(0, p, b)
+            # want_rsq: on the fused-kernel path the final post-smooth
+            # emits sum(r^2) per stripe, so the stopping check costs no
+            # extra HBM pass. Deflation does not perturb it: A maps
+            # constants to zero on the singular (all-Neumann) operator,
+            # so the residual of the deflated iterate is identical.
+            p, rsq = self._v_cycle(0, p, b, want_rsq=True)
             if op.singular:
                 p = deflate(op, p)
-            new_res = residual_norm(op, p, b) * inv_bnorm
+            new_res = jnp.sqrt(rsq) * inv_bnorm
             return p, k + 1, new_res, res
 
         res0 = residual_norm(op, p0, b) * inv_bnorm

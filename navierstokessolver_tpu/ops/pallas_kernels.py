@@ -638,6 +638,251 @@ def rb_sweeps(
     return out[:n0, :n1]
 
 
+# -- fused V-cycle level kernels (geometric multigrid, 2D) -------------------
+#
+# One V-cycle level in the jnp path costs 6+ HBM passes at the fine grid:
+# `pre` sweeps + residual (apply_A) + restrict on the way down, prolong+add +
+# `post` sweeps + the solve loop's residual-norm check on the way up. These
+# two kernels collapse that to TWO passes: K1 = pre-smooth + residual (the
+# restriction's 4:1 pairing stays in XLA on the already-written residual),
+# K2 = correction-add + post-smooth + the CONVERGENCE residual's per-stripe
+# sum-of-squares partials, which makes the while_loop's stopping check free.
+# Same halo-recompute scheme as rb_sweeps (_HALO=32 covers <=8 sweeps of
+# contamination plus the +-1 residual stencil).
+
+
+def mg_fused_applicable(op) -> bool:
+    """The fused level kernels: 2D f32, >=128 per side (VMEM stripe tiling),
+    non-periodic (the in-kernel neighbor shifts are edge-clamped; wrap
+    couplings would read the wrong cell)."""
+    return (
+        op.diag.ndim == 2
+        and op.diag.dtype == jnp.float32
+        and min(op.diag.shape) >= 128
+        and not any(op.periodic)
+    )
+
+
+def _mg_decode(c_scr, *, w0: float, w1: float):
+    """uint8 stencil code -> coupling/fluid planes (poisson.PoissonOp bits:
+    1/2 axis-0 lo/hi, 4/8 axis-1 lo/hi, 64 fluid)."""
+    c = c_scr[...].astype(jnp.int32)
+    f32 = jnp.float32
+    l0 = jnp.where((c & 1) > 0, w0, 0.0).astype(f32)
+    h0 = jnp.where((c & 2) > 0, w0, 0.0).astype(f32)
+    l1 = jnp.where((c & 4) > 0, w1, 0.0).astype(f32)
+    h1 = jnp.where((c & 8) > 0, w1, 0.0).astype(f32)
+    fluid = jnp.where((c & 64) > 0, 1.0, 0.0).astype(f32)
+    return l0, h0, l1, h1, fluid
+
+
+def _shift4(p):
+    up = jnp.concatenate([p[:1], p[:-1]], axis=0)
+    dn = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    lf = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    rt = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    return up, dn, lf, rt
+
+
+def _mg_sweep_loop(p, bd, cl0, ch0, cl1, ch1, red, omega, n):
+    """n red-black sweeps; coefficients are pre-divided by diag (cf.
+    _rb_sweep_kernel, whose semantics these share)."""
+    for _ in range(n):
+        for is_red in (True, False):
+            up, dn, lf, rt = _shift4(p)
+            gs = bd - (cl0 * up + ch0 * dn + cl1 * lf + ch1 * rt)
+            if omega != 1.0:
+                gs = (1.0 - omega) * p + omega * gs
+            p = jnp.where(red, gs, p) if is_red else jnp.where(red, p, gs)
+    return p
+
+
+def _mg_residual_plane(p, b, d, l0, h0, l1, h1, fluid):
+    """(b - A p) * fluid with A p = diag*p + sum couplings*neighbors."""
+    up, dn, lf, rt = _shift4(p)
+    return (b - (d * p + l0 * up + h0 * dn + l1 * lf + h1 * rt)) * fluid
+
+
+def _mg_pre_kernel(
+    p_hbm, b_hbm, d_hbm, c_hbm, outp_ref, outr_ref,
+    p_scr, b_scr, d_scr, c_scr, sems,
+    *, T: int, W: int, n_sweeps: int, omega: float, w0: float, w1: float,
+):
+    i = pl.program_id(0)
+    R = T + 2 * _HALO
+    cps = [
+        pltpu.make_async_copy(ref.at[pl.ds(i * T, R), :], scr, sems.at[k])
+        for k, (ref, scr) in enumerate(
+            [(p_hbm, p_scr), (b_hbm, b_scr), (d_hbm, d_scr), (c_hbm, c_scr)]
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    l0, h0, l1, h1, fluid = _mg_decode(c_scr, w0=w0, w1=w1)
+    d = d_scr[...]
+    inv_d = 1.0 / d
+    bd = b_scr[...] * inv_d
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) + i * T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    red = ((rows + cols) & 1) == 0
+    p = _mg_sweep_loop(
+        p_scr[...], bd, l0 * inv_d, h0 * inv_d, l1 * inv_d, h1 * inv_d,
+        red, omega, n_sweeps,
+    )
+    r = _mg_residual_plane(p, b_scr[...], d, l0, h0, l1, h1, fluid)
+    outp_ref[:, :] = p[_HALO:T + _HALO, :]
+    outr_ref[:, :] = r[_HALO:T + _HALO, :]
+
+
+def _mg_post_kernel(
+    p_hbm, b_hbm, d_hbm, c_hbm, e_hbm, outp_ref, rsq_ref,
+    p_scr, b_scr, d_scr, c_scr, e_scr, sems,
+    *, T: int, W: int, n_sweeps: int, omega: float, w0: float, w1: float,
+):
+    i = pl.program_id(0)
+    R = T + 2 * _HALO
+    cps = [
+        pltpu.make_async_copy(ref.at[pl.ds(i * T, R), :], scr, sems.at[k])
+        for k, (ref, scr) in enumerate(
+            [(p_hbm, p_scr), (b_hbm, b_scr), (d_hbm, d_scr),
+             (c_hbm, c_scr), (e_hbm, e_scr)]
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    l0, h0, l1, h1, fluid = _mg_decode(c_scr, w0=w0, w1=w1)
+    d = d_scr[...]
+    inv_d = 1.0 / d
+    bd = b_scr[...] * inv_d
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) + i * T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    red = ((rows + cols) & 1) == 0
+    p0 = (p_scr[...] + e_scr[...]) * fluid
+    p = _mg_sweep_loop(
+        p0, bd, l0 * inv_d, h0 * inv_d, l1 * inv_d, h1 * inv_d,
+        red, omega, n_sweeps,
+    )
+    r = _mg_residual_plane(p, b_scr[...], d, l0, h0, l1, h1, fluid)
+    outp_ref[:, :] = p[_HALO:T + _HALO, :]
+    rv = r[_HALO:T + _HALO, :]
+    rsq_ref[0, 0] = jnp.sum(rv * rv)
+
+
+def _mg_pad_planes(arrays, NP: int, W: int):
+    def padded(x, fill):
+        out = jnp.full((NP + 2 * _HALO, W), fill, x.dtype)
+        return jax.lax.dynamic_update_slice(out, x, (_HALO, 0))
+
+    return [padded(x, f) for x, f in arrays]
+
+
+def mg_pre_sweeps_residual(
+    op, p: Array, b: Array, n_sweeps: int, omega: float,
+    tile: int = 256, interpret: bool = False,
+) -> tuple[Array, Array]:
+    """``n_sweeps`` RB sweeps then the smoothed residual, one HBM pass.
+
+    Returns (p', (b - A p')*fluid); bitwise-comparable to `_rb_sweep` xN
+    followed by `(b - apply_A(p))*fluid` up to f32 reassociation (validated
+    in tests/test_pallas_mg.py, interpret mode).
+    """
+    if not 1 <= n_sweeps <= 8:
+        raise ValueError("n_sweeps must be in [1, 8]")
+    n0, n1 = p.shape
+    T = min(tile, _round_up(n0, 8))
+    NP = _round_up(n0, T)
+    W = _round_up(n1, 128)
+    p_pad, b_pad, d_pad, c_pad = _mg_pad_planes(
+        [(p, 0.0), (b, 0.0), (op.diag, 1.0), (op.code, 0)], NP, W
+    )
+    kern = functools.partial(
+        _mg_pre_kernel,
+        T=T, W=W, n_sweeps=n_sweeps, omega=omega, w0=op.w[0], w1=op.w[1],
+    )
+    outp, outr = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((NP, W), jnp.float32)] * 2,
+        grid=(NP // T,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[
+            pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p_pad, b_pad, d_pad, c_pad)
+    return outp[:n0, :n1], outr[:n0, :n1]
+
+
+def mg_add_post_sweeps(
+    op, p: Array, b: Array, e: Array, n_sweeps: int, omega: float,
+    tile: int = 256, interpret: bool = False,
+) -> tuple[Array, Array]:
+    """(p + e)*fluid, ``n_sweeps`` RB sweeps, convergence-residual partials.
+
+    Returns (p', sum((b - A p')^2 * fluid)); the scalar makes the V-cycle
+    loop's `residual_norm` check free (sqrt + 1/bnorm stay in XLA). Per-
+    stripe f32 partial sums -- tolerance-level agreement with the jnp
+    reduction, not bitwise.
+    """
+    if not 1 <= n_sweeps <= 8:
+        raise ValueError("n_sweeps must be in [1, 8]")
+    n0, n1 = p.shape
+    T = min(tile, _round_up(n0, 8))
+    NP = _round_up(n0, T)
+    W = _round_up(n1, 128)
+    p_pad, b_pad, d_pad, c_pad, e_pad = _mg_pad_planes(
+        [(p, 0.0), (b, 0.0), (op.diag, 1.0), (op.code, 0), (e, 0.0)],
+        NP, W,
+    )
+    kern = functools.partial(
+        _mg_post_kernel,
+        T=T, W=W, n_sweeps=n_sweeps, omega=omega, w0=op.w[0], w1=op.w[1],
+    )
+    G = NP // T
+    outp, rsq = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, W), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1), jnp.float32),
+        ],
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[
+            pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.uint8),
+            pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p_pad, b_pad, d_pad, c_pad, e_pad)
+    return outp[:n0, :n1], jnp.sum(rsq)
+
+
 def predictor_2d(
     grid: GridSpec,
     bcs: BCTable,

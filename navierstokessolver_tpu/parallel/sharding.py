@@ -120,10 +120,20 @@ def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
         )
     elif poisson_comm != "gspmd":
         raise ValueError(f"unknown poisson_comm {poisson_comm!r}")
+    mg_solver = sim.mg_solver
+    if mg_solver is not None and (mg_solver.fused or mg_solver.use_pallas):
+        # The fused V-cycle level kernels (and the K-sweep kernel) are
+        # single-device pallas_calls; under GSPMD the partitioner cannot
+        # split them, so sharded runs take the jnp V-cycle (whose stencils
+        # GSPMD halo-exchanges automatically).
+        mg_solver = dataclasses.replace(
+            mg_solver, fused=False, use_pallas=False
+        )
     return dataclasses.replace(
         sim,
         shardings=state_shardings(mesh, sim.grid),
         halo_solver=halo_solver,
+        mg_solver=mg_solver,
     )
 
 
