@@ -771,7 +771,13 @@ def _mg_post_kernel(
     r = _mg_residual_plane(p, b_scr[...], d, l0, h0, l1, h1, fluid)
     outp_ref[:, :] = p[_HALO:T + _HALO, :]
     rv = r[_HALO:T + _HALO, :]
-    rsq_ref[0, 0] = jnp.sum(rv * rv)
+    # Per-stripe partial sum in an (8,128) VMEM tile (TPU lowering rejects
+    # sub-(8,128) output blocks); element [0,0] carries the value, the rest
+    # stay zero so the host-side jnp.sum over [:, 0, 0] reads it exactly.
+    total = jnp.sum(rv * rv)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rsq_ref[:, :] = jnp.where((row == 0) & (col == 0), total, 0.0)
 
 
 def _mg_pad_planes(arrays, NP: int, W: int):
@@ -859,13 +865,13 @@ def mg_add_post_sweeps(
         kern,
         out_shape=[
             jax.ShapeDtypeStruct((NP, W), jnp.float32),
-            jax.ShapeDtypeStruct((G, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G * 8, 128), jnp.float32),
         ],
         grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=[
             pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((T + 2 * _HALO, W), jnp.float32),
@@ -880,7 +886,7 @@ def mg_add_post_sweeps(
         ),
         interpret=interpret,
     )(p_pad, b_pad, d_pad, c_pad, e_pad)
-    return outp[:n0, :n1], jnp.sum(rsq)
+    return outp[:n0, :n1], jnp.sum(rsq.reshape(G, 8, 128)[:, 0, 0])
 
 
 def predictor_2d(
