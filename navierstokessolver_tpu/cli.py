@@ -33,7 +33,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--steps", type=int, default=None,
                     help="default: the case's suggested step count")
     ap.add_argument("--poisson", default=None,
-                    help="jacobi | gs | sor | cg | mg | mgcg | fft")
+                    help="jacobi | gs | sor | cg | mg | mgcg | fft | dctcg")
     ap.add_argument("--poisson-tol", type=float, default=None)
     ap.add_argument("--upwind-gamma", type=float, default=None)
     ap.add_argument("--integrator", default=None, choices=["euler", "rk2"],

@@ -353,3 +353,64 @@ def neumann_eigenvalues(n: int, h: float) -> np.ndarray:
     """
     k = np.arange(n)
     return -(4.0 / (h * h)) * np.sin(np.pi * k / (2 * n)) ** 2
+
+
+# ---------------------------------------------------------------------------
+# Mixed-BC eigenbases. ops/poisson.py discretizes an outflow (pressure-
+# Dirichlet) face as ghost = -edge (face value pinned to 0), which is the
+# half-sample-odd symmetry; walls/inflow are ghost = edge (half-sample
+# even). The cell-centered 1D second-difference operator therefore
+# diagonalizes exactly under:
+#   even/even  (wall-wall)      -> DCT-II              (neumann_eigenvalues)
+#   even/odd   (wall-outflow)   -> DCT-IV              (orthonormal, its own
+#                                                       inverse)
+#   odd/even   (outflow-wall)   -> index-flipped DCT-IV (same eigenvalues)
+#   odd/odd    (outflow-outflow)-> DST-II
+# These feed the direct spectral solver (obstacle-free outflow domains are
+# now exact in one application) and the DCT-preconditioned CG for obstacle
+# topologies (ops/fft_poisson.py).
+# ---------------------------------------------------------------------------
+
+
+def dct4_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-IV: C[k,i] = sqrt(2/n) cos(pi(2k+1)(2i+1)/(4n)).
+
+    Symmetric and orthogonal, so it is exactly its own inverse. Rows are the
+    eigenvectors of the Neumann(lo)/Dirichlet(hi) cell-centered Laplacian.
+    """
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k + 1) * (2 * i + 1) / (4 * n)
+    )
+
+
+def dst2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DST-II: S[k,i] ~ sin(pi(k+1)(2i+1)/(2n)).
+
+    Rows are the eigenvectors of the double-Dirichlet cell-centered
+    Laplacian. The last row (k = n-1, the alternating-sign mode) carries
+    weight 1/sqrt(n) instead of sqrt(2/n) for orthonormality; inverse is the
+    transpose.
+    """
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sin(np.pi * (k + 1) * (2 * i + 1) / (2 * n))
+    scale = np.full((n, 1), np.sqrt(2.0 / n))
+    scale[n - 1, 0] = np.sqrt(1.0 / n)
+    return scale * m
+
+
+def mixed_nd_eigenvalues(n: int, h: float) -> np.ndarray:
+    """Neumann(lo)/Dirichlet(hi) eigenvalues (DCT-IV basis):
+    lambda_k = -(4/h^2) sin^2(pi (2k+1) / (4n)). Strictly negative -- a
+    Dirichlet face removes the constant nullspace."""
+    k = np.arange(n)
+    return -(4.0 / (h * h)) * np.sin(np.pi * (2 * k + 1) / (4 * n)) ** 2
+
+
+def dirichlet_eigenvalues(n: int, h: float) -> np.ndarray:
+    """Double-Dirichlet eigenvalues (DST-II basis):
+    lambda_k = -(4/h^2) sin^2(pi (k+1) / (2n))."""
+    k = np.arange(n)
+    return -(4.0 / (h * h)) * np.sin(np.pi * (k + 1) / (2 * n)) ** 2

@@ -31,17 +31,34 @@ from .poisson import PoissonOp, apply_A, residual_norm
 Array = jax.Array
 
 
+def axis_kinds_from_bcs(grid: GridSpec, bcs: BCTable) -> tuple[str, ...]:
+    """Per-axis transform kind for the pressure operator's eigenbasis.
+
+    ops/poisson.py gives every face one of two ghost symmetries: even
+    (ghost = edge; wall/inflow/slip -> Neumann) or odd (ghost = -edge;
+    outflow/convective -> Dirichlet p=0 at the face). Each (lo, hi)
+    combination diagonalizes under a classical trigonometric transform
+    (ops/dct.py mixed-BC section):
+      'nn' DCT-II | 'nd' DCT-IV | 'dn' flipped DCT-IV | 'dd' DST-II |
+      'per' circulant eigenbasis.
+    """
+    kinds = []
+    for a in range(grid.ndim):
+        if bcs[(a, 0)].kind is BCKind.PERIODIC:
+            kinds.append("per")
+            continue
+        lo_d = bcs[(a, 0)].kind in (BCKind.OUTFLOW, BCKind.CONVECTIVE)
+        hi_d = bcs[(a, 1)].kind in (BCKind.OUTFLOW, BCKind.CONVECTIVE)
+        kinds.append({(False, False): "nn", (False, True): "nd",
+                      (True, False): "dn", (True, True): "dd"}[(lo_d, hi_d)])
+    return tuple(kinds)
+
+
 def is_applicable(grid: GridSpec, bcs: BCTable, solid) -> bool:
-    """Neumann (wall/inflow/slip) and periodic faces diagonalize (DCT-II /
-    circulant eigenbasis respectively); outflow (Dirichlet) and obstacle
-    masks do not."""
-    if solid is not None and np.any(solid):
-        return False
-    return all(
-        bcs[(a, s)].kind not in (BCKind.OUTFLOW, BCKind.CONVECTIVE)
-        for a in range(grid.ndim)
-        for s in (0, 1)
-    )
+    """Every face symmetry (Neumann, Dirichlet-outflow, periodic) has an
+    exact eigenbasis now; only an interior obstacle mask breaks the tensor
+    structure (use the iterative solvers or the DCT-preconditioned CG)."""
+    return solid is None or not np.any(solid)
 
 
 @dataclasses.dataclass(eq=False)
@@ -83,6 +100,15 @@ class DCTPoissonSolver:
     # the MAIN solve at default, not the correction. Tunable for the
     # accuracy/speed sweep in bench runs.
     refine_precision: str = "high"
+    # Per-axis eigenbasis kind ('nn'|'nd'|'dn'|'dd'|'per'); see
+    # axis_kinds_from_bcs. All-'nn'/'per' is the singular (pure-Neumann)
+    # problem with the constant mode pinned; any Dirichlet axis makes the
+    # operator nonsingular and the solve exact at every mode.
+    kinds: tuple[str, ...] = ()
+
+    @property
+    def singular(self) -> bool:
+        return all(k in ("nn", "per") for k in (self.kinds or ()))
 
     @staticmethod
     def build(
@@ -92,21 +118,35 @@ class DCTPoissonSolver:
         refine: int = 1,
         split_levels: Optional[int] = None,
         periodic: Optional[tuple[bool, ...]] = None,
+        kinds: Optional[tuple[str, ...]] = None,
         self_check: bool = True,
         _force_dense: bool = False,
     ) -> "DCTPoissonSolver":
-        periodic = periodic or (False,) * grid.ndim
-        if any(periodic) and mode != "matmul":
-            raise ValueError("periodic axes require mode='matmul'")
+        if kinds is None:
+            periodic = periodic or (False,) * grid.ndim
+            kinds = tuple("per" if p else "nn" for p in periodic)
+        else:
+            periodic = tuple(k == "per" for k in kinds)
+        if any(k != "nn" for k in kinds) and mode != "matmul":
+            raise ValueError(
+                "periodic/Dirichlet axes require mode='matmul'"
+            )
         qmats = {}
         lam = []
         for a, (n, h) in enumerate(zip(grid.shape, grid.spacing)):
-            if periodic[a]:
+            k = kinds[a]
+            if k == "per":
                 Q, l = dct_mod.circulant_eigenbasis(n, h)
                 qmats[a] = Q
                 lam.append(l)   # eigenvalues in Q-column order
-            else:
+            elif k == "nn":
                 lam.append(dct_mod.neumann_eigenvalues(n, h))
+            elif k in ("nd", "dn"):
+                lam.append(dct_mod.mixed_nd_eigenvalues(n, h))
+            elif k == "dd":
+                lam.append(dct_mod.dirichlet_eigenvalues(n, h))
+            else:
+                raise ValueError(f"unknown axis kind {k!r}")
         total = np.zeros(grid.shape, dtype=np.float64)
         for a, l in enumerate(lam):
             shape = [1] * grid.ndim
@@ -139,12 +179,26 @@ class DCTPoissonSolver:
                 return min(4, dct_mod.split_levels(n, min_base=128))
 
             def _plan(a, n):
-                if periodic[a]:
+                k = kinds[a]
+                if k == "per":
                     # symmetric-fold circulant split (2x MACs) pays at the
                     # same scale threshold as the DCT split
                     if n >= 1024 and n % 2 == 0 and not _force_dense:
                         return dct_mod.CircSplitPlan(n, grid.dtype)
                     return dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
+                if k in ("nd", "dn", "dd"):
+                    # Mixed/Dirichlet bases run as one dense orthonormal
+                    # matmul (inverse = transpose; DCT-IV is its own
+                    # inverse). No radix split yet -- at n<=2048 the dense
+                    # MXU matmul is a minor cost next to the NN-axis split
+                    # chains, and these axes only occur on outflow domains.
+                    if k == "nd":
+                        C = dct_mod.dct4_matrix(n)
+                    elif k == "dn":
+                        C = dct_mod.dct4_matrix(n)[:, ::-1]
+                    else:
+                        C = dct_mod.dst2_matrix(n)
+                    return dct_mod.DensePlan(C, C.T, grid.dtype)
                 lv = _auto_levels(n) if split_levels is None else split_levels
                 if _force_dense:
                     lv = 0
@@ -177,6 +231,7 @@ class DCTPoissonSolver:
             mode=mode,
             precision=precision,
             refine=refine,
+            kinds=kinds,
         )
         if self_check:
             # Build-time self-check (replaces the former n<1024 TPU shape
@@ -186,7 +241,7 @@ class DCTPoissonSolver:
             # a manufactured multi-eigenmode RHS once and verify; on failure
             # fall back to the dense (level-0) plans, which covers any
             # future shape-specific miscompile at negligible build cost.
-            err = solver._self_check_error(periodic)
+            err = solver._self_check_error(kinds)
             if not (err < 0.05):
                 import sys
 
@@ -200,7 +255,7 @@ class DCTPoissonSolver:
                     )
                     return DCTPoissonSolver.build(
                         grid, mode, precision, refine,
-                        split_levels=0, periodic=periodic,
+                        split_levels=0, kinds=kinds,
                         self_check=True, _force_dense=True,
                     )
                 raise RuntimeError(
@@ -210,16 +265,17 @@ class DCTPoissonSolver:
                 )
         return solver
 
-    def _self_check_error(self, periodic: tuple[bool, ...]) -> float:
+    def _self_check_error(self, kinds: tuple[str, ...]) -> float:
         """Relative error of one direct solve on an exact-eigenfunction RHS.
 
         The test field is a fixed-seed combination of ~8 discrete Laplacian
-        eigenmodes (cos products; Neumann axes use cos(pi k (i+1/2)/n),
-        periodic axes cos(2 pi k i/n)) with wavenumbers spread across the
-        spectrum, so every radix-split block carries signal. Eigenvalues are
-        computed analytically, making solve(sum c lam_m p_m) == sum c p_m
-        exact in exact arithmetic; f32 transform error is ~1e-4..1e-2,
-        while the miscompile class this guards against is O(1).
+        eigenmodes (per-axis kind: Neumann cos(pi k (i+1/2)/n), periodic
+        cos(2 pi k i/n), mixed-BC DCT-IV / DST-II modes) with wavenumbers
+        spread across the spectrum, so every radix-split block carries
+        signal. Eigenvalues are computed analytically, making
+        solve(sum c lam_m p_m) == sum c p_m exact in exact arithmetic; f32
+        transform error is ~1e-4..1e-2, while the miscompile class this
+        guards against is O(1).
         """
         shape = self.grid.shape
         spacing = self.grid.spacing
@@ -227,10 +283,11 @@ class DCTPoissonSolver:
         rng = np.random.RandomState(0)
         p = np.zeros(shape, np.float64)
         b = np.zeros(shape, np.float64)
+        singular = all(k in ("nn", "per") for k in kinds)
         for m in range(8):
             lam = 0.0
             prod = np.ones((1,) * nd, np.float64)
-            all_zero = True
+            zero_lam = True
             for a, (n, h) in enumerate(zip(shape, spacing)):
                 if m == 0:
                     k = min(1, n - 1)
@@ -238,27 +295,37 @@ class DCTPoissonSolver:
                     k = n - 1
                 else:
                     k = int(rng.randint(0, n))
-                if k:
-                    all_zero = False
                 i = np.arange(n, dtype=np.float64)
-                if periodic[a]:
+                kind = kinds[a]
+                if kind == "per":
                     theta = 2.0 * np.pi * k / n
                     basis = np.cos(2.0 * np.pi * k * i / n)
-                else:
+                elif kind == "nn":
                     theta = np.pi * k / n
                     basis = np.cos(np.pi * k * (i + 0.5) / n)
-                lam += (2.0 * np.cos(theta) - 2.0) / (h * h)
+                elif kind in ("nd", "dn"):
+                    theta = np.pi * (2 * k + 1) / (2 * n)
+                    j = i if kind == "nd" else (n - 1 - i)
+                    basis = np.cos(theta * (j + 0.5))
+                else:  # "dd"
+                    theta = np.pi * (k + 1) / n
+                    basis = np.sin(theta * (i + 0.5))
+                lam_a = (2.0 * np.cos(theta) - 2.0) / (h * h)
+                if lam_a != 0.0:
+                    zero_lam = False
+                lam += lam_a
                 sh = [1] * nd
                 sh[a] = n
                 prod = prod * basis.reshape(sh)
-            if all_zero:
+            if zero_lam:
                 continue  # constant mode is deflated by construction
             c = float(rng.uniform(0.5, 1.0))
             p += c * prod
             b += c * lam * prod
-        p -= p.mean()
         got = np.asarray(self._direct(jnp.asarray(b, self.grid.dtype)))
-        got = got - got.mean()
+        if singular:
+            p -= p.mean()
+            got = got - got.mean()
         denom = float(np.linalg.norm(p.ravel())) or 1.0
         return float(np.linalg.norm((got - p).ravel())) / denom
 
@@ -340,16 +407,73 @@ def solve_with_residual(
     in 3D the rhs is already a materialized Pallas-kernel output and the
     subtraction is two pure extra HBM sweeps (dropping it saved 0.16
     ms/step at 256^3). The residual is always reported against the
-    deflated RHS so it measures the solvable system."""
-    if b.ndim == 2:
+    deflated RHS so it measures the solvable system. With any Dirichlet
+    (outflow) axis the operator is nonsingular: no mode is pinned and no
+    deflation happens anywhere."""
+    if solver.singular and b.ndim == 2:
         p = solver.solve(b - jnp.mean(b), op)
     else:
         p = solver.solve(b, op)
     if not diag_residual:
         # reporting skipped (PoissonConfig.diag_residual=False): sentinel
         return p, jnp.int32(1), jnp.asarray(-1.0, b.dtype)
-    bd = b - jnp.mean(b)
+    bd = b - jnp.mean(b) if solver.singular else b
     bnorm = jnp.sqrt(jnp.sum(b * b))
     tiny = jnp.asarray(np.finfo(np.float32).tiny, b.dtype)
     res = residual_norm(op, p, bd) / jnp.maximum(bnorm, tiny)
     return p, jnp.int32(1), res
+
+
+@dataclasses.dataclass(eq=False)
+class DCTPCGSolver:
+    """Spectrally-preconditioned CG for obstacle topologies (method
+    ``dctcg``).
+
+    The direct DCT solver is exact for the UNMASKED operator -- walls,
+    inflow, outflow faces all diagonalize (axis_kinds_from_bcs). An interior
+    obstacle perturbs a localized set of rows, so preconditioning CG with
+    the unmasked spectral inverse clusters the preconditioned spectrum at 1
+    except for a handful of obstacle modes: iteration counts stay O(1) in
+    grid size, vs the O(n)-ish growth of diagonally-preconditioned CG.
+
+    TPU-first detail: the preconditioner runs its transform matmuls at MXU
+    ``default`` precision -- ONE bf16 pass, ~3x cheaper than the direct
+    solver's "high" -- because a preconditioner only steers the search
+    direction; the f32 stencil ``matvec`` inside flexible_pcg keeps
+    residuals exact, and the flexible (Polak-Ribiere) beta absorbs the
+    preconditioner's ~1e-2 relative noise. Same stopping semantics as every
+    solver in ops/poisson.py (relative L2 of ``b - A p``).
+    """
+
+    dct: DCTPoissonSolver
+    precond_precision: str = "default"
+
+    @staticmethod
+    def build(
+        grid: GridSpec,
+        bcs: BCTable,
+        precond_precision: str = "default",
+    ) -> "DCTPCGSolver":
+        dct = DCTPoissonSolver.build(
+            grid,
+            refine=0,
+            kinds=axis_kinds_from_bcs(grid, bcs),
+        )
+        return DCTPCGSolver(dct=dct, precond_precision=precond_precision)
+
+    def solve(
+        self, b: Array, p0: Array, tol, max_iters: int, op: PoissonOp
+    ) -> tuple[Array, Array, Array]:
+        from .poisson import deflate, flexible_pcg
+
+        fluid = op.fluid
+        singular = op.singular
+
+        def precond(r):
+            # _direct applies A_unmasked^{-1}; the negated system wants
+            # (-A)^{-1} r = -(A^{-1} r). Mask to the fluid subspace so
+            # M = P A^{-1} P stays symmetric PSD there.
+            z = -self.dct._direct(r, self.precond_precision) * fluid
+            return deflate(op, z) if singular else z
+
+        return flexible_pcg(op, b, p0, tol, max_iters, precond)

@@ -31,6 +31,7 @@ from .poisson import (
     apply_A,
     build_poisson_op,
     deflate,
+    flexible_pcg,
     residual_norm,
 )
 
@@ -326,23 +327,10 @@ class MGPoissonSolver:
         keeps converging below the plain-MG stagnation floor. Same stopping
         semantics as every other solver here: relative L2 of ``b - A p``;
         iters are CG iterations (one V-cycle + one stencil matvec each).
+        The CG loop itself is ops/poisson.flexible_pcg (shared with the
+        DCT-preconditioned variant); only the preconditioner is MG's.
         """
         op = self.ops[0]
-        dt = b.dtype
-        b = b * op.fluid
-        b = deflate(op, b) if op.singular else b
-        p0 = p0 * op.fluid
-        bnorm = jnp.sqrt(jnp.sum(b * b))
-        tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
-        inv_bnorm = 1.0 / jnp.maximum(bnorm, tiny)
-        tol = jnp.asarray(tol, dt)
-
-        def dot(x, y):
-            return jnp.sum(x * y)
-
-        def matvec(x):
-            ax = -apply_A(op, x) * op.fluid
-            return deflate(op, ax) if op.singular else ax
 
         def precond(r):
             # A is negative (semi-)definite and the V-cycle approximates
@@ -350,57 +338,4 @@ class MGPoissonSolver:
             z = -self._v_cycle(0, jnp.zeros_like(r), r)
             return deflate(op, z) if op.singular else z * op.fluid
 
-        nb = -b
-        r0 = (nb - matvec(p0)) * op.fluid
-        r0 = deflate(op, r0) if op.singular else r0
-        z0 = precond(r0)
-        d0 = z0
-        rz0 = dot(r0, z0)
-        res0 = jnp.sqrt(dot(r0, r0)) * inv_bnorm
-
-        # Float32-floor guard: CG residuals are not monotone, so the plain-MG
-        # "res > 0.9*prev" stagnation check would false-trigger. Instead we
-        # carry the best iterate seen and bail after `PATIENCE` consecutive
-        # iterations without a 5% improvement — a tol below the f32 residual
-        # floor then costs a few extra iterations, not max_iters every step.
-        # Past the floor the recurrence quantities (rz, d.Ad) degenerate and
-        # can NaN; NaN compares false everywhere, so `best_*` freezes at the
-        # last finite improvement and that iterate is what gets returned.
-        PATIENCE = jnp.int32(5)
-
-        def cond(carry):
-            p, r, z, d, rz, k, best_res, best_p, since = carry
-            return jnp.logical_and(
-                jnp.logical_and(k < max_iters, best_res > tol),
-                since < PATIENCE,
-            )
-
-        def body(carry):
-            p, r, z, d, rz, k, best_res, best_p, since = carry
-            Ad = matvec(d)
-            alpha = rz / jnp.maximum(dot(d, Ad), jnp.asarray(1e-30, dt))
-            p = p + alpha * d
-            r_new = r - alpha * Ad
-            z_new = precond(r_new)
-            # flexible beta: z_new . (r_new - r) / (z . r)
-            beta = dot(z_new, r_new - r) / jnp.maximum(
-                rz, jnp.asarray(1e-30, dt)
-            )
-            beta = jnp.maximum(beta, 0.0)   # restart direction if negative
-            d = z_new + beta * d
-            rz_new = dot(r_new, z_new)
-            res = jnp.sqrt(dot(r_new, r_new)) * inv_bnorm
-            better = res < best_res          # False for NaN res
-            best_p = jnp.where(better, p, best_p)
-            improved = res < 0.95 * best_res
-            best_res = jnp.where(better, res, best_res)
-            since = jnp.where(improved, jnp.int32(0), since + 1)
-            return p, r_new, z_new, d, rz_new, k + 1, best_res, best_p, since
-
-        _, r, z, d, rz, iters, res, p, _ = jax.lax.while_loop(
-            cond, body,
-            (p0, r0, z0, d0, rz0, jnp.int32(0), res0, p0, jnp.int32(0)),
-        )
-        if op.singular:
-            p = deflate(op, p)
-        return p, iters, res
+        return flexible_pcg(op, b, p0, tol, max_iters, precond)

@@ -85,6 +85,9 @@ class Simulation:
     dct_solver: Optional[object] = None
     # Geometric multigrid solver (set when params.poisson.method == "mg").
     mg_solver: Optional[object] = None
+    # Spectrally-preconditioned CG (set when method == "dctcg"): the exact
+    # unmasked DCT inverse preconditions CG on the obstacle-masked operator.
+    dctcg_solver: Optional[object] = None
     # Explicit halo-exchange pressure solver (parallel/halo.py): set by
     # parallel.sharded_simulation(..., poisson_comm="halo") for
     # jacobi/gs/sor/cg runs; the Poisson while_loop then runs as ONE
@@ -122,13 +125,19 @@ class Simulation:
 
             if not fft_poisson.is_applicable(grid, bcs, solid):
                 raise ValueError(
-                    "poisson method 'fft' needs an obstacle-free domain with "
-                    "all-Neumann pressure BCs (no outflow faces); use an "
-                    "iterative method for this case"
+                    "poisson method 'fft' needs an obstacle-free domain "
+                    "(walls/inflow/outflow/periodic faces all diagonalize, "
+                    "but an interior obstacle mask does not); use an "
+                    "iterative method or 'dctcg' for this case"
                 )
             dct_solver = fft_poisson.DCTPoissonSolver.build(
-                grid, periodic=bcs_mod.periodic_axes(grid, bcs)
+                grid, kinds=fft_poisson.axis_kinds_from_bcs(grid, bcs)
             )
+        dctcg_solver = None
+        if params.poisson.method == "dctcg":
+            from .ops import fft_poisson
+
+            dctcg_solver = fft_poisson.DCTPCGSolver.build(grid, bcs)
         mg_solver = None
         if params.poisson.method in ("mg", "mgcg"):
             from .ops import multigrid
@@ -145,6 +154,7 @@ class Simulation:
             forcing=forcing,
             dct_solver=dct_solver,
             mg_solver=mg_solver,
+            dctcg_solver=dctcg_solver,
             scalar=scalar,
         )
 
@@ -384,6 +394,10 @@ class Simulation:
             return fft_poisson.solve_with_residual(
                 self.dct_solver, self.op, rhs,
                 diag_residual=pr.poisson.diag_residual,
+            )
+        if self.dctcg_solver is not None:
+            return self.dctcg_solver.solve(
+                rhs, p0, pr.poisson.tol, pr.poisson.max_iters, op=self.op
             )
         if self.mg_solver is not None:
             mg_solve = (
@@ -629,6 +643,8 @@ class Simulation:
             c["fc2d"] = self._face_codes_2d()
         if self.dct_solver is not None:
             c["inv_eig"] = self.dct_solver.inv_eig
+        if self.dctcg_solver is not None:
+            c["dctcg_inv_eig"] = self.dctcg_solver.dct.inv_eig
         if self.mg_solver is not None:
             c["mg_ops"] = self.mg_solver.ops
         return c
@@ -639,6 +655,12 @@ class Simulation:
         dct = self.dct_solver
         if dct is not None:
             dct = dataclasses.replace(dct, inv_eig=c["inv_eig"])
+        dctcg = self.dctcg_solver
+        if dctcg is not None:
+            dctcg = dataclasses.replace(
+                dctcg,
+                dct=dataclasses.replace(dctcg.dct, inv_eig=c["dctcg_inv_eig"]),
+            )
         mg = self.mg_solver
         if mg is not None:
             mg = dataclasses.replace(mg, ops=c["mg_ops"])
@@ -649,6 +671,7 @@ class Simulation:
             corr_masks=c["corr_masks"],
             forcing=c["forcing"],
             dct_solver=dct,
+            dctcg_solver=dctcg,
             mg_solver=mg,
         )
         if "fc2d" in c:

@@ -85,10 +85,11 @@ def test_applicability_gate():
     solid = np.zeros(g.shape, bool)
     solid[2, 2] = True
     assert not is_applicable(g, bcs, solid)
+    # Outflow faces diagonalize too now (DCT-IV / DST-II axes); only an
+    # interior obstacle breaks the tensor structure.
     bcs[(0, 1)] = BCSpec.outflow()
-    assert not is_applicable(g, bcs, None)
-    with pytest.raises(ValueError):
-        make_case("channel", shape=(16, 8), poisson_method="fft")
+    assert is_applicable(g, bcs, None)
+    assert not is_applicable(g, bcs, solid)
 
 
 def test_cavity_with_fft_matches_cg():
@@ -186,7 +187,7 @@ def test_split_block_order_roundtrip():
 def test_self_check_passes_on_healthy_build():
     g = GridSpec(shape=(32, 32), lengths=(1.0, 1.0))
     s = DCTPoissonSolver.build(g, periodic=(False, False))
-    assert s._self_check_error((False, False)) < 0.05
+    assert s._self_check_error(("nn", "nn")) < 0.05
 
 
 def test_self_check_falls_back_to_dense_on_corrupt_split(monkeypatch):
@@ -208,7 +209,7 @@ def test_self_check_falls_back_to_dense_on_corrupt_split(monkeypatch):
     g = GridSpec(shape=(64, 64), lengths=(1.0, 1.0))
     s = DCTPoissonSolver.build(g, split_levels=2, periodic=(False, False))
     assert all(p.levels == 0 for p in s.plans)
-    assert s._self_check_error((False, False)) < 0.05
+    assert s._self_check_error(("nn", "nn")) < 0.05
 
 
 def test_self_check_raises_when_dense_also_corrupt(monkeypatch):
