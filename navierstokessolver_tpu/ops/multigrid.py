@@ -176,11 +176,17 @@ class MGPoissonSolver:
         # Kept selectable for experimentation + interpret-mode validation.
         if use_pallas is None:
             use_pallas = False
-        # The fused V-cycle level kernels DO win (unlike plain K-sweep
-        # fusion): they also eliminate the separate residual/restrict-input
-        # and correction-add passes plus the per-cycle convergence check.
+        # The fused V-cycle level kernels looked like a win per-kernel but
+        # LOSE end-to-end: measured on v5e at 2048x1024 cylinder, the full
+        # step runs 4.76 ms/step fused vs 4.21 unfused. The per-call
+        # _mg_pad_planes glue (padded copies of p/b/diag/code/e, then
+        # unpad slices) adds ~4-5 extra HBM passes per level per cycle --
+        # the same failure mode as the retired 2D predictor pre-padding.
+        # Default OFF until the kernels carry an internal padded layout
+        # across the V-cycle like the 3D whole-step path does; kept
+        # selectable for experimentation + interpret-mode validation.
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            fused = False
         return MGPoissonSolver(
             grid=grid, ops=ops, pre=pre, post=post,
             coarse_iters=coarse_iters, coarse_omega=coarse_omega,

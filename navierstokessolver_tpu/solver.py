@@ -137,7 +137,7 @@ class Simulation:
         if params.poisson.method == "dctcg":
             from .ops import fft_poisson
 
-            dctcg_solver = fft_poisson.DCTPCGSolver.build(grid, bcs)
+            dctcg_solver = fft_poisson.DCTPCGSolver.build(grid, bcs, solid)
         mg_solver = None
         if params.poisson.method in ("mg", "mgcg"):
             from .ops import multigrid
@@ -645,6 +645,10 @@ class Simulation:
             c["inv_eig"] = self.dct_solver.inv_eig
         if self.dctcg_solver is not None:
             c["dctcg_inv_eig"] = self.dctcg_solver.dct.inv_eig
+            c["dctcg_cap"] = (
+                self.dctcg_solver.cap_wbox,
+                self.dctcg_solver.cap_cinv,
+            )
         if self.mg_solver is not None:
             c["mg_ops"] = self.mg_solver.ops
         return c
@@ -657,9 +661,12 @@ class Simulation:
             dct = dataclasses.replace(dct, inv_eig=c["inv_eig"])
         dctcg = self.dctcg_solver
         if dctcg is not None:
+            wbox, cinv = c["dctcg_cap"]
             dctcg = dataclasses.replace(
                 dctcg,
                 dct=dataclasses.replace(dctcg.dct, inv_eig=c["dctcg_inv_eig"]),
+                cap_wbox=wbox,
+                cap_cinv=cinv,
             )
         mg = self.mg_solver
         if mg is not None:
