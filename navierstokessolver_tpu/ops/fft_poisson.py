@@ -631,6 +631,9 @@ class DCTPCGSolver:
         fluid = op.fluid
         singular = op.singular
 
+        if self.cap_cinv is not None:
+            return self._solve_richardson(b, p0, tol, max_iters, op)
+
         def precond(r):
             # _direct applies A_unmasked^{-1}; the negated system wants
             # (-A)^{-1} r = -(A^{-1} r). Mask to the fluid subspace so
@@ -639,3 +642,53 @@ class DCTPCGSolver:
             return deflate(op, z) if singular else z
 
         return flexible_pcg(op, b, p0, tol, max_iters, precond)
+
+    def _solve_richardson(
+        self, b: Array, p0: Array, tol, max_iters: int, op: PoissonOp
+    ) -> tuple[Array, Array, Array]:
+        """Preconditioned Richardson (iterative refinement): p += M(b - Ap).
+
+        With the capacitance correction, M is the masked inverse up to
+        transform noise (contraction ~1e-3..1e-4 per sweep at "high"
+        precision), so Krylov acceleration buys nothing -- but CG costs one
+        EXTRA preconditioner application for its initial z0 plus 3 extra
+        reductions per iteration, and each application is two transform
+        chains of MXU matmuls. Richardson needs exactly `iters`
+        applications: at the warm-started 1 sweep/step this nearly halves
+        the pressure-solve cost. Same stopping semantics as every solver
+        here (relative L2 of ``b - A p``, iteration cap, mg-style
+        stagnation bail at the f32 floor).
+        """
+        fluid = op.fluid
+        dt = b.dtype
+        b = b * fluid
+        p0 = p0 * fluid
+        bnorm = jnp.sqrt(jnp.sum(b * b))
+        tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
+        inv_bnorm = 1.0 / jnp.maximum(bnorm, tiny)
+        tol = jnp.asarray(tol, dt)
+
+        def resid(p):
+            return (b - apply_A(op, p)) * fluid
+
+        def cond(carry):
+            p, r, k, res, prev = carry
+            improving = res < 0.9 * prev
+            return jnp.logical_and(
+                jnp.logical_and(k < max_iters, res > tol), improving
+            )
+
+        def body(carry):
+            p, r, k, res, _ = carry
+            p = p + self._precond_apply(r, fluid)
+            r = resid(p)
+            new_res = jnp.sqrt(jnp.sum(r * r)) * inv_bnorm
+            return p, r, k + 1, new_res, res
+
+        r0 = resid(p0)
+        res0 = jnp.sqrt(jnp.sum(r0 * r0)) * inv_bnorm
+        inf = jnp.asarray(np.inf, res0.dtype)
+        p, r, iters, res, _ = jax.lax.while_loop(
+            cond, body, (p0, r0, jnp.int32(0), res0, inf)
+        )
+        return p, iters, res

@@ -170,9 +170,11 @@ def test_capacitance_preconditioner_is_near_exact():
     assert cap.cap_cinv is not None
     nocap = DCTPCGSolver.build(g, bcs, solid, capacitance=False)
     assert nocap.cap_cinv is None
-    p_c, it_c, res_c = cap.solve(b, p0, 1e-8, 100, op=op)
-    p_n, it_n, res_n = nocap.solve(b, p0, 1e-8, 100, op=op)
-    assert float(res_c) < 1e-8
+    # Richardson sweeps stop at the f32 residual floor (mg-style
+    # stagnation bail), so ask for a reachable tolerance.
+    p_c, it_c, res_c = cap.solve(b, p0, 5e-6, 100, op=op)
+    p_n, it_n, res_n = nocap.solve(b, p0, 5e-6, 100, op=op)
+    assert float(res_c) < 5e-6
     assert int(it_c) <= 5, int(it_c)
     assert int(it_c) < int(it_n)
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_n), atol=1e-4)
@@ -208,6 +210,33 @@ def test_capacitance_handles_periodic_axis_links():
     p0 = jnp.zeros(g.shape, g.dtype)
     p, it, res = s.solve(b, p0, 1e-6, 100, op=op)
     assert float(res) < 1e-5
+
+
+def test_capacitance_3d_sphere():
+    """The cut-link construction is rank-generic: a 3D sphere obstacle in
+    an outflow box solves to tight tolerance in a handful of iterations."""
+    g = GridSpec(shape=(24, 16, 16), lengths=(1.5, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.outflow()
+    solid = np.zeros(g.shape, bool)
+    xx, yy, zz = np.meshgrid(
+        np.arange(24), np.arange(16), np.arange(16), indexing="ij"
+    )
+    solid[((xx - 8) ** 2 + (yy - 8) ** 2 + (zz - 8) ** 2) < 16] = True
+    op = build_poisson_op(g, bcs, solid)
+    s = DCTPCGSolver.build(g, bcs, solid)
+    assert s.cap_cinv is not None
+    rng = np.random.default_rng(17)
+    b = jnp.asarray(rng.normal(size=g.shape), g.dtype) * op.fluid
+    p0 = jnp.zeros(g.shape, g.dtype)
+    p, it, res = s.solve(b, p0, 5e-6, 100, op=op)
+    assert float(res) < 5e-6
+    assert int(it) <= 5, int(it)
+    # cross-check against plain CG
+    p_cg, _, _ = solve_poisson(
+        op, b, p0, g, PoissonConfig(method="cg", tol=1e-8, max_iters=5000)
+    )
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_cg), atol=2e-4)
 
 
 def test_dctcg_simulation_matches_mg():
