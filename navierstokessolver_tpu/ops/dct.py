@@ -401,6 +401,102 @@ def dst2_matrix(n: int) -> np.ndarray:
     return scale * m
 
 
+class Dct4SplitPlan:
+    """One-level radix split of the (orthonormal) DCT-IV along one axis.
+
+    Exact even-odd butterfly (validated to 1e-14 vs the dense kernel):
+    with m = n/2, phi_j = pi(2j+1)/(4n), u_j = x_j, w_j = x_{n-1-j},
+
+        a_j = u_j cos(phi_j) + w_j sin(phi_j)
+        b_j = w_j cos(phi_j) - u_j sin(phi_j)          (per-j rotation)
+        A[r] = sum_j a_j cos(pi r (2j+1)/(2m))          (DCT-II_m kernel)
+        B[r] = sum_j b_j sin(pi r (2j+1)/(2m)), r=1..m  (DST-II_m kernel)
+        X[2r] = A[r] + B[r],  X[2r+1] = A[r+1] - B[r+1]  (A[m] == 0)
+
+    Two m x m matmuls instead of one n x n -- an exact 2x MXU-MAC
+    reduction with all factors bounded by 1 (the rotation is orthogonal),
+    so it is as stable as the dense matmul. Outputs in BLOCK order
+    [evens; odds]; :meth:`permutation` maps block order back to natural
+    for the spectral multiplier (zero-relayout trick shared with
+    SplitPlan / CircSplitPlan). The orthonormal scale sqrt(2/n) is folded
+    into the rotation factors; the inverse is the exact adjoint (the
+    orthonormal DCT-IV is symmetric), so ``apply_inv`` runs the same
+    stages transposed.
+
+    ``flipped=True`` implements the Dirichlet-lo/Neumann-hi ('dn') axis:
+    the basis is the index-reversed DCT-IV, so the forward flips its
+    input and the inverse flips its output.
+    """
+
+    levels = 1  # marker: permuted (block-order) output
+
+    def __init__(self, n: int, dtype, flipped: bool = False):
+        if n % 2:
+            raise ValueError("DCT-IV split needs an even extent")
+        m = n // 2
+        self.n = n
+        self.flipped = flipped
+        phi = np.pi * (2 * np.arange(m) + 1) / (4 * n)
+        s = np.sqrt(2.0 / n)
+        self.cos = jnp.asarray(s * np.cos(phi), dtype)
+        self.sin = jnp.asarray(s * np.sin(phi), dtype)
+        r = np.arange(m)[:, None]
+        j = np.arange(m)[None, :]
+        self.c2 = jnp.asarray(np.cos(np.pi * r * (2 * j + 1) / (2 * m)), dtype)
+        self.dst = jnp.asarray(
+            np.sin(np.pi * (r + 1) * (2 * j + 1) / (2 * m)), dtype
+        )
+
+    def permutation(self) -> np.ndarray:
+        m = self.n // 2
+        return np.concatenate([2 * np.arange(m), 2 * np.arange(m) + 1])
+
+    def _vec(self, v: Array, nd: int, axis: int) -> Array:
+        shape = [1] * nd
+        shape[axis] = v.shape[0]
+        return v.reshape(shape)
+
+    def apply_fwd(self, x: Array, axis: int, precision) -> Array:
+        nd = x.ndim
+        m = self.n // 2
+        if self.flipped:
+            x = jnp.flip(x, axis)
+        u = x[_sl(nd, axis, slice(0, m))]
+        w = jnp.flip(x[_sl(nd, axis, slice(m, None))], axis)
+        c = self._vec(self.cos, nd, axis)
+        s = self._vec(self.sin, nd, axis)
+        a = c * u + s * w
+        b = c * w - s * u
+        A = jnp.tensordot(self.c2, a, axes=([1], [axis]), precision=precision)
+        B = jnp.tensordot(self.dst, b, axes=([1], [axis]), precision=precision)
+        zero = jnp.zeros_like(A[0:1])
+        E = A + jnp.concatenate([zero, B[:-1]], axis=0)
+        O = jnp.concatenate([A[1:], zero], axis=0) - B
+        return jnp.concatenate([E, O], axis=0)
+
+    def apply_inv(self, X: Array, axis: int, precision) -> Array:
+        nd = X.ndim
+        m = self.n // 2
+        E = X[_sl(nd, axis, slice(0, m))]
+        O = X[_sl(nd, axis, slice(m, None))]
+        e0 = E[_sl(nd, axis, slice(0, 1))]
+        et = E[_sl(nd, axis, slice(1, None))]
+        oh = O[_sl(nd, axis, slice(0, m - 1))]
+        ol = O[_sl(nd, axis, slice(m - 1, None))]
+        At = jnp.concatenate([e0, et + oh], axis=axis)
+        Bt = jnp.concatenate([et - oh, -ol], axis=axis)
+        a = jnp.tensordot(self.c2.T, At, axes=([1], [axis]), precision=precision)
+        b = jnp.tensordot(self.dst.T, Bt, axes=([1], [axis]), precision=precision)
+        c = self._vec(self.cos, nd, 0)
+        s = self._vec(self.sin, nd, 0)
+        u = c * a - s * b
+        w = s * a + c * b
+        x = jnp.concatenate([u, jnp.flip(w, 0)], axis=0)
+        if self.flipped:
+            x = jnp.flip(x, 0)
+        return x
+
+
 def mixed_nd_eigenvalues(n: int, h: float) -> np.ndarray:
     """Neumann(lo)/Dirichlet(hi) eigenvalues (DCT-IV basis):
     lambda_k = -(4/h^2) sin^2(pi (2k+1) / (4n)). Strictly negative -- a

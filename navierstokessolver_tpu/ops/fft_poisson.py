@@ -186,18 +186,22 @@ class DCTPoissonSolver:
                     if n >= 1024 and n % 2 == 0 and not _force_dense:
                         return dct_mod.CircSplitPlan(n, grid.dtype)
                     return dct_mod.DensePlan(qmats[a].T, qmats[a], grid.dtype)
-                if k in ("nd", "dn", "dd"):
-                    # Mixed/Dirichlet bases run as one dense orthonormal
-                    # matmul (inverse = transpose; DCT-IV is its own
-                    # inverse). No radix split yet -- at n<=2048 the dense
-                    # MXU matmul is a minor cost next to the NN-axis split
-                    # chains, and these axes only occur on outflow domains.
-                    if k == "nd":
-                        C = dct_mod.dct4_matrix(n)
-                    elif k == "dn":
-                        C = dct_mod.dct4_matrix(n)[:, ::-1]
-                    else:
-                        C = dct_mod.dst2_matrix(n)
+                if k in ("nd", "dn"):
+                    # DCT-IV axes: one-level even-odd butterfly split
+                    # (Dct4SplitPlan) halves the MXU MACs -- at 2048 the
+                    # dense n x n matmul measured ~0.27 ms per transform
+                    # on v5e and dominated the dctcg preconditioner.
+                    if n % 2 == 0 and n >= 512 and not _force_dense:
+                        return dct_mod.Dct4SplitPlan(
+                            n, grid.dtype, flipped=(k == "dn")
+                        )
+                    C = dct_mod.dct4_matrix(n)
+                    if k == "dn":
+                        C = C[:, ::-1]
+                    return dct_mod.DensePlan(C, C.T, grid.dtype)
+                if k == "dd":
+                    # double-outflow axes are rare; dense is fine
+                    C = dct_mod.dst2_matrix(n)
                     return dct_mod.DensePlan(C, C.T, grid.dtype)
                 lv = _auto_levels(n) if split_levels is None else split_levels
                 if _force_dense:
@@ -329,37 +333,49 @@ class DCTPoissonSolver:
         denom = float(np.linalg.norm(p.ravel())) or 1.0
         return float(np.linalg.norm((got - p).ravel())) / denom
 
-    def _direct(self, b: Array, precision: Optional[str] = None) -> Array:
-        """One application of the diagonalized inverse Laplacian."""
-        nd = self.grid.ndim
-        prec = {
+    @staticmethod
+    def _prec(precision: Optional[str], default: str):
+        return {
             "highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
-        }[precision or self.precision]
-        x = b
+        }[precision or default]
+
+    def _fwd(self, x: Array, prec) -> Array:
+        """Forward transform chain (matmul mode): after it the axes read
+        (k_{nd-1}, ..., k_0), each in the split transforms' block order
+        (inv_eig is stored to match)."""
+        nd = self.grid.ndim
+        for a in range(nd):
+            plan = self.plans[a]
+            if hasattr(plan, "apply_fwd"):
+                x = plan.apply_fwd(x, a, prec)
+            else:
+                x = dct_mod.split_dct_apply(
+                    plan, x, a, prec, block_order=True
+                )
+        return x
+
+    def _inv(self, x: Array, prec) -> Array:
+        """Inverse chain: unwinds the reversal, natural axis order out."""
+        nd = self.grid.ndim
+        for a in range(nd - 1, -1, -1):
+            plan = self.plans[a]
+            if hasattr(plan, "apply_fwd"):
+                x = plan.apply_inv(x, nd - 1 - a, prec)
+            else:
+                x = dct_mod.split_idct_apply(
+                    plan, x, nd - 1 - a, prec, block_order=True
+                )
+        return x
+
+    def _direct(self, b: Array, precision: Optional[str] = None) -> Array:
+        """One application of the diagonalized inverse Laplacian."""
+        nd = self.grid.ndim
+        prec = self._prec(precision, self.precision)
         if self.mode == "matmul":
-            # Forward: after the chain the axes read (k_{nd-1}, ..., k_0),
-            # each in the split transforms' block order (inv_eig matches).
-            for a in range(nd):
-                plan = self.plans[a]
-                if hasattr(plan, "apply_fwd"):
-                    x = plan.apply_fwd(x, a, prec)
-                else:
-                    x = dct_mod.split_dct_apply(
-                        plan, x, a, prec, block_order=True
-                    )
-            x = x * self.inv_eig
-            # Inverse: unwinds the reversal, returning natural axis order.
-            for a in range(nd - 1, -1, -1):
-                plan = self.plans[a]
-                if hasattr(plan, "apply_fwd"):
-                    x = plan.apply_inv(x, nd - 1 - a, prec)
-                else:
-                    x = dct_mod.split_idct_apply(
-                        plan, x, nd - 1 - a, prec, block_order=True
-                    )
-            return x
+            return self._inv(self._fwd(b, prec) * self.inv_eig, prec)
+        x = b
         for a in range(nd):
             x = dct_mod.dct2(x, axis=a)
         x = x * self.inv_eig
@@ -470,6 +486,19 @@ class DCTPCGSolver:
     cap_origin: Optional[tuple[int, ...]] = None   # box corner (static)
     cap_wbox: Optional[Array] = None     # (K, *box_shape) column images
     cap_cinv: Optional[Array] = None     # (K, K) inverse capacitance matrix
+    # 2D spectral-domain correction: the Woodbury term is evaluated INSIDE
+    # the transform chain, so one application costs one forward+inverse
+    # chain plus two thin point-matmuls instead of two full spectral
+    # solves. The link-point rows/columns of the per-axis transform
+    # matrices are precomputed in the plans' block order:
+    #   z-sample:  z[p] = sum_{k1,k0} Vy[y_p,k1] Vx[x_p,k0] that[k1,k0]
+    #   source:    shat[k1,k0] = sum_p c_p Fy[k1,y_p] Fx[k0,x_p]
+    cap_vx: Optional[Array] = None       # (2K, n0_spec) inverse rows at x_p
+    cap_vy: Optional[Array] = None       # (2K, n1_spec) inverse rows at y_p
+    cap_fx: Optional[Array] = None       # (n0_spec, 2K) forward cols at x_p
+    cap_fy: Optional[Array] = None       # (n1_spec, 2K) forward cols at y_p
+    cap_va: Optional[Array] = None       # (K,) +entry values (sqrt(w)/pin)
+    cap_vb: Optional[Array] = None       # (K,) -entry values
     # flat link endpoints kept for introspection/tests
     cap_idx_a: Optional[np.ndarray] = None
     cap_idx_b: Optional[np.ndarray] = None
@@ -481,6 +510,7 @@ class DCTPCGSolver:
         solid: Optional[np.ndarray] = None,
         precond_precision: Optional[str] = None,
         capacitance: bool = True,
+        spectral: bool = True,
     ) -> "DCTPCGSolver":
         kinds = axis_kinds_from_bcs(grid, bcs)
         dct = DCTPoissonSolver.build(grid, refine=0, kinds=kinds)
@@ -497,7 +527,39 @@ class DCTPCGSolver:
         s = DCTPCGSolver(dct=dct, precond_precision=precond_precision)
         if cap:
             s._build_capacitance(grid, np.asarray(solid, bool), kinds)
+            if spectral and grid.ndim == 2 and dct.mode == "matmul":
+                s._build_spectral_correction(grid)
         return s
+
+    def _axis_matrices(self, a: int, n: int, dtype):
+        """The axis-``a`` transform as explicit matrices by running the
+        plan machinery over an identity: F (n_spec, n_real) forward in the
+        plan's block order, V (n_real, n_spec) inverse."""
+        plan = self.dct.plans[a]
+        eye = jnp.eye(n, dtype=dtype)
+        hi = jax.lax.Precision.HIGHEST
+        if hasattr(plan, "apply_fwd"):
+            F = plan.apply_fwd(eye, 0, hi)
+            V = plan.apply_inv(eye, 0, hi)
+        else:
+            F = dct_mod.split_dct_apply(plan, eye, 0, hi, block_order=True)
+            V = dct_mod.split_idct_apply(plan, eye, 0, hi, block_order=True)
+        return np.asarray(F), np.asarray(V)
+
+    def _build_spectral_correction(self, grid: GridSpec) -> None:
+        pts_a = np.unravel_index(self.cap_idx_a, grid.shape)
+        pts_b = np.unravel_index(self.cap_idx_b, grid.shape)
+        xs = np.concatenate([pts_a[0], pts_b[0]])
+        ys = np.concatenate([pts_a[1], pts_b[1]])
+        F0, V0 = self._axis_matrices(0, grid.shape[0], grid.dtype)
+        F1, V1 = self._axis_matrices(1, grid.shape[1], grid.dtype)
+        self.cap_vx = jnp.asarray(V0[xs, :], grid.dtype)
+        self.cap_vy = jnp.asarray(V1[ys, :], grid.dtype)
+        self.cap_fx = jnp.asarray(F0[:, xs], grid.dtype)
+        self.cap_fy = jnp.asarray(F1[:, ys], grid.dtype)
+        # the runtime never touches the box images on this path
+        self.cap_wbox = None
+        self.cap_origin = None
 
     def _build_capacitance(
         self, grid: GridSpec, solid: np.ndarray, kinds: tuple[str, ...]
@@ -603,24 +665,51 @@ class DCTPCGSolver:
         self.cap_origin = origin
         self.cap_wbox = wbox_j
         self.cap_cinv = jnp.asarray(cinv, grid.dtype)
+        self.cap_va = jnp.asarray(val_a, grid.dtype)
+        self.cap_vb = jnp.asarray(val_b, grid.dtype)
         self.cap_idx_a = idx_a
         self.cap_idx_b = idx_b
 
-    def _precond_apply(self, r: Array, fluid: Array) -> Array:
+    def _precond_apply(
+        self, r: Array, fluid: Array, precision: Optional[str] = None
+    ) -> Array:
         """One application of the (capacitance-corrected) unmasked inverse."""
-        z = self.dct._direct(r, self.precond_precision)
-        if self.cap_cinv is not None:
-            K = self.cap_wbox.shape[0]
-            box_shape = self.cap_wbox.shape[1:]
-            zbox = jax.lax.dynamic_slice(z, self.cap_origin, box_shape)
-            wflat = self.cap_wbox.reshape(K, -1)
-            g = wflat @ zbox.reshape(-1)          # W^T U^{-1} r   (K,)
-            h = self.cap_cinv @ g                  # C^{-1} g       (K,)
-            src_box = (h @ wflat).reshape(box_shape)   # W h, dense box
-            src = jax.lax.dynamic_update_slice(
-                jnp.zeros_like(z), src_box, self.cap_origin
-            )
-            z = z - self.dct._direct(src, self.precond_precision)
+        prec_name = precision or self.precond_precision
+        if self.cap_cinv is None:
+            return self.dct._direct(r, prec_name) * fluid
+        if self.cap_vx is not None:
+            # 2D spectral-domain path: sample + re-inject the Woodbury
+            # term inside the transform chain -- one forward + one inverse
+            # chain total, plus two thin (2K x n) point-matmuls, instead
+            # of two full spectral solves.
+            dct = self.dct
+            prec = dct._prec(prec_name, dct.precision)
+            that = dct._fwd(r, prec) * dct.inv_eig        # (k1, k0)
+            S = jnp.matmul(self.cap_vy, that, precision=prec)   # (2K, k0)
+            zp = jnp.sum(S * self.cap_vx, axis=1)               # (2K,)
+            K = self.cap_va.shape[0]
+            g = self.cap_va * zp[:K] + self.cap_vb * zp[K:]
+            h = self.cap_cinv @ g
+            c = jnp.concatenate([self.cap_va * h, self.cap_vb * h])
+            shat = jnp.matmul(
+                self.cap_fy * c[None, :], self.cap_fx.T, precision=prec
+            )                                                    # (k1, k0)
+            z = dct._inv(that - dct.inv_eig * shat, prec)
+            return z * fluid
+        # generic (3D) path: two full spectral solves around the dense-box
+        # W contractions
+        z = self.dct._direct(r, prec_name)
+        K = self.cap_wbox.shape[0]
+        box_shape = self.cap_wbox.shape[1:]
+        zbox = jax.lax.dynamic_slice(z, self.cap_origin, box_shape)
+        wflat = self.cap_wbox.reshape(K, -1)
+        g = wflat @ zbox.reshape(-1)          # W^T U^{-1} r   (K,)
+        h = self.cap_cinv @ g                  # C^{-1} g       (K,)
+        src_box = (h @ wflat).reshape(box_shape)   # W h, dense box
+        src = jax.lax.dynamic_update_slice(
+            jnp.zeros_like(z), src_box, self.cap_origin
+        )
+        z = z - self.dct._direct(src, prec_name)
         return z * fluid
 
     def solve(
@@ -654,10 +743,19 @@ class DCTPCGSolver:
         EXTRA preconditioner application for its initial z0 plus 3 extra
         reductions per iteration, and each application is two transform
         chains of MXU matmuls. Richardson needs exactly `iters`
-        applications: at the warm-started 1 sweep/step this nearly halves
-        the pressure-solve cost. Same stopping semantics as every solver
-        here (relative L2 of ``b - A p``, iteration cap, mg-style
-        stagnation bail at the f32 floor).
+        applications. Same stopping semantics as every solver here
+        (relative L2 of ``b - A p``, iteration cap, mg-style stagnation
+        bail at the f32 floor).
+
+        TPU shape: the FIRST sweep is unconditionally unrolled OUTSIDE the
+        while_loop and runs at "highest" MXU precision. Measured on v5e:
+        the first matmul inside each loop iteration pays a ~0.35 ms fixed
+        cost while extra chained matmuls in the same iteration cost
+        ~0.04 ms marginal, so (a) a warm-started step that converges in
+        one sweep never enters the loop (saving the fixed cost), and
+        (b) the 6-pass first sweep lands ~1e-6 instead of hovering at the
+        ~1e-5 f32 floor that a 3-pass sweep reaches -- which is exactly
+        what made 60% of cylinder steps burn a second sweep.
         """
         fluid = op.fluid
         dt = b.dtype
@@ -671,6 +769,22 @@ class DCTPCGSolver:
         def resid(p):
             return (b - apply_A(op, p)) * fluid
 
+        def norm(r):
+            return jnp.sqrt(jnp.sum(r * r)) * inv_bnorm
+
+        # unrolled first sweep (always taken; a warm start that already
+        # satisfies tol just gets one extra refinement -- harmless, and the
+        # common path never enters the while_loop at all). Measured on
+        # v5e: a 6-pass "highest" first sweep did NOT land below the
+        # production floor any better than "high" (the plateau is the
+        # spectral-apply noise, not pass count) while costing ~0.3
+        # ms/step, so the first sweep uses the same precision as the rest.
+        r0 = resid(p0)
+        res0 = norm(r0)
+        p1 = p0 + self._precond_apply(r0, fluid)
+        r1 = resid(p1)
+        res1 = norm(r1)
+
         def cond(carry):
             p, r, k, res, prev = carry
             improving = res < 0.9 * prev
@@ -682,13 +796,9 @@ class DCTPCGSolver:
             p, r, k, res, _ = carry
             p = p + self._precond_apply(r, fluid)
             r = resid(p)
-            new_res = jnp.sqrt(jnp.sum(r * r)) * inv_bnorm
-            return p, r, k + 1, new_res, res
+            return p, r, k + 1, norm(r), res
 
-        r0 = resid(p0)
-        res0 = jnp.sqrt(jnp.sum(r0 * r0)) * inv_bnorm
-        inf = jnp.asarray(np.inf, res0.dtype)
         p, r, iters, res, _ = jax.lax.while_loop(
-            cond, body, (p0, r0, jnp.int32(0), res0, inf)
+            cond, body, (p1, r1, jnp.int32(1), res1, res0)
         )
         return p, iters, res

@@ -644,10 +644,11 @@ class Simulation:
         if self.dct_solver is not None:
             c["inv_eig"] = self.dct_solver.inv_eig
         if self.dctcg_solver is not None:
-            c["dctcg_inv_eig"] = self.dctcg_solver.dct.inv_eig
+            d = self.dctcg_solver
+            c["dctcg_inv_eig"] = d.dct.inv_eig
             c["dctcg_cap"] = (
-                self.dctcg_solver.cap_wbox,
-                self.dctcg_solver.cap_cinv,
+                d.cap_wbox, d.cap_cinv, d.cap_vx, d.cap_vy,
+                d.cap_fx, d.cap_fy, d.cap_va, d.cap_vb,
             )
         if self.mg_solver is not None:
             c["mg_ops"] = self.mg_solver.ops
@@ -661,12 +662,12 @@ class Simulation:
             dct = dataclasses.replace(dct, inv_eig=c["inv_eig"])
         dctcg = self.dctcg_solver
         if dctcg is not None:
-            wbox, cinv = c["dctcg_cap"]
+            wbox, cinv, vx, vy, fx, fy, va, vb = c["dctcg_cap"]
             dctcg = dataclasses.replace(
                 dctcg,
                 dct=dataclasses.replace(dctcg.dct, inv_eig=c["dctcg_inv_eig"]),
-                cap_wbox=wbox,
-                cap_cinv=cinv,
+                cap_wbox=wbox, cap_cinv=cinv, cap_vx=vx, cap_vy=vy,
+                cap_fx=fx, cap_fy=fy, cap_va=va, cap_vb=vb,
             )
         mg = self.mg_solver
         if mg is not None:

@@ -15,10 +15,12 @@ ap.add_argument('--method', type=str, default='dctcg')
 ap.add_argument('--shape', type=str, default='2048x1024')
 ap.add_argument('--steps', type=int, default=30)
 ap.add_argument('--settle', type=int, default=30)
+ap.add_argument('--beta', type=float, default=None, help='warm-start extrapolation override')
 args = ap.parse_args()
 
 shape = tuple(int(x) for x in args.shape.split('x'))
-case = make_case('cylinder', shape=shape, re=200.0, poisson_method=args.method)
+kw = {} if args.beta is None else {'poisson_extrapolate': args.beta}
+case = make_case('cylinder', shape=shape, re=200.0, poisson_method=args.method, **kw)
 sim = case.sim
 st = impulsive_start_state(sim)
 st, d = sim.run_scan(st, args.steps)

@@ -71,6 +71,42 @@ def test_mixed_bases_diagonalize_exactly(n):
     assert np.allclose(S @ A @ S.T, np.diag(lam), atol=1e-10)
 
 
+@pytest.mark.parametrize("flipped", [False, True])
+@pytest.mark.parametrize("n", [8, 64, 512])
+def test_dct4_split_plan_matches_dense(n, flipped):
+    """Dct4SplitPlan forward/inverse == the dense orthonormal DCT-IV
+    (index-flipped for 'dn'), block order unwound by permutation()."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(n, 7)), jnp.float32)
+    plan = dct.Dct4SplitPlan(n, jnp.float32, flipped=flipped)
+    C = dct.dct4_matrix(n)
+    if flipped:
+        C = C[:, ::-1]
+    hi = jax.lax.Precision.HIGHEST
+    dense = jnp.tensordot(jnp.asarray(C, jnp.float32), x,
+                          axes=([1], [0]), precision=hi)
+    got = plan.apply_fwd(x, 0, hi)
+    perm = plan.permutation()
+    assert sorted(perm.tolist()) == list(range(n))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(dense)[perm], atol=2e-5
+    )
+    back = plan.apply_inv(got, 0, hi)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=2e-5)
+    # axis=1 application too (the runtime uses both orientations)
+    x2 = jnp.asarray(rng.normal(size=(5, n)), jnp.float32)
+    got2 = plan.apply_fwd(x2, 1, hi)
+    dense2 = jnp.tensordot(jnp.asarray(C, jnp.float32), x2,
+                           axes=([1], [1]), precision=hi)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(dense2)[perm], atol=2e-5
+    )
+    back2 = plan.apply_inv(got2, 0, hi)
+    np.testing.assert_allclose(np.asarray(back2), np.asarray(x2).T, atol=2e-5)
+
+
 def test_axis_kinds_from_bcs():
     g = GridSpec(shape=(8, 8), lengths=(1.0, 1.0))
     bcs = no_slip_box(g)
@@ -210,6 +246,29 @@ def test_capacitance_handles_periodic_axis_links():
     p0 = jnp.zeros(g.shape, g.dtype)
     p, it, res = s.solve(b, p0, 1e-6, 100, op=op)
     assert float(res) < 1e-5
+
+
+def test_spectral_correction_matches_box_path():
+    """The fused-in-spectral-domain Woodbury correction (one transform
+    chain + thin point matmuls) computes the same preconditioner action
+    as the generic two-solve dense-box path."""
+    g = GridSpec(shape=(64, 32), lengths=(2.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.outflow()
+    solid = np.zeros(g.shape, bool)
+    xx, yy = np.meshgrid(np.arange(64), np.arange(32), indexing="ij")
+    solid[((xx - 16) ** 2 + (yy - 16) ** 2) < 20] = True
+    op = build_poisson_op(g, bcs, solid)
+    spec = DCTPCGSolver.build(g, bcs, solid)
+    box = DCTPCGSolver.build(g, bcs, solid, spectral=False)
+    assert spec.cap_vx is not None and spec.cap_wbox is None
+    assert box.cap_vx is None and box.cap_wbox is not None
+    rng = np.random.default_rng(23)
+    r = jnp.asarray(rng.normal(size=g.shape), g.dtype) * op.fluid
+    za = np.asarray(spec._precond_apply(r, op.fluid))
+    zb = np.asarray(box._precond_apply(r, op.fluid))
+    scale = np.abs(zb).max()
+    np.testing.assert_allclose(za, zb, atol=2e-5 * scale)
 
 
 def test_capacitance_3d_sphere():
