@@ -13,6 +13,7 @@ Beyond the BASELINE set:
   heated_cavity       -- de Vahl Davis natural convection (2D/3D)
   rayleigh_benard     -- periodic-x convection, critical-Ra oracle
   decaying_turbulence -- 2D periodic turbulence, inverse-cascade oracle
+  sphere              -- 3D flow past a sphere (unsteady wake at Re=300)
 
 Each builder accepts overrides so tests can shrink grids.
 """
@@ -30,7 +31,7 @@ from ..solver import Simulation
 from .cavity import build_cavity, build_cavity3d
 from .channel import build_channel, build_channel_periodic
 from .convection import build_heated_cavity, build_rayleigh_benard
-from .cylinder import build_cylinder
+from .cylinder import build_cylinder, build_sphere
 from .taylor_green import build_taylor_green, build_taylor_green3d
 from .turbulence import build_decaying_turbulence
 
@@ -61,6 +62,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "channel": build_channel,
     "channel_periodic": build_channel_periodic,
     "cylinder": build_cylinder,
+    "sphere": build_sphere,
     "taylor_green": build_taylor_green,
     "taylor_green3d": build_taylor_green3d,
     "heated_cavity": build_heated_cavity,

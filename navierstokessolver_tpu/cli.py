@@ -52,6 +52,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="i0,i1,j0,j1 cell box: sample control-volume "
                          "drag/lift terms each window into forces.csv "
                          "(2D; see utils/forces.py)")
+    ap.add_argument("--stats-start", type=int, default=-1,
+                    help="accumulate running statistics (time-mean fields + "
+                         "Reynolds stresses) from this step on, written to "
+                         "<out>/stats.npz (-1 = off; see stats.py)")
     ap.add_argument("--devices", type=int, default=0,
                     help="shard over the first N devices (0 = single device)")
     ap.add_argument("--poisson-comm", default="gspmd",
@@ -140,6 +144,8 @@ def main(argv=None) -> int:
 
     step = step0
     next_snap = step + args.snapshot_every if args.snapshot_every else None
+    stats_start = args.stats_start if args.stats_start >= 0 else None
+    stats = None
     try:
         while step < step0 + n_steps:
             chunk = min(args.chunk, step0 + n_steps - step)
@@ -149,6 +155,8 @@ def main(argv=None) -> int:
             # enabling snapshots is trajectory-neutral -- tested in
             # tests/test_io.py). Each enqueue hands the still-on-device
             # arrays to the writer thread without blocking the next segment.
+            # --stats-start is one more segmentation point: segments at or
+            # past it run through run_scan_stats (accumulator in the carry).
             t0 = time.perf_counter()
             diags = []
             done = 0
@@ -156,7 +164,12 @@ def main(argv=None) -> int:
                 seg = chunk - done
                 if next_snap is not None:
                     seg = min(seg, next_snap - step)
-                state, diag = sim.run_scan(state, seg)
+                if stats_start is not None and step < stats_start:
+                    seg = min(seg, stats_start - step)
+                if stats_start is not None and step >= stats_start:
+                    state, diag, stats = sim.run_scan_stats(state, seg, stats)
+                else:
+                    state, diag = sim.run_scan(state, seg)
                 diags.append(diag)
                 step += seg
                 done += seg
@@ -193,6 +206,13 @@ def main(argv=None) -> int:
         io_mod.save_checkpoint(
             os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash
         )
+    if stats is not None:
+        from . import stats as stats_mod
+
+        path = os.path.join(out_dir, "stats.npz")
+        np.savez_compressed(path, **stats_mod.finalize(stats))
+        print(f"[cli] wrote {path} ({int(np.asarray(stats.n))} samples)",
+              file=sys.stderr)
     if forces_rows:
         import csv
 

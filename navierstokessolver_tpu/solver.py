@@ -694,6 +694,44 @@ class Simulation:
         """
         return _run_scan_jit(self, self._consts(), state, n_steps)
 
+    def run_scan_stats(
+        self, state: State, n_steps: int, stats=None
+    ) -> tuple[State, StepDiagnostics, "object"]:
+        """Advance ``n_steps`` while accumulating running flow statistics
+        (time-mean fields + Reynolds stresses; see stats.py).
+
+        The accumulator is carried through the scan -- O(grid) memory, no
+        per-step stacking, no host round-trips. Pass the returned ``stats``
+        back in to continue accumulating across chunks. Uses the plain
+        (jnp/GSPMD) step: the fused whole-step kernels keep the state in an
+        internal layout that the center-interpolated moments would have to
+        unpack every step anyway.
+        """
+        from . import stats as stats_mod
+
+        if stats is None:
+            stats = stats_mod.init_stats(
+                self.grid, with_theta=state.theta is not None
+            )
+        return _run_scan_stats_jit(self, self._consts(), state, stats, n_steps)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _run_scan_stats_jit(sim: Simulation, consts, state: State, stats, n_steps: int):
+    from . import stats as stats_mod
+
+    sim = sim._bind(consts)
+
+    def body(carry, _):
+        st, acc = carry
+        st, diag = sim.step(st)
+        return (st, stats_mod.accumulate(sim.grid, acc, st)), diag
+
+    (state, stats), diags = jax.lax.scan(
+        body, (state, stats), xs=None, length=n_steps
+    )
+    return state, diags, stats
+
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):

@@ -150,3 +150,23 @@ def test_extrapolation_checkpoint_roundtrip(tmp_path):
     b, _ = sim.run_scan(st2, 10)
     np.testing.assert_array_equal(np.asarray(a.u[0]), np.asarray(b.u[0]))
     np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
+
+
+def test_sphere_3d_smoke():
+    """Flow past a sphere: the 3D obstacle+outflow topology end-to-end
+    (solid faces stay zero, fields finite, flow decelerates in the wake)."""
+    case = make_case(
+        "sphere", shape=(48, 24, 24), lengths=(12.0, 6.0, 6.0),
+        center=(3.0, 3.01, 2.99),
+    )
+    sim = case.sim
+    st = impulsive_start_state(sim)
+    st, diag = sim.run_scan(st, 60)
+    for a in range(3):
+        blocked = np.asarray(sim.face_masks[a]) == 0.0
+        assert np.abs(np.asarray(st.u[a])[blocked]).max() == 0.0
+        assert np.isfinite(np.asarray(st.u[a])).all()
+    assert float(diag.max_div[-1]) < 1e-2
+    u = np.asarray(st.u[0])
+    # wake deficit just downstream of the sphere vs the free stream
+    assert u[14:20, 10:14, 10:14].min() < 0.65
