@@ -49,9 +49,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", default=None, help="checkpoint path")
     ap.add_argument("--csv", default=None, help="CSV metrics path")
     ap.add_argument("--forces-box", default=None,
-                    help="i0,i1,j0,j1 cell box: sample control-volume "
-                         "drag/lift terms each window into forces.csv "
-                         "(2D; see utils/forces.py)")
+                    help="2*ndim cell indices (i0,i1,j0,j1[,k0,k1]): sample "
+                         "control-volume drag/lift terms each window into "
+                         "forces.csv (see utils/forces.py)")
     ap.add_argument("--stats-start", type=int, default=-1,
                     help="accumulate running statistics (time-mean fields + "
                          "Reynolds stresses) from this step on, written to "
@@ -138,8 +138,9 @@ def main(argv=None) -> int:
     forces_rows = []
     if args.forces_box:
         forces_box = tuple(int(x) for x in args.forces_box.split(","))
-        if sim.grid.ndim != 2:
-            print("[cli] --forces-box is 2D only; ignoring", file=sys.stderr)
+        if len(forces_box) != 2 * sim.grid.ndim:
+            print(f"[cli] --forces-box needs {2 * sim.grid.ndim} indices "
+                  f"for a {sim.grid.ndim}D grid; ignoring", file=sys.stderr)
             forces_box = None
 
     step = step0
@@ -187,13 +188,14 @@ def main(argv=None) -> int:
                 n_cells=sim.grid.num_cells(),
             ))
             if forces_box is not None:
-                from .utils.forces import cv_terms
+                from .utils.forces import cv_terms_nd
 
-                a, b, c, d = cv_terms(
+                sf, mom = cv_terms_nd(
                     sim.grid, state, sim.params.nu, forces_box
                 )
                 forces_rows.append(
-                    (step, float(a), float(b), float(c), float(d))
+                    (step, *(float(x) for x in sf),
+                     *(float(x) for x in mom))
                 )
             if args.checkpoint_every and step % args.checkpoint_every < chunk:
                 io_mod.save_checkpoint(
@@ -217,9 +219,11 @@ def main(argv=None) -> int:
         import csv
 
         path = os.path.join(out_dir, "forces.csv")
+        axes = "xyz"[: sim.grid.ndim]
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["step", "sf_x", "sf_y", "mom_x", "mom_y"])
+            w.writerow(["step"] + [f"sf_{a}" for a in axes]
+                       + [f"mom_{a}" for a in axes])
             w.writerows(forces_rows)
         print(f"[cli] wrote {path} ({len(forces_rows)} samples); assemble "
               "Cd/Cl with utils.forces.drag_lift_series", file=sys.stderr)

@@ -175,3 +175,4 @@ def test_taylor_green3d_dissipation_history():
     diss = -np.gradient(e, np.asarray(t_samples))
     # vortex stretching: dissipation grows well above its initial value
     assert diss[8:].max() > 1.5 * diss[1], (diss[1], diss[8:].max())
+
