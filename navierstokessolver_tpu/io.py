@@ -30,6 +30,7 @@ import numpy as np
 
 from .grid import GridSpec, State, interpolate_to_centers
 from .ops.stencils import (
+    q_criterion_3d,
     streamfunction_2d,
     vorticity_2d,
     vorticity_magnitude_3d,
@@ -60,6 +61,7 @@ def snapshot_arrays(grid: GridSpec, state: State) -> dict[str, np.ndarray]:
         out["vorticity_mag"] = np.asarray(
             vorticity_magnitude_3d(grid, state.u)
         )
+        out["q_criterion"] = np.asarray(q_criterion_3d(grid, state.u))
     return out
 
 

@@ -332,6 +332,28 @@ def vorticity_magnitude_3d(grid: GridSpec, u: Sequence[Array]) -> Array:
     return jnp.sqrt(wx * wx + wy * wy + wz * wz)
 
 
+def q_criterion_3d(grid: GridSpec, u: Sequence[Array]) -> Array:
+    """Q-criterion at cell centers: Q = -(1/2) tr(G G) with G_ij = du_i/dx_j
+    (equivalently (||Omega||^2 - ||S||^2)/2 -- positive where rotation beats
+    strain; the standard 3D vortex-identification isosurface field for
+    wake visualization). Gradients are central differences of the
+    center-interpolated velocity (one-sided at domain edges)."""
+    if grid.ndim != 3:
+        raise ValueError("q_criterion_3d is 3D only")
+    from ..grid import interpolate_to_centers
+
+    uc = interpolate_to_centers(grid, u)
+    g = [
+        [jnp.gradient(uc[i], grid.spacing[j], axis=j) for j in range(3)]
+        for i in range(3)
+    ]
+    q = jnp.zeros_like(uc[0])
+    for i in range(3):
+        for j in range(3):
+            q = q - 0.5 * g[i][j] * g[j][i]
+    return q
+
+
 def max_cfl(grid: GridSpec, u: Sequence[Array], dt) -> Array:
     """max over axes of |u| dt / h (advective CFL number)."""
     cfl = jnp.asarray(0.0, grid.dtype)

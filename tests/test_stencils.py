@@ -187,3 +187,42 @@ def test_streamfunction_consistency():
     got_v = -(psi[1:, :] - psi[:-1, :]) / dx  # (nx, ny+1)
     # holds to the projection tolerance (max_div ~ 1e-5 * dy accumulation)
     np.testing.assert_allclose(got_v, v, atol=5e-5)
+
+
+def test_q_criterion_oracles():
+    """Solid-body rotation has Q = 1 (pure rotation, omega=2 => Q =
+    omega^2/4... with u=(-y, x, 0): Q = 1); pure shear u=(y,0,0) has
+    Q = 0 (rotation and strain cancel)."""
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.ops.stencils import q_criterion_3d
+
+    g = GridSpec(shape=(16, 16, 8), lengths=(2.0, 2.0, 1.0))
+
+    def face_coords(a):
+        # coordinates of the a-faces in every axis (face along a, centers
+        # elsewhere)
+        axes = []
+        for c in range(3):
+            n = g.shape[c] + (1 if c == a else 0)
+            h = g.spacing[c]
+            off = 0.0 if c == a else 0.5
+            axes.append((jnp.arange(n) + off) * h)
+        return jnp.meshgrid(*axes, indexing="ij")
+
+    xu, yu, _ = face_coords(0)
+    xv, yv, _ = face_coords(1)
+    _, _, zw = face_coords(2)
+
+    # solid-body rotation about z through the domain center
+    cx, cy = 1.0, 1.0
+    u_rot = (-(yu - cy), (xv - cx), jnp.zeros_like(zw))
+    q = q_criterion_3d(g, u_rot)
+    interior = q[2:-2, 2:-2, 2:-2]
+    assert jnp.allclose(interior, 1.0, atol=1e-4), float(interior.mean())
+
+    # pure shear
+    u_shear = (yu, jnp.zeros_like(xv), jnp.zeros_like(zw))
+    q2 = q_criterion_3d(g, u_shear)
+    assert jnp.abs(q2[2:-2, 2:-2, 2:-2]).max() < 1e-5
