@@ -716,6 +716,43 @@ class Simulation:
         return _run_scan_stats_jit(self, self._consts(), state, stats, n_steps)
 
 
+    def run_scan_forces(
+        self, state: State, n_steps: int, box
+    ) -> tuple[State, StepDiagnostics, Array, Array]:
+        """Advance ``n_steps`` sampling control-volume force terms EVERY
+        step (utils/forces.cv_terms_nd over the static cell ``box``).
+
+        Returns ``(state, diags, sf, mom)`` with ``sf``/``mom`` shaped
+        ``(n_steps, ndim)``: per-step surface-force and CV-momentum
+        series, ready for ``drag_lift_series(dt_sample=dt)``. Chunked
+        host-side sampling (the CLI window loop) undersamples a shedding
+        period; in-scan sampling costs a few slice reductions per step and
+        resolves the full Cd/Cl waveform.
+        """
+        return _run_scan_forces_jit(
+            self, self._consts(), state, n_steps, tuple(int(b) for b in box)
+        )
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _run_scan_forces_jit(
+    sim: Simulation, consts, state: State, n_steps: int, box
+):
+    from .utils.forces import cv_terms_nd
+
+    sim = sim._bind(consts)
+
+    def body(st, _):
+        st, diag = sim.step(st)
+        sf, mom = cv_terms_nd(sim.grid, st, sim.params.nu, box)
+        return st, (diag, jnp.stack(sf), jnp.stack(mom))
+
+    state, (diags, sf, mom) = jax.lax.scan(
+        body, state, xs=None, length=n_steps
+    )
+    return state, diags, sf, mom
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def _run_scan_stats_jit(sim: Simulation, consts, state: State, stats, n_steps: int):
     from . import stats as stats_mod

@@ -37,7 +37,7 @@ def main() -> None:
 
     from navierstokessolver_tpu.cases import make_case
     from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
-    from navierstokessolver_tpu.utils.forces import cv_terms, drag_lift_series
+    from navierstokessolver_tpu.utils.forces import drag_lift_series
 
     case = make_case("cylinder", shape=shape, re=args.re,
                      poisson_method=args.poisson)
@@ -52,18 +52,20 @@ def main() -> None:
 
     state = impulsive_start_state(sim)
     n_steps = int(args.t_end / dt)
-    sfx, sfy, mx, my = [], [], [], []
+    sfs, moms = [], []
     t0 = time.time()
     done = 0
+    # per-STEP force series via the in-scan sampler (chunked only so the
+    # window logs/compile stay bounded; the series itself has no gaps)
     while done + args.chunk <= n_steps:
-        state, diag = sim.run_scan(state, args.chunk)
-        a, b, c, d = cv_terms(g, state, sim.params.nu, box)
-        sfx.append(float(a)); sfy.append(float(b))
-        mx.append(float(c)); my.append(float(d))
+        state, diag, sf, mom = sim.run_scan_forces(state, args.chunk, box)
+        sfs.append(np.asarray(sf)); moms.append(np.asarray(mom))
         done += args.chunk
+    sf = np.concatenate(sfs)
+    mom = np.concatenate(moms)
 
     cd, cl = drag_lift_series(
-        g, sim.params.nu, box, sfx, sfy, mx, my, args.chunk * dt
+        g, sim.params.nu, box, sf[:, 0], sf[:, 1], mom[:, 0], mom[:, 1], dt
     )
     half = len(cd) // 2
     out = {

@@ -52,3 +52,37 @@ def test_cv_terms_nd_3d_uniform_flow():
     assert abs(float(mom[0]) - 0.8 * 0.6 * 0.6) < 1e-5
     assert abs(float(mom[1])) < 1e-6 and abs(float(mom[2])) < 1e-6
 
+
+
+def test_run_scan_forces_matches_post_hoc():
+    """The in-scan per-step force series equals computing cv_terms_nd on
+    each post-step state (1-step scans), and the final states agree."""
+    import numpy as np
+
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+    from navierstokessolver_tpu.utils.forces import cv_terms_nd
+
+    case = make_case("cylinder", shape=(64, 32), lengths=(8.0, 4.0),
+                     center=(2.0, 2.01))
+    sim = case.sim
+    box = (8, 24, 6, 26)
+    n = 6
+
+    st = impulsive_start_state(sim)
+    st_scan, _d, sf, mom = sim.run_scan_forces(st, n, box)
+    assert sf.shape == (n, 2) and mom.shape == (n, 2)
+
+    st2 = impulsive_start_state(sim)
+    for k in range(n):
+        st2, _ = sim.run_scan(st2, 1)
+        sfk, momk = cv_terms_nd(sim.grid, st2, sim.params.nu, box)
+        np.testing.assert_allclose(
+            np.asarray(sf[k]), np.asarray(np.stack(sfk)), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(mom[k]), np.asarray(np.stack(momk)), atol=1e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_scan.p), np.asarray(st2.p), atol=1e-5
+    )

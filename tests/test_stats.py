@@ -96,3 +96,30 @@ def test_cli_stats_npz(tmp_path):
     assert int(z["n"]) == 5  # steps 6..10 accumulated
     assert np.isfinite(z["u_mean_0"]).all()
     assert (z["uu_00"] >= -1e-7).all()
+
+
+def test_scan_stats_sharded_matches_single_device():
+    """Statistics accumulate correctly under GSPMD domain decomposition
+    (the accumulator fields are cell-centered, so they inherit the grid
+    sharding; moments match the single-device run)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from navierstokessolver_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulation,
+    )
+
+    case = make_case("cavity", shape=(32, 32))
+    sim = case.sim
+    _, _, ref = sim.run_scan_stats(case.initial_state(), 20)
+
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    st_sh = shard_state(case.initial_state(), mesh, sim.grid)
+    _, _, got = sim_sh.run_scan_stats(st_sh, 20)
+
+    fa, fb = finalize(ref), finalize(got)
+    for k in fa:
+        np.testing.assert_allclose(fb[k], fa[k], atol=5e-5, err_msg=k)
