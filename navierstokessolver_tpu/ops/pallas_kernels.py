@@ -25,7 +25,7 @@ as the jnp path.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -1004,13 +1004,14 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
 
     if grid.ndim != 3 or grid.dtype != jnp.float32:
         return False
-    # VMEM budget: the whole-step kernels hold double-buffered windows for
-    # all three components plus four output blocks and temporaries -- at
-    # 512-wide planes that is ~220 MB > the 128 MB VMEM. Gate to plane
-    # sizes where tile=8 fits (measured at 256^3); larger planes fall back
-    # to the per-component predictor kernels (adaptive tile) + jnp step.
+    # VMEM budget: plane footprints up to 128K elements run double-buffered
+    # input windows; larger planes (e.g. 512-wide) single-buffer them
+    # (_db_for_plane) -- at T=8 that is ~3*(T+3)+4*T+~3*(T+2) plane-rows of
+    # scratch+outputs+temporaries, which fits 512^2 planes (~100 MB) but
+    # not much beyond. Planes past 272K elements fall back to the
+    # per-component predictor kernels (adaptive tile) + jnp step.
     n1, n2 = grid.shape[1], grid.shape[2]
-    if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 128 * 1024:
+    if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 272 * 1024:
         return False
     if any(periodic_axes(grid, bcs)):
         return False
@@ -1061,6 +1062,16 @@ def _shift_fix(x, axis: int, sh: int, fix):
         return r
     edge, alpha, beta = fix
     return jnp.where(_ax_iota(x.shape, axis) == edge, alpha * x + beta, r)
+
+
+def _db_for_plane(s: int, lanes: int) -> bool:
+    """Double-buffer the fused-step input windows only while the second
+    buffer fits: at 512-wide planes the doubled windows push the predictor
+    kernel past the 128 MB VMEM (measured ~106 MB scratch + ~30 MB of body
+    temporaries at T=8), so large planes run single-buffered -- one fused
+    HBM pass without copy/compute overlap still beats the multi-pass
+    per-component fallback."""
+    return s * lanes <= 128 * 1024
 
 
 def _fused_tile(tile: int, n0: int) -> int:
@@ -1132,7 +1143,7 @@ def _fused_pred_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, out0, out1, out2, rhs_ref,
     s0, s1, s2, sems, sg0, sg1, sg2, gsems,
     *, T: int, n: tuple, h: tuple, nu: float, gamma: float,
-    tg: dict, own: dict, RP: int, halo: bool = False,
+    tg: dict, own: dict, RP: int, halo: bool = False, db: bool = True,
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
@@ -1161,12 +1172,15 @@ def _fused_pred_kernel(
     G = n0 // T if halo else n0 // T + 1
     i_star = n0 // T - 1            # stripe whose window spans global row n0
     R3 = T + 3
-    # Double-buffered input windows: each scratch holds two R3-row halves;
-    # stripe i's DMA was started during stripe i-1 (prologue for i=0), and
-    # stripe i starts i+1's transfer into the other half BEFORE waiting, so
-    # the copy engines overlap the VPU work (~0.35 ms/step of serialized
-    # input DMA otherwise at 256^3).
-    phase = jax.lax.rem(i, 2)
+    # Double-buffered input windows (db=True): each scratch holds two
+    # R3-row halves; stripe i's DMA was started during stripe i-1 (prologue
+    # for i=0), and stripe i starts i+1's transfer into the other half
+    # BEFORE waiting, so the copy engines overlap the VPU work (~0.35
+    # ms/step of serialized input DMA otherwise at 256^3). db=False
+    # (large planes, e.g. 512-wide: the second buffer would blow the VMEM
+    # budget) holds ONE half and serializes each stripe's transfer --
+    # still one fused HBM pass, just without copy/compute overlap.
+    phase = jax.lax.rem(i, 2) if db else 0
     refs = (u0_hbm, u1_hbm, u2_hbm)
     scrs = (s0, s1, s2)
 
@@ -1181,14 +1195,18 @@ def _fused_pred_kernel(
             for k, (ref, scr) in enumerate(zip(refs, scrs))
         ]
 
-    @pl.when(i == 0)
-    def _prologue():
-        for cp in _dma(0, 0):
-            cp.start()
+    if db:
+        @pl.when(i == 0)
+        def _prologue():
+            for cp in _dma(0, 0):
+                cp.start()
 
-    @pl.when(i < G)
-    def _prefetch():
-        for cp in _dma(i + 1, 1 - phase):
+        @pl.when(i < G)
+        def _prefetch():
+            for cp in _dma(i + 1, 1 - phase):
+                cp.start()
+    else:
+        for cp in _dma(i, 0):
             cp.start()
 
     if halo:
@@ -1441,19 +1459,25 @@ def predictor_rhs_3d_internal(
     interpret: bool = False,
     halo: bool = False,
     edge_flags=None,
+    db: Optional[bool] = None,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
     internal-layout u* and the exact-shaped rhs.
 
     ``halo=True`` (parallel/fused_sharded.py): ``grid`` is the LOCAL block,
     ``iu`` the halo-mode layout (ghost slots filled), ``edge_flags`` the
-    (is_first, is_last) traced 0/1 scalars."""
+    (is_first, is_last) traced 0/1 scalars. ``db`` selects double-buffered
+    input windows (None = auto by plane footprint; see
+    :func:`_db_for_plane`)."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
     if halo:
         T, G, RP, S0, S1, L = _halo_dims(grid, tile)
     else:
         T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    if db is None:
+        db = _db_for_plane(S1, L)
+    nb = 2 if db else 1
 
     tg, own = _ghost_tables(grid, bcs)
     parts = [
@@ -1466,7 +1490,7 @@ def predictor_rhs_3d_internal(
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own, RP=RP, halo=halo,
+        tg=tg, own=own, RP=RP, halo=halo, db=db,
     )
     out0, out1, out2, rhs = pl.pallas_call(
         kern,
@@ -1490,9 +1514,9 @@ def predictor_rhs_3d_internal(
             pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * (T + 3), S0, L), jnp.float32),
-            pltpu.VMEM((2 * (T + 3), S1, L), jnp.float32),
-            pltpu.VMEM((2 * (T + 3), S0, L), jnp.float32),
+            pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
+            pltpu.VMEM((nb * (T + 3), S1, L), jnp.float32),
+            pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.VMEM((1, S0, L), jnp.float32),
             pltpu.VMEM((1, S1, L), jnp.float32),
@@ -1517,13 +1541,14 @@ def predictor_rhs_3d(
     rho: float = 1.0,
     tile: int = 8,
     interpret: bool = False,
+    db: Optional[bool] = None,
 ) -> tuple[tuple[Array, Array, Array], Array]:
     """Exact-layout entry point: pads to the internal layout, runs the
     fused kernel. ``u_star`` comes back internal (row r <-> global face/cell
     row r; comp 2 lane-elided) for :func:`correct_diag_3d`."""
     iu = to_internal_3d(grid, u, tile)
     return predictor_rhs_3d_internal(
-        grid, bcs, iu, dt, nu, upwind_gamma, rho, tile, interpret
+        grid, bcs, iu, dt, nu, upwind_gamma, rho, tile, interpret, db=db
     )
 
 
@@ -1532,6 +1557,7 @@ def _fused_corr_kernel(
     out0, out1, out2, divmax_ref, velmax_ref,
     s0, s1, s2, sp, sems,
     *, T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
+    db: bool = True,
 ):
     """One axis-0 stripe of the projection corrector + step diagnostics,
     internal layout in AND out (row r <-> global row r).
@@ -1550,8 +1576,9 @@ def _fused_corr_kernel(
     # boundary-face preservation gates on sc_ref[1]/sc_ref[2].
     G = n0 // T if halo else n0 // T + 1
     # Double-buffered input windows (see _fused_pred_kernel): stripe j+1's
-    # transfers start before stripe j's wait.
-    phase = jax.lax.rem(j, 2)
+    # transfers start before stripe j's wait. db=False: single-buffered
+    # serialized transfers (large planes; VMEM budget).
+    phase = jax.lax.rem(j, 2) if db else 0
     H = (T + 1, T, T, T + 2)            # per-input window heights
 
     def _dma(jj, ph):
@@ -1570,14 +1597,18 @@ def _fused_corr_kernel(
             )
         ]
 
-    @pl.when(j == 0)
-    def _prologue():
-        for cp in _dma(0, 0):
-            cp.start()
+    if db:
+        @pl.when(j == 0)
+        def _prologue():
+            for cp in _dma(0, 0):
+                cp.start()
 
-    @pl.when(j < G)
-    def _prefetch():
-        for cp in _dma(j + 1, 1 - phase):
+        @pl.when(j < G)
+        def _prefetch():
+            for cp in _dma(j + 1, 1 - phase):
+                cp.start()
+    else:
+        for cp in _dma(j, 0):
             cp.start()
 
     for cp in _dma(j, phase):
@@ -1702,18 +1733,23 @@ def correct_diag_3d_internal(
     halo: bool = False,
     edge_flags=None,
     pp=None,
+    db: Optional[bool] = None,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
     internal-layout u_new plus (max |div u|, max_a |u_a|/h_a).
 
     ``halo=True``: local-block mode; ``pp`` must be the pre-built padded
-    pressure with ppermute ghost rows at [0] and [B+1]."""
+    pressure with ppermute ghost rows at [0] and [B+1]. ``db``: see
+    :func:`predictor_rhs_3d_internal`."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
     if halo:
         T, G, RP, S0, S1, L = _halo_dims(grid, tile)
     else:
         T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    if db is None:
+        db = _db_for_plane(S1, L)
+    nb = 2 if db else 1
 
     u0p, u1p, u2p = u_star_internal
     if pp is None:
@@ -1725,7 +1761,7 @@ def correct_diag_3d_internal(
     sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
-        halo=halo,
+        halo=halo, db=db,
     )
     out0, out1, out2, divp, velp = pl.pallas_call(
         kern,
@@ -1752,10 +1788,10 @@ def correct_diag_3d_internal(
             pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * (T + 1), S0, L), jnp.float32),
-            pltpu.VMEM((2 * T, S1, L), jnp.float32),
-            pltpu.VMEM((2 * T, S0, L), jnp.float32),
-            pltpu.VMEM((2 * (T + 2), S0, L), jnp.float32),
+            pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),
+            pltpu.VMEM((nb * T, S1, L), jnp.float32),
+            pltpu.VMEM((nb * T, S0, L), jnp.float32),
+            pltpu.VMEM((nb * (T + 2), S0, L), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1774,11 +1810,12 @@ def correct_diag_3d(
     scale,
     tile: int = 8,
     interpret: bool = False,
+    db: Optional[bool] = None,
 ) -> tuple[tuple[Array, Array, Array], Array, Array]:
     """Exact-layout entry point: runs the internal corrector and converts
     u_new back to exact face arrays."""
     iu, divm, velm = correct_diag_3d_internal(
-        grid, bcs, u_star_padded, p, scale, tile, interpret
+        grid, bcs, u_star_padded, p, scale, tile, interpret, db=db
     )
     u0, u1, u2e, face = from_internal_3d(grid, bcs, iu)
     # the corrected interior face feeds the outflow copy; Dirichlet gets

@@ -192,3 +192,47 @@ def test_fused_resume_equals_unbroken_run(tmp_path):
     for ca, cb in zip(a.u, b.u):
         np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
     np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
+
+
+def test_fused_single_buffer_matches_double():
+    """db=False (single-buffered windows, the large-plane VMEM mode)
+    computes exactly what db=True computes -- the buffering only changes
+    DMA scheduling, never data."""
+    g = GridSpec(shape=(16, 8, 8), lengths=(1.0, 0.5, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.wall((0.0, 1.0, 0.0))
+    u = _mk_state(g, bcs)
+    dt, nu, rho = 1e-3, 0.02, 1.1
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.normal(size=g.shape).astype(np.float32))
+
+    oa, rhsa = predictor_rhs_3d(g, bcs, u, dt, nu, rho=rho,
+                                tile=8, interpret=True, db=True)
+    ob, rhsb = predictor_rhs_3d(g, bcs, u, dt, nu, rho=rho,
+                                tile=8, interpret=True, db=False)
+    for x, y in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(rhsa), np.asarray(rhsb))
+
+    ua, da, va = correct_diag_3d(g, bcs, oa, p, dt / rho,
+                                 tile=8, interpret=True, db=True)
+    ub, db_, vb = correct_diag_3d(g, bcs, ob, p, dt / rho,
+                                  tile=8, interpret=True, db=False)
+    for x, y in zip(ua, ub):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert float(da) == float(db_) and float(va) == float(vb)
+
+
+def test_fused_gate_plane_bound():
+    """Planes up to 272K padded elements stay on the whole-step kernels
+    (single-buffered above 128K); beyond that the gate trips."""
+    from navierstokessolver_tpu.ops.pallas_kernels import _db_for_plane
+
+    g_ok = GridSpec(shape=(8, 512, 512), lengths=(1.0, 1.0, 1.0))
+    assert fused_step3d_applicable(g_ok, no_slip_box(g_ok))
+    assert not _db_for_plane(520, 512)
+    assert _db_for_plane(264, 256)
+    g_big = GridSpec(shape=(8, 1024, 512), lengths=(1.0, 1.0, 1.0))
+    assert not fused_step3d_applicable(g_big, no_slip_box(g_big))
