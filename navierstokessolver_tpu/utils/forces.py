@@ -227,3 +227,27 @@ def drag_lift_series(
     fy = -dmy + sf_y
     scale = 2.0 / (rho * u_inf * u_inf * diameter)
     return fx * scale, fy * scale
+
+
+def dominant_frequency(series, dt_sample: float) -> float:
+    """Dominant oscillation frequency of a (demeaned, Hann-windowed) time
+    series via the rFFT peak -- e.g. the lift-coefficient series from
+    ``run_scan_forces`` gives the shedding frequency directly, so
+    St = dominant_frequency(cl, dt) * D / U without any velocity probe."""
+    import numpy as np
+
+    x = np.asarray(series, dtype=np.float64)
+    x = x - x.mean()
+    if len(x) < 8 or not np.any(x):
+        return 0.0
+    w = np.hanning(len(x))
+    spec = np.abs(np.fft.rfft(x * w))
+    spec[0] = 0.0
+    k = int(np.argmax(spec))
+    # quadratic interpolation around the peak bin for sub-bin resolution
+    if 1 <= k < len(spec) - 1:
+        a, b, c = spec[k - 1], spec[k], spec[k + 1]
+        denom = a - 2 * b + c
+        if denom != 0.0:
+            k = k + 0.5 * (a - c) / denom
+    return float(k / (len(x) * dt_sample))

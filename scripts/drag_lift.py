@@ -37,7 +37,10 @@ def main() -> None:
 
     from navierstokessolver_tpu.cases import make_case
     from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
-    from navierstokessolver_tpu.utils.forces import drag_lift_series
+    from navierstokessolver_tpu.utils.forces import (
+        dominant_frequency,
+        drag_lift_series,
+    )
 
     case = make_case("cylinder", shape=shape, re=args.re,
                      poisson_method=args.poisson)
@@ -71,6 +74,8 @@ def main() -> None:
     out = {
         "cd_mean": round(float(np.mean(cd[half:])), 4),
         "cl_amp": round(float((cl[half:].max() - cl[half:].min()) / 2), 4),
+        # shedding frequency straight off the per-step lift series (D=U=1)
+        "st_from_cl": round(dominant_frequency(cl[half:], dt), 4),
         "re": args.re, "shape": list(shape), "t_end": done * dt,
         "wall_s": round(time.time() - t0, 1),
     }

@@ -86,3 +86,21 @@ def test_run_scan_forces_matches_post_hoc():
     np.testing.assert_allclose(
         np.asarray(st_scan.p), np.asarray(st2.p), atol=1e-5
     )
+
+
+def test_dominant_frequency_synthetic():
+    """Peak-picking with sub-bin interpolation recovers a known frequency
+    to ~0.5% from a short noisy series."""
+    import numpy as np
+
+    from navierstokessolver_tpu.utils.forces import dominant_frequency
+
+    rng = np.random.default_rng(7)
+    dt = 0.05
+    t = np.arange(400) * dt
+    f0 = 0.73
+    x = 1.5 + 0.8 * np.sin(2 * np.pi * f0 * t + 0.3) \
+        + 0.05 * rng.normal(size=t.shape)
+    f = dominant_frequency(x, dt)
+    assert abs(f - f0) / f0 < 0.005, f
+    assert dominant_frequency(np.ones(100), dt) == 0.0
