@@ -23,9 +23,37 @@ def parse_shape(s):
     return tuple(int(x) for x in s.split(",")) if s else None
 
 
+def load_config_file(path: str) -> dict:
+    """Case overrides from a JSON (or YAML, if pyyaml is present) file:
+    a flat mapping of case-builder kwargs plus the optional reserved keys
+    ``case`` and ``steps``. CLI flags take precedence over file values."""
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml  # optional dependency
+        except ImportError as e:
+            raise RuntimeError(
+                "YAML config requires pyyaml; use JSON instead"
+            ) from e
+        cfg = yaml.safe_load(text)
+    else:
+        cfg = json.loads(text)
+    if not isinstance(cfg, dict):
+        raise ValueError(f"config file {path} must hold a mapping")
+    if "shape" in cfg:
+        cfg["shape"] = tuple(cfg["shape"])
+    return cfg
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="navierstokessolver_tpu")
-    ap.add_argument("--case", default="cavity")
+    ap.add_argument("--config", default=None,
+                    help="JSON/YAML file of case-builder overrides "
+                         "(reserved keys: case, steps); CLI flags win")
+    ap.add_argument("--case", default=None, help="default: cavity")
     ap.add_argument("--shape", type=parse_shape, default=None,
                     help="grid cells per axis, e.g. 128,128")
     ap.add_argument("--re", type=float, default=None)
@@ -75,7 +103,11 @@ def main(argv=None) -> int:
     from .cases import make_case
     from .utils.metrics import StepLogger, WindowStats
 
-    overrides = {}
+    file_cfg = load_config_file(args.config) if args.config else {}
+    case_name = args.case or file_cfg.pop("case", None) or "cavity"
+    file_steps = file_cfg.pop("steps", None)
+
+    overrides = dict(file_cfg)
     if args.shape is not None:
         overrides["shape"] = args.shape
     if args.re is not None:
@@ -91,10 +123,12 @@ def main(argv=None) -> int:
     if args.upwind_gamma is not None:
         overrides["upwind_gamma"] = args.upwind_gamma
 
-    case = make_case(args.case, **overrides)
+    case = make_case(case_name, **overrides)
     sim = case.sim
-    n_steps = args.steps if args.steps is not None else case.suggested_steps
-    out_dir = args.out or os.path.join("out", args.case)
+    n_steps = (args.steps if args.steps is not None else
+               file_steps if file_steps is not None else
+               case.suggested_steps)
+    out_dir = args.out or os.path.join("out", case_name)
     os.makedirs(out_dir, exist_ok=True)
 
     if args.devices > 1:
@@ -128,7 +162,7 @@ def main(argv=None) -> int:
         writer = io_mod.AsyncSnapshotWriter(out_dir, sim.grid, vtk=args.vtk)
 
     print(
-        f"[cli] case={args.case} grid={sim.grid.shape} dt={sim.params.dt:.3e} "
+        f"[cli] case={case_name} grid={sim.grid.shape} dt={sim.params.dt:.3e} "
         f"nu={sim.params.nu:.3e} poisson={sim.params.poisson.method} "
         f"steps={n_steps} device={jax.devices()[0].device_kind}",
         file=sys.stderr,

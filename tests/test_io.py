@@ -143,3 +143,33 @@ def test_snapshot_cadence_decoupled_from_chunk(tmp_path):
             np.load(os.path.join(out_b, "ckpt.npz")) as zb:
         for k in ("u0", "u1", "p"):
             np.testing.assert_array_equal(za[k], zb[k])
+
+
+def test_cli_config_file(tmp_path):
+    """--config JSON supplies case-builder overrides + reserved keys;
+    explicit CLI flags win over the file."""
+    import json
+
+    from navierstokessolver_tpu.cli import main
+
+    cfg = tmp_path / "run.json"
+    cfg.write_text(json.dumps({
+        "case": "cavity", "shape": [16, 16], "re": 250.0, "steps": 4,
+    }))
+    out = tmp_path / "o"
+    rc = main(["--config", str(cfg), "--out", str(out),
+               "--checkpoint-every", "4", "--chunk", "4"])
+    assert rc == 0
+    import numpy as np
+
+    z = np.load(out / "ckpt.npz")
+    assert int(z["step"]) == 4
+    assert z["u0"].shape == (17, 16)
+
+    # CLI flag beats the file value
+    rc = main(["--config", str(cfg), "--shape", "12,12", "--steps", "2",
+               "--out", str(out), "--checkpoint-every", "2", "--chunk", "2"])
+    assert rc == 0
+    z = np.load(out / "ckpt.npz")
+    assert z["u0"].shape == (13, 12)
+    assert int(z["step"]) == 2
