@@ -181,6 +181,11 @@ def main(argv=None) -> int:
     next_snap = step + args.snapshot_every if args.snapshot_every else None
     stats_start = args.stats_start if args.stats_start >= 0 else None
     stats = None
+    if stats_start is not None and args.resume:
+        stats = io_mod.load_checkpoint_stats(args.resume, sim.grid.dtype)
+        if stats is not None:
+            print(f"[cli] resumed statistics ({int(np.asarray(stats.n))} "
+                  "samples)", file=sys.stderr)
     try:
         while step < step0 + n_steps:
             chunk = min(args.chunk, step0 + n_steps - step)
@@ -233,14 +238,16 @@ def main(argv=None) -> int:
                 )
             if args.checkpoint_every and step % args.checkpoint_every < chunk:
                 io_mod.save_checkpoint(
-                    os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash
+                    os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash,
+                    stats=stats,
                 )
     finally:
         if writer is not None:
             writer.close()
     if args.checkpoint_every:
         io_mod.save_checkpoint(
-            os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash
+            os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash,
+            stats=stats,
         )
     if stats is not None:
         from . import stats as stats_mod

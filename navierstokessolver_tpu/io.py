@@ -237,7 +237,12 @@ def config_hash(grid: GridSpec, params, scalar=None) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-def save_checkpoint(path: str, state: State, step: int, cfg_hash: str) -> None:
+def save_checkpoint(
+    path: str, state: State, step: int, cfg_hash: str, stats=None
+) -> None:
+    """``stats`` (optional FlowStats): running statistics are part of the
+    restartable state of a long averaging run; they ride along under
+    ``stats_*`` keys (see :func:`load_checkpoint_stats`)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"u{a}": np.asarray(c) for a, c in enumerate(state.u)}
     arrays["p"] = np.asarray(state.p)
@@ -245,9 +250,26 @@ def save_checkpoint(path: str, state: State, step: int, cfg_hash: str) -> None:
         arrays["theta"] = np.asarray(state.theta)
     if state.p_prev is not None:
         arrays["p_prev"] = np.asarray(state.p_prev)
+    if stats is not None:
+        from . import stats as stats_mod
+
+        arrays.update({
+            f"stats_{k}": v for k, v in stats_mod.to_arrays(stats).items()
+        })
     tmp = path + ".tmp.npz"
     np.savez(tmp, step=np.int64(step), cfg=np.bytes_(cfg_hash.encode()), **arrays)
     os.replace(tmp, path)
+
+
+def load_checkpoint_stats(path: str, dtype):
+    """The FlowStats accumulator saved alongside a checkpoint, or None if
+    the checkpoint predates / didn't collect statistics."""
+    from . import stats as stats_mod
+
+    with np.load(path) as z:
+        d = {k[len("stats_"):]: z[k] for k in z.files
+             if k.startswith("stats_")}
+    return stats_mod.from_arrays(d, dtype) if d else None
 
 
 def load_checkpoint(

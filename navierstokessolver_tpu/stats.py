@@ -130,6 +130,40 @@ def accumulate(grid: GridSpec, stats: FlowStats, state: State) -> FlowStats:
     )
 
 
+def to_arrays(stats: FlowStats) -> dict:
+    """Flatten to named numpy arrays (checkpoint serialization)."""
+    import numpy as np
+
+    out = {"n": np.asarray(stats.n)}
+    for a, x in enumerate(stats.mean_u):
+        out[f"mean_u_{a}"] = np.asarray(x)
+        out[f"m2_u_{a}"] = np.asarray(stats.m2_u[a])
+    for i, c in enumerate(stats.c_uv):
+        out[f"c_uv_{i}"] = np.asarray(c)
+    out["mean_p"] = np.asarray(stats.mean_p)
+    out["m2_p"] = np.asarray(stats.m2_p)
+    if stats.mean_theta is not None:
+        out["mean_theta"] = np.asarray(stats.mean_theta)
+        out["m2_theta"] = np.asarray(stats.m2_theta)
+    return out
+
+
+def from_arrays(d: dict, dtype) -> FlowStats:
+    """Inverse of :func:`to_arrays`."""
+    nd = sum(1 for k in d if k.startswith("mean_u_"))
+    j = lambda k: jnp.asarray(d[k], dtype)  # noqa: E731
+    return FlowStats(
+        n=j("n"),
+        mean_u=tuple(j(f"mean_u_{a}") for a in range(nd)),
+        m2_u=tuple(j(f"m2_u_{a}") for a in range(nd)),
+        c_uv=tuple(j(f"c_uv_{i}") for i in range(len(pair_indices(nd)))),
+        mean_p=j("mean_p"),
+        m2_p=j("m2_p"),
+        mean_theta=j("mean_theta") if "mean_theta" in d else None,
+        m2_theta=j("m2_theta") if "m2_theta" in d else None,
+    )
+
+
 def finalize(stats: FlowStats) -> dict:
     """Moments -> named fields. Keys: ``u_mean_<i>``, ``p_mean``,
     ``theta_mean``, Reynolds stresses ``uu_<i><j>`` (i<=j), ``p_var``,

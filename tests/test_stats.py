@@ -123,3 +123,30 @@ def test_scan_stats_sharded_matches_single_device():
     fa, fb = finalize(ref), finalize(got)
     for k in fa:
         np.testing.assert_allclose(fb[k], fa[k], atol=5e-5, err_msg=k)
+
+
+def test_stats_checkpoint_resume_equals_unbroken(tmp_path):
+    """A checkpoint taken mid-averaging carries the accumulator: resuming
+    reproduces the unbroken run's statistics exactly."""
+    from navierstokessolver_tpu.cli import main
+
+    full = tmp_path / "full"
+    rc = main(["--case", "cavity", "--shape", "16,16", "--steps", "12",
+               "--chunk", "6", "--stats-start", "2", "--out", str(full)])
+    assert rc == 0
+
+    broken = tmp_path / "broken"
+    rc = main(["--case", "cavity", "--shape", "16,16", "--steps", "6",
+               "--chunk", "6", "--stats-start", "2",
+               "--checkpoint-every", "6", "--out", str(broken)])
+    assert rc == 0
+    rc = main(["--case", "cavity", "--shape", "16,16", "--steps", "6",
+               "--chunk", "6", "--stats-start", "2",
+               "--resume", str(broken / "ckpt.npz"), "--out", str(broken)])
+    assert rc == 0
+
+    a = np.load(full / "stats.npz")
+    b = np.load(broken / "stats.npz")
+    assert int(a["n"]) == int(b["n"]) == 10
+    for k in a.files:
+        np.testing.assert_allclose(b[k], a[k], atol=1e-7, err_msg=k)
