@@ -14,6 +14,7 @@ Beyond the BASELINE set:
   rayleigh_benard     -- periodic-x convection, critical-Ra oracle
   decaying_turbulence -- 2D periodic turbulence, inverse-cascade oracle
   sphere              -- 3D flow past a sphere (unsteady wake at Re=300)
+  duct_periodic       -- 3D body-force duct, exact series-profile oracle
 
 Each builder accepts overrides so tests can shrink grids.
 """
@@ -29,7 +30,11 @@ from ..grid import GridSpec, State
 from ..solver import Simulation
 
 from .cavity import build_cavity, build_cavity3d
-from .channel import build_channel, build_channel_periodic
+from .channel import (
+    build_channel,
+    build_channel_periodic,
+    build_duct_periodic,
+)
 from .convection import build_heated_cavity, build_rayleigh_benard
 from .cylinder import build_cylinder, build_sphere
 from .taylor_green import build_taylor_green, build_taylor_green3d
@@ -61,6 +66,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "cavity3d": build_cavity3d,
     "channel": build_channel,
     "channel_periodic": build_channel_periodic,
+    "duct_periodic": build_duct_periodic,
     "cylinder": build_cylinder,
     "sphere": build_sphere,
     "taylor_green": build_taylor_green,

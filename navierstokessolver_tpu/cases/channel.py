@@ -148,3 +148,89 @@ def build_channel_periodic(
 
     case.initial_state = initial_state
     return case
+
+
+def duct_profile_exact(ny: int, nz: int, ly: float, lz: float,
+                       g_over_nu: float, n_terms: int = 61):
+    """Analytic fully developed square/rectangular duct profile u(y, z) at
+    cell centers: the series solution of nu lap(u) = -G with no-slip on all
+    four walls (e.g. White, Viscous Fluid Flow, sec. 3-3):
+
+        u = (G/2 nu) [ z(lz - z)
+            - sum_{n odd} (8 lz^2 / (n pi)^3)
+              cosh(n pi (y - ly/2)/lz) / cosh(n pi ly / (2 lz))
+              sin(n pi z / lz) ]
+
+    Returns a (ny, nz) numpy array.
+    """
+    import numpy as np
+
+    y = (np.arange(ny) + 0.5) * (ly / ny)
+    z = (np.arange(nz) + 0.5) * (lz / nz)
+    yy, zz = np.meshgrid(y, z, indexing="ij")
+    u = zz * (lz - zz)
+    for n in range(1, n_terms + 1, 2):
+        k = n * np.pi / lz
+        u = u - (8.0 * lz * lz / (n * np.pi) ** 3) * (
+            np.cosh(k * (yy - ly / 2.0)) / np.cosh(k * ly / 2.0)
+        ) * np.sin(k * zz)
+    return 0.5 * g_over_nu * u
+
+
+def build_duct_periodic(
+    shape=(64, 32, 32),
+    lengths=(4.0, 1.0, 1.0),
+    re: float = 100.0,
+    u_scale: float = 1.0,
+    dt: float | None = None,
+    poisson_method: str = "fft",
+    poisson_tol: float = 1e-5,
+    poisson_iters: int = 2000,
+    upwind_gamma: float = 0.0,
+    dtype=None,
+    **params_kw,
+):
+    """Body-force-driven rectangular duct: periodic streamwise, no-slip on
+    the four transverse walls -- the 3D analog of ``channel_periodic``.
+
+    The steady solution is the classic series profile
+    (:func:`duct_profile_exact`), making this the 3D laminar validation
+    oracle for the combination of periodic spectral axis + two DCT wall
+    axes + body forcing. f_x is scaled so the exact profile peaks near
+    ``u_scale``.
+    """
+    from . import Case
+
+    grid = GridSpec(
+        shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32
+    )
+    ly, lz = grid.lengths[1], grid.lengths[2]
+    nu = u_scale * min(ly, lz) / re
+    bcs = {
+        (0, 0): BCSpec.periodic(),
+        (0, 1): BCSpec.periodic(),
+        (1, 0): BCSpec.wall((0.0, 0.0, 0.0)),
+        (1, 1): BCSpec.wall((0.0, 0.0, 0.0)),
+        (2, 0): BCSpec.wall((0.0, 0.0, 0.0)),
+        (2, 1): BCSpec.wall((0.0, 0.0, 0.0)),
+    }
+    dt = dt if dt is not None else _stable_dt(grid, nu, u_scale, upwind_gamma)
+    # center velocity of a square duct is ~0.295 (G/nu) a^2 with a = lz/2;
+    # pick G so the peak lands near u_scale
+    fx = u_scale * nu / (0.295 * (min(ly, lz) / 2.0) ** 2)
+    params = SimParams(
+        dt=dt,
+        nu=nu,
+        upwind_gamma=upwind_gamma,
+        **params_kw,
+        poisson=PoissonConfig(
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
+        ),
+    )
+    sim = Simulation.build(grid, bcs, params, forcing=(fx, None, None))
+    return Case(
+        name="duct_periodic",
+        sim=sim,
+        suggested_steps=4000,
+        description="body-force-driven periodic duct (exact series profile)",
+    )
