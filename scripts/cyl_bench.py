@@ -16,10 +16,14 @@ ap.add_argument('--shape', type=str, default='2048x1024')
 ap.add_argument('--steps', type=int, default=30)
 ap.add_argument('--settle', type=int, default=30)
 ap.add_argument('--beta', type=float, default=None, help='warm-start extrapolation override')
+ap.add_argument('--pallas', action='store_true',
+                help='fused 2D whole-step kernels around the pressure solve')
 args = ap.parse_args()
 
 shape = tuple(int(x) for x in args.shape.split('x'))
 kw = {} if args.beta is None else {'poisson_extrapolate': args.beta}
+if args.pallas:
+    kw['use_pallas'] = True
 case = make_case('cylinder', shape=shape, re=200.0, poisson_method=args.method, **kw)
 sim = case.sim
 st = impulsive_start_state(sim)

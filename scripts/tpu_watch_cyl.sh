@@ -16,6 +16,9 @@ for i in $(seq 1 120); do
       echo "=== cyl 2048x1024 method=$m ===" >> "$out"
       timeout 1800 python /root/repo/scripts/cyl_bench.py --method "$m" \
         --shape 2048x1024 --steps 100 --settle 100 >> "$out" 2>&1
+      echo "=== cyl 2048x1024 method=$m --pallas (fused 2D step) ===" >> "$out"
+      timeout 1800 python /root/repo/scripts/cyl_bench.py --method "$m" \
+        --shape 2048x1024 --steps 100 --settle 100 --pallas >> "$out" 2>&1
     done
     echo "=== cavity 2048^2 fft (jnp step) ===" >> "$out"
     timeout 1800 python /root/repo/bench.py --nx 2048 --ny 2048 \
