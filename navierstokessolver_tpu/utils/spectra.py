@@ -38,6 +38,30 @@ def energy_spectrum_2d(grid: GridSpec, u) -> tuple[np.ndarray, np.ndarray]:
     return shells, E
 
 
+def energy_spectrum_3d(grid: GridSpec, u) -> tuple[np.ndarray, np.ndarray]:
+    """Radially binned E(k) of a 3D periodic field (shell-summed |u_hat|^2
+    over integer-wavenumber shells, Parseval-consistent like the 2D
+    variant)."""
+    if grid.ndim != 3:
+        raise ValueError("energy_spectrum_3d is 3D only")
+    cs = [np.asarray(c) for c in interpolate_to_centers(grid, u)]
+    n = cs[0].shape
+    vol = n[0] * n[1] * n[2]
+    e = np.zeros(n)
+    for c in cs:
+        e = e + 0.5 * np.abs(np.fft.fftn(c) / vol) ** 2
+    ks = [np.fft.fftfreq(m, d=1.0 / m) for m in n]
+    kmag = np.sqrt(ks[0][:, None, None] ** 2 + ks[1][None, :, None] ** 2
+                   + ks[2][None, None, :] ** 2)
+    kmax = min(n) // 2
+    shells = np.arange(1, kmax + 1)
+    E = np.zeros(kmax)
+    idx = np.rint(kmag).astype(int)
+    for k in shells:
+        E[k - 1] = e[idx == k].sum()
+    return shells, E
+
+
 def total_kinetic_energy(grid: GridSpec, u) -> float:
     """0.5 * mean(|u|^2) from the cell-centered field."""
     cs = interpolate_to_centers(grid, u)

@@ -50,3 +50,42 @@ def test_decay_and_inverse_cascade():
     assert ke1 < ke0                            # viscous decay
     assert ke1 > 0.3 * ke0                      # ...but 2D decays slowly
     assert c1 < 0.9 * c0, (c0, c1)              # inverse cascade: centroid down
+
+
+def test_energy_spectrum_3d_single_mode_and_parseval():
+    """A single-wavenumber 3D field puts (almost) all its energy in that
+    shell, and shell sums reproduce the total KE (Parseval)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.utils.spectra import (
+        energy_spectrum_3d,
+        total_kinetic_energy,
+    )
+
+    g = GridSpec(shape=(32, 32, 32), lengths=(2 * np.pi,) * 3)
+
+    def face_mesh(a):
+        axes = [
+            (jnp.arange(g.shape[c] + (1 if c == a else 0))
+             + (0.0 if c == a else 0.5)) * g.spacing[c]
+            for c in range(3)
+        ]
+        return jnp.meshgrid(*axes, indexing="ij")
+
+    xu, yu, _ = face_mesh(0)
+    xv, yv, _ = face_mesh(1)
+    zw = face_mesh(2)[2]
+    # Taylor-Green-like k=2 mode, divergence-free, w = 0
+    km = 2.0
+    u = (jnp.sin(km * xu) * jnp.cos(km * yu),
+         -jnp.cos(km * xv) * jnp.sin(km * yv),
+         jnp.zeros_like(zw))
+    k, E = energy_spectrum_3d(g, u)
+    peak_shell = int(k[np.argmax(E)])
+    # |k| = sqrt(2^2 + 2^2) ~ 2.83 -> shell 3
+    assert peak_shell == 3, (peak_shell, E[:6])
+    assert E.max() / E.sum() > 0.99
+    np.testing.assert_allclose(E.sum(), total_kinetic_energy(g, u),
+                               rtol=1e-3)
