@@ -104,7 +104,8 @@ def main(argv=None) -> int:
     from .utils.metrics import StepLogger, WindowStats
 
     file_cfg = load_config_file(args.config) if args.config else {}
-    case_name = args.case or file_cfg.pop("case", None) or "cavity"
+    file_case = file_cfg.pop("case", None)  # always pop: reserved key, and
+    case_name = args.case or file_case or "cavity"  # --case wins over it
     file_steps = file_cfg.pop("steps", None)
 
     overrides = dict(file_cfg)
@@ -181,11 +182,17 @@ def main(argv=None) -> int:
     next_snap = step + args.snapshot_every if args.snapshot_every else None
     stats_start = args.stats_start if args.stats_start >= 0 else None
     stats = None
-    if stats_start is not None and args.resume:
+    if args.resume:
+        # Stats stored in the checkpoint resume UNCONDITIONALLY (not gated
+        # on --stats-start): accumulation was already underway, and the
+        # next periodic checkpoint write would otherwise overwrite them
+        # with stats=None, destroying the run's accumulated averages.
         stats = io_mod.load_checkpoint_stats(args.resume, sim.grid.dtype)
         if stats is not None:
             print(f"[cli] resumed statistics ({int(np.asarray(stats.n))} "
                   "samples)", file=sys.stderr)
+            stats_start = (step0 if stats_start is None
+                           else min(stats_start, step0))
     try:
         while step < step0 + n_steps:
             chunk = min(args.chunk, step0 + n_steps - step)

@@ -2,16 +2,18 @@
 
 TPU-native upgrade beyond the reference's relaxation solvers (SURVEY.md SS2
 mandates "matrix-free CG with the same convergence semantics"; this goes
-further): for obstacle-free rectangular domains whose pressure BCs are all
-homogeneous Neumann (walls/inflow/slip -- i.e. every closed-box cavity
-config), the discrete Laplacian diagonalizes under a tensor DCT-II (circulant
-eigenbasis on periodic axes), so the projection solve is EXACT in one
+further): for obstacle-free rectangular domains the discrete Laplacian
+diagonalizes under a per-axis tensor basis chosen from the BCs -- DCT-II on
+Neumann/Neumann axes (walls/inflow/slip), circulant FFT on periodic axes,
+and DCT-IV / mixed bases on axes with a Dirichlet (outflow) end (see
+``axis_kinds_from_bcs``) -- so the projection solve is EXACT in one
 application: forward transform per axis, divide by eigenvalue sums, inverse
 transform. No iteration, no convergence question -- residual is reported
 post-hoc in the same relative-L2 norm as the iterative solvers.
 
-Falls back unavailable (is_applicable() False) when an outflow face or an
-obstacle mask is present; Simulation then uses the iterative path.
+Falls back unavailable (is_applicable() False) only when an obstacle mask
+is present; Simulation then uses the iterative path (where ``dctcg`` can
+still use these bases as a capacitance-corrected preconditioner).
 """
 
 from __future__ import annotations

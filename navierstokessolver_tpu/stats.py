@@ -52,7 +52,9 @@ class FlowStats:
     for pure-momentum runs (empty pytree subtrees, structure-stable).
     """
 
-    n: Array                       # scalar sample count (f32: used in ratios)
+    n: Array                       # scalar sample count (int32: exact up to
+                                   # 2^31 -- an f32 counter saturates at 2^24
+                                   # samples, silently freezing the means)
     mean_u: tuple[Array, ...]
     m2_u: tuple[Array, ...]
     c_uv: tuple[Array, ...]
@@ -85,7 +87,7 @@ def init_stats(grid: GridSpec, with_theta: bool = False) -> FlowStats:
     z = lambda: jnp.zeros(grid.shape, grid.dtype)  # noqa: E731
     nd = grid.ndim
     return FlowStats(
-        n=jnp.zeros((), grid.dtype),
+        n=jnp.zeros((), jnp.int32),
         mean_u=tuple(z() for _ in range(nd)),
         m2_u=tuple(z() for _ in range(nd)),
         c_uv=tuple(z() for _ in pair_indices(nd)),
@@ -104,8 +106,11 @@ def _welford(mean: Array, m2: Array, x: Array, inv_n: Array):
 
 def accumulate(grid: GridSpec, stats: FlowStats, state: State) -> FlowStats:
     """One Welford update from ``state``. Pure; safe inside scan/jit."""
-    n = stats.n + 1.0
-    inv_n = 1.0 / n
+    n = stats.n + 1
+    # The ratio is formed in the field dtype; the int32 count stays exact
+    # (the f32 cast of n loses bits past 2^24 but only perturbs inv_n by
+    # ~1e-7 relative, not the sample count itself).
+    inv_n = 1.0 / n.astype(state.p.dtype)
     uc = interpolate_to_centers(grid, state.u)
     mean_u, m2_u, d1 = [], [], []
     for a, x in enumerate(uc):
@@ -153,7 +158,7 @@ def from_arrays(d: dict, dtype) -> FlowStats:
     nd = sum(1 for k in d if k.startswith("mean_u_"))
     j = lambda k: jnp.asarray(d[k], dtype)  # noqa: E731
     return FlowStats(
-        n=j("n"),
+        n=jnp.asarray(d["n"], jnp.int32),  # f32 in pre-int32 checkpoints
         mean_u=tuple(j(f"mean_u_{a}") for a in range(nd)),
         m2_u=tuple(j(f"m2_u_{a}") for a in range(nd)),
         c_uv=tuple(j(f"c_uv_{i}") for i in range(len(pair_indices(nd)))),

@@ -141,15 +141,23 @@ def cv_terms_nd(grid: GridSpec, state: State, nu: float, box):
     # --- surface terms over the 2*nd box faces ---------------------------
     sf = [jnp.zeros((), grid.dtype) for _ in range(nd)]
 
+    def clamp_cell(i: int, a: int) -> int:
+        """Clamp a cell-centered index along axis a into the domain. Box
+        faces that sit ON a domain boundary read their i-1 neighbors
+        one-sided (the clamped duplicate) instead of wrapping to the far
+        side of the array via Python's negative indexing."""
+        return min(max(i, 0), grid.shape[a] - 1)
+
     def tangential_on_face(b: int, a: int, i: int):
         """Component b (staggered along axis b) averaged onto the plane of
         the face normal to axis a at index i, restricted to the box's
         cells in the other axes: the 4-point average of the surrounding
-        b-faces (2 in axis a x 2 in axis b)."""
+        b-faces (2 in axis a x 2 in axis b); one-sided 2-point at domain
+        boundaries."""
         ub = state.u[b]
         cells = [slice(lo[c], hi[c]) for c in range(nd)]
         vals = 0.0
-        for da in (i - 1, i):
+        for da in (clamp_cell(i - 1, a), clamp_cell(i, a)):
             for off in (0, 1):
                 s = list(cells)
                 s[a] = da
@@ -175,10 +183,11 @@ def cv_terms_nd(grid: GridSpec, state: State, nu: float, box):
                 dua = (up - um) / (2.0 * da)
             else:
                 dua = jnp.zeros_like(uf)
-            # cell-avg pressure on the face plane
-            pm = state.p[tuple(s if c != a else i - 1
+            # cell-avg pressure on the face plane (one-sided at domain
+            # boundaries: both reads clamp to the same interior cell)
+            pm = state.p[tuple(s if c != a else clamp_cell(i - 1, a)
                                for c, s in enumerate(cells))]
-            pp = state.p[tuple(s if c != a else i
+            pp = state.p[tuple(s if c != a else clamp_cell(i, a)
                                for c, s in enumerate(cells))]
             pf = 0.5 * (pm + pp)
             # normal-momentum terms: flux + pressure + viscous
@@ -196,12 +205,14 @@ def cv_terms_nd(grid: GridSpec, state: State, nu: float, box):
                 # hand-rolled stencil exactly)
                 def pair_sum(ia):
                     s0 = list(cells_b)
-                    s0[a] = ia
+                    s0[a] = clamp_cell(ia, a)
                     s1 = list(s0)
                     s0[b] = slice(lo[b], hi[b])
                     s1[b] = slice(lo[b] + 1, hi[b] + 1)
                     return ubc[tuple(s0)] + ubc[tuple(s1)]
 
+                # clamping makes this zero on a domain-boundary face,
+                # matching the dua guard above
                 dvb = (pair_sum(i) - pair_sum(i - 1)) / (2.0 * da)
                 sf[b] = sf[b] + sgn * jnp.sum(vb * uf) * face_area \
                     - sgn * nu * jnp.sum(dvb) * face_area

@@ -31,11 +31,10 @@ def energy_spectrum_2d(grid: GridSpec, u) -> tuple[np.ndarray, np.ndarray]:
     kmag = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
     kmax = min(nx, ny) // 2
     shells = np.arange(1, kmax + 1)
-    E = np.zeros(kmax)
     idx = np.rint(kmag).astype(int)
-    for k in shells:
-        E[k - 1] = e[idx == k].sum()
-    return shells, E
+    # One bincount pass instead of a masked reduction per shell.
+    sums = np.bincount(idx.ravel(), weights=e.ravel(), minlength=kmax + 1)
+    return shells, sums[1:kmax + 1]
 
 
 def energy_spectrum_3d(grid: GridSpec, u) -> tuple[np.ndarray, np.ndarray]:
@@ -55,11 +54,11 @@ def energy_spectrum_3d(grid: GridSpec, u) -> tuple[np.ndarray, np.ndarray]:
                    + ks[2][None, None, :] ** 2)
     kmax = min(n) // 2
     shells = np.arange(1, kmax + 1)
-    E = np.zeros(kmax)
     idx = np.rint(kmag).astype(int)
-    for k in shells:
-        E[k - 1] = e[idx == k].sum()
-    return shells, E
+    # One bincount pass over the volume (a masked reduction per shell is
+    # O(kmax * n^3) -- multi-second host stalls at 256^3).
+    sums = np.bincount(idx.ravel(), weights=e.ravel(), minlength=kmax + 1)
+    return shells, sums[1:kmax + 1]
 
 
 def total_kinetic_energy(grid: GridSpec, u) -> float:

@@ -173,3 +173,25 @@ def test_cli_config_file(tmp_path):
     z = np.load(out / "ckpt.npz")
     assert z["u0"].shape == (13, 12)
     assert int(z["step"]) == 2
+
+
+def test_cli_config_file_with_case_flag(tmp_path):
+    """--case combined with a config file that ALSO names a case: the flag
+    wins and the file's reserved 'case' key must not leak into the case
+    builder kwargs (regression: it crashed with an unexpected-kwarg
+    TypeError)."""
+    import json
+
+    from navierstokessolver_tpu.cli import main
+
+    cfg = tmp_path / "run.json"
+    cfg.write_text(json.dumps({"case": "channel", "shape": [16, 16],
+                               "steps": 2}))
+    out = tmp_path / "o"
+    rc = main(["--config", str(cfg), "--case", "cavity", "--out", str(out),
+               "--checkpoint-every", "2", "--chunk", "2"])
+    assert rc == 0
+    import numpy as np
+
+    z = np.load(out / "ckpt.npz")
+    assert int(z["step"]) == 2
