@@ -90,11 +90,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     choices=["gspmd", "halo"],
                     help="distributed pressure solve: GSPMD auto-collectives "
                          "or the explicit shard_map+ppermute halo ring")
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. cpu, tpu). Set "
+                         "programmatically before first backend use -- works "
+                         "even where JAX_PLATFORMS is overridden by "
+                         "sitecustomize hooks")
     return ap
 
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import jax
     import numpy as np
