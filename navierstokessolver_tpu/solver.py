@@ -238,17 +238,31 @@ class Simulation:
             )
         return jax.lax.with_sharding_constraint(state, sh)
 
-    def _step_dt(self, u):
-        """Per-step dt: fixed, or CFL-limited from the current velocity."""
-        pr = self.params
-        dt = jnp.asarray(pr.dt, self.grid.dtype)
-        if pr.cfl is None:
-            return dt
+    def _vel_inv(self, u):
+        """max_a max|u_a| / h_a -- the CFL reduction over a velocity field.
+        The fused corrector kernels emit exactly this (masked over valid
+        entries) for the NEW velocity, so the fused scan can carry it and
+        never recompute it."""
         h = self.grid.spacing
         inv = jnp.asarray(1e-12, self.grid.dtype)
         for a, comp in enumerate(u):
             inv = jnp.maximum(inv, jnp.max(jnp.abs(comp)) / h[a])
-        return jnp.minimum(dt, pr.cfl / inv)
+        return inv
+
+    def _dt_from_vel(self, vel):
+        """Per-step dt from a precomputed CFL reduction (see _vel_inv)."""
+        pr = self.params
+        dt = jnp.asarray(pr.dt, self.grid.dtype)
+        if pr.cfl is None:
+            return dt
+        floor = jnp.asarray(1e-12, self.grid.dtype)
+        return jnp.minimum(dt, pr.cfl / jnp.maximum(vel, floor))
+
+    def _step_dt(self, u):
+        """Per-step dt: fixed, or CFL-limited from the current velocity."""
+        if self.params.cfl is None:
+            return jnp.asarray(self.params.dt, self.grid.dtype)
+        return self._dt_from_vel(self._vel_inv(u))
 
     def _fused3d_ok(self) -> bool:
         """Fully fused 3D step (predictor+BC+RHS kernel, corrector+diag
@@ -267,10 +281,9 @@ class Simulation:
             return False
         if self.params.integrator != "euler":
             return False
-        if self.params.cfl is not None:
-            # the internal-layout scan carries padded arrays whose garbage
-            # rows would pollute the CFL max-reduction
-            return False
+        # CFL-adaptive dt IS supported: the corrector kernel's masked
+        # max|u_a|/h_a diagnostic (garbage rows excluded) is carried through
+        # the scan and sets the next step's dt -- zero extra passes.
         if (self.forcing is not None or self.face_masks is not None
                 or self.shardings is not None or self.scalar is not None):
             return False
@@ -311,7 +324,7 @@ class Simulation:
         use = self.params.use_pallas
         if not use or self.grid.ndim != 2:
             return False
-        if self.params.integrator != "euler" or self.params.cfl is not None:
+        if self.params.integrator != "euler":
             return False
         if (self.forcing is not None or self.shardings is not None
                 or self.scalar is not None):
@@ -333,14 +346,18 @@ class Simulation:
         return self._fc2d_cache
 
     def _step_fused2d_internal(
-        self, istate: State
-    ) -> tuple[State, StepDiagnostics]:
+        self, istate: State, vel=None
+    ) -> tuple[State, StepDiagnostics, Array]:
         """One fused 2D step over the internal layout (carried across scan
-        iterations; ops/pallas_2d.to_internal_2d)."""
+        iterations; ops/pallas_2d.to_internal_2d). ``vel`` is the CFL
+        reduction max|u_a|/h_a of the CURRENT velocity (carried from the
+        previous corrector's diagnostics, or _vel_inv at scan entry); the
+        third return is the new velocity's, closing the carry loop."""
         from .ops import pallas_2d
 
         g, b, pr = self.grid, self.bcs, self.params
-        dt = jnp.asarray(pr.dt, g.dtype)
+        dt = (self._dt_from_vel(vel) if pr.cfl is not None
+              else jnp.asarray(pr.dt, g.dtype))
         codes, fc = self._face_codes_2d()
         with jax.named_scope("predictor"):
             u_star, rhs = pallas_2d.predictor_rhs_2d_internal(
@@ -369,14 +386,16 @@ class Simulation:
             dt=dt,
         )
         p_prev_new = istate.p if istate.p_prev is not None else None
-        return State(u=iu_new, p=p, p_prev=p_prev_new), diag
+        return State(u=iu_new, p=p, p_prev=p_prev_new), diag, max_vel
 
     def _step_fused2d(self, state: State) -> tuple[State, StepDiagnostics]:
         from .ops import pallas_2d
 
+        vel = (self._vel_inv(state.u) if self.params.cfl is not None
+               else None)
         iu = pallas_2d.to_internal_2d(self.grid, state.u)
-        istate, diag = self._step_fused2d_internal(
-            State(u=iu, p=state.p, p_prev=state.p_prev)
+        istate, diag, _ = self._step_fused2d_internal(
+            State(u=iu, p=state.p, p_prev=state.p_prev), vel
         )
         u0, u1 = pallas_2d.from_internal_2d(self.grid, self.bcs, istate.u)
         return State(u=(u0, u1), p=istate.p, p_prev=istate.p_prev), diag
@@ -411,15 +430,17 @@ class Simulation:
         )
 
     def _step_fused3d_internal(
-        self, istate: State
-    ) -> tuple[State, StepDiagnostics]:
+        self, istate: State, vel=None
+    ) -> tuple[State, StepDiagnostics, Array]:
         """One fused step over the INTERNAL padded layout (carried across
         scan iterations so the per-step pad/slice/concat glue disappears;
-        see ops/pallas_kernels.to_internal_3d)."""
+        see ops/pallas_kernels.to_internal_3d). ``vel``/third return: the
+        carried CFL reduction, as in _step_fused2d_internal."""
         from .ops import pallas_kernels
 
         g, b, pr = self.grid, self.bcs, self.params
-        dt = jnp.asarray(pr.dt, g.dtype)    # fixed dt (cfl gated off)
+        dt = (self._dt_from_vel(vel) if pr.cfl is not None
+              else jnp.asarray(pr.dt, g.dtype))
         with jax.named_scope("predictor"):
             u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
                 g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
@@ -445,16 +466,18 @@ class Simulation:
             dt=dt,
         )
         p_prev_new = istate.p if istate.p_prev is not None else None
-        return State(u=iu_new, p=p, p_prev=p_prev_new), diag
+        return State(u=iu_new, p=p, p_prev=p_prev_new), diag, max_vel
 
     def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
         """Whole-step fused path on exact-layout state: convert to the
         internal layout, run one internal step, convert back."""
         from .ops import pallas_kernels
 
+        vel = (self._vel_inv(state.u) if self.params.cfl is not None
+               else None)
         iu = pallas_kernels.to_internal_3d(self.grid, state.u)
-        istate, diag = self._step_fused3d_internal(
-            State(u=iu, p=state.p, p_prev=state.p_prev)
+        istate, diag, _ = self._step_fused3d_internal(
+            State(u=iu, p=state.p, p_prev=state.p_prev), vel
         )
         u0, u1, u2e, face = pallas_kernels.from_internal_3d(
             self.grid, self.bcs, istate.u
@@ -781,13 +804,24 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         return run_scan_sharded_fused(
             sim, sim.shardings.p.mesh, state, n_steps
         )
+    # CFL-adaptive fused runs: the corrector kernel's masked max|u_a|/h_a
+    # rides the carry and sets the next step's dt (the entry value comes
+    # from one jnp reduction over the exact-layout state, outside the loop).
+    vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
+            else jnp.zeros((), sim.grid.dtype))
     if sim._fused2d_ok():
         from .ops import pallas_2d
 
         iu = pallas_2d.to_internal_2d(sim.grid, state.u)
-        istate, diags = jax.lax.scan(
-            lambda c, _: sim._step_fused2d_internal(c),
-            State(u=iu, p=state.p, p_prev=state.p_prev),
+
+        def body2d(carry, _):
+            st, vel = carry
+            st, diag, vel = sim._step_fused2d_internal(st, vel)
+            return (st, vel), diag
+
+        (istate, _), diags = jax.lax.scan(
+            body2d,
+            (State(u=iu, p=state.p, p_prev=state.p_prev), vel0),
             xs=None, length=n_steps,
         )
         u0, u1 = pallas_2d.from_internal_2d(sim.grid, sim.bcs, istate.u)
@@ -801,9 +835,15 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         from .ops import pallas_kernels
 
         iu = pallas_kernels.to_internal_3d(sim.grid, state.u)
-        istate, diags = jax.lax.scan(
-            lambda c, _: sim._step_fused3d_internal(c),
-            State(u=iu, p=state.p, p_prev=state.p_prev),
+
+        def body3d(carry, _):
+            st, vel = carry
+            st, diag, vel = sim._step_fused3d_internal(st, vel)
+            return (st, vel), diag
+
+        (istate, _), diags = jax.lax.scan(
+            body3d,
+            (State(u=iu, p=state.p, p_prev=state.p_prev), vel0),
             xs=None, length=n_steps,
         )
         u0, u1, u2e, face = pallas_kernels.from_internal_3d(

@@ -236,3 +236,38 @@ def test_fused_gate_plane_bound():
     assert _db_for_plane(264, 256)
     g_big = GridSpec(shape=(8, 1024, 512), lengths=(1.0, 1.0, 1.0))
     assert not fused_step3d_applicable(g_big, no_slip_box(g_big))
+
+
+def test_fused3d_cfl_adaptive_matches_reference():
+    """CFL-adaptive dt through the fused 3D whole-step path (scan-carried
+    corrector max|u_a|/h_a): dt series + trajectory match the jnp path."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cavity3d", shape=(16, 16, 16), re=100.0,
+                     poisson_method="fft")
+    p_ref = dataclasses.replace(case.sim.params, cfl=0.4,
+                                dt=10 * case.sim.params.dt)
+    sim_ref = dataclasses.replace(case.sim, params=p_ref)
+    p_fused = dataclasses.replace(p_ref, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    st = case.initial_state()
+    a, da = sim_ref.run_scan(st, 6)
+    b, db = sim_fused.run_scan(st, 6)
+    dta = np.asarray(da.dt)
+    dtb = np.asarray(db.dt)
+    # step 0 starts from rest (lid velocity lives in ghosts), so the
+    # limiter binds from step 1 on
+    assert np.all(dtb[1:] < p_ref.dt)
+    assert len(np.unique(dtb)) > 1
+    np.testing.assert_allclose(dtb, dta, rtol=3e-5)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=5e-5, atol=5e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=5e-4, atol=5e-5
+    )

@@ -185,3 +185,46 @@ def test_fused2d_sim_matches_reference(name, kwargs):
     np.testing.assert_allclose(
         np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fused2d_cfl_adaptive_matches_reference():
+    """CFL-adaptive dt through the fused 2D path: the corrector kernel's
+    masked max|u_a|/h_a rides the scan carry and sets each step's dt; the
+    per-step dt series and the trajectory match the jnp path, and the CFL
+    limiter actually binds (dt < dt_max)."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cylinder", shape=(64, 32), re=100.0,
+                     poisson_method="mg")
+    # dt_max large so the CFL limit is the active constraint every step
+    p_ref = dataclasses.replace(case.sim.params, cfl=0.3,
+                                dt=10 * case.sim.params.dt)
+    sim_ref = dataclasses.replace(case.sim, params=p_ref)
+    p_fused = dataclasses.replace(p_ref, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused2d_ok()
+
+    st = case.initial_state()
+    a, da = sim_ref.run_scan(st, 8)
+    b, db = sim_fused.run_scan(st, 8)
+    dta = np.asarray(da.dt)
+    dtb = np.asarray(db.dt)
+    assert np.all(dtb < p_ref.dt)            # limiter binds
+    assert len(np.unique(dtb)) > 1           # and adapts across steps
+    np.testing.assert_allclose(dtb, dta, rtol=3e-5)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=5e-5, atol=5e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=5e-4, atol=5e-5
+    )
+
+    # single-step entry agrees too
+    sf, df = sim_fused.step(st)
+    sr, dr = sim_ref.step(st)
+    np.testing.assert_allclose(float(df.dt), float(dr.dt), rtol=1e-6)
