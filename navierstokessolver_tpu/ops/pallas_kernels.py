@@ -1015,12 +1015,13 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
         return False
     if any(periodic_axes(grid, bcs)):
         return False
-    # An axis-0 OUTFLOW face would need the boundary-face copy to cross a
-    # stripe boundary (face n0 copies face n0-1, computed by the previous
-    # stripe); axes 1/2 copies are in-register sublane/lane shifts. Gate it.
-    for side in (0, 1):
-        if bcs[(0, side)].kind is BCKind.OUTFLOW:
-            return False
+    # An axis-0 HI outflow face's cross-stripe zero-gradient copy is
+    # patched by a one-plane post-kernel fixup (see
+    # predictor_rhs_3d_internal / correct_diag_3d_internal); a LO-side
+    # outflow would additionally flip the stripe-0 ghost synthesis and has
+    # no case driving it -- keep it gated.
+    if bcs[(0, 0)].kind is BCKind.OUTFLOW:
+        return False
     return _scalar_bcs_all_axes(bcs)
 
 
@@ -1123,6 +1124,67 @@ def to_internal_3d(grid: GridSpec, u, tile: int = 8):
     )
 
 
+# Obstacle face-code bits (3D port of ops/pallas_2d's uint8 codes): one
+# byte per staggered face, streamed alongside the velocity windows.
+FACE_OPEN_3D = 1    # face not blocked by a solid cell
+CORR_OK_3D = 2      # pressure-gradient correction applied on this face
+
+
+def _code_sublanes(grid: GridSpec) -> int:
+    # uint8 VMEM tiles are (32, 128): pad the sublane (axis-1) extent of
+    # the code volumes to 32 so windows/scratch stay tile-aligned
+    return _round_up(grid.shape[1] + 1, 32)
+
+
+def build_face_codes_3d(grid: GridSpec, face_masks, corr_masks,
+                        tile: int = 8):
+    """(c0, c1, c2) uint8 volumes in the fused-step internal layout, or
+    None when there are no obstacles. Mirrors pallas_2d.build_face_codes:
+    bit 0 = face open (zero the face otherwise), bit 1 = interior face
+    between two fluid cells (pressure correction applied)."""
+    if face_masks is None and corr_masks is None:
+        return None
+    n0, n1, n2 = grid.shape
+    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    SC = _code_sublanes(grid)
+
+    def pack(a):
+        shape = [n0, n1, n2]
+        if a != 2:
+            shape[a] += 1        # comp 2's hi boundary face is lane-elided
+        shape = tuple(shape)
+        open_ = np.ones(shape, bool)
+        if face_masks is not None:
+            fm = np.asarray(face_masks[a], bool)
+            open_ = fm[: shape[0], : shape[1], : shape[2]]
+        # corr_masks cover INTERIOR faces only (bcs.correction_face_masks:
+        # comp a has shape grid.shape - e_a); boundary faces are never
+        # corrected (also enforced by the kernel's BC preservation)
+        corr = np.zeros(shape, bool)
+        idx = [slice(None)] * 3
+        idx[a] = slice(1, grid.shape[a])
+        if corr_masks is None:
+            corr[tuple(idx)] = True
+        else:
+            corr[tuple(idx)] = np.asarray(corr_masks[a], bool)
+        code = (open_.astype(np.uint8) * FACE_OPEN_3D
+                | corr.astype(np.uint8) * CORR_OK_3D)
+        out = np.zeros((RP, SC, L), np.uint8)
+        out[: shape[0], : shape[1], : shape[2]] = code
+        return jnp.asarray(out)
+
+    return pack(0), pack(1), pack(2)
+
+
+def pad_fluid_code_3d(grid: GridSpec, code, tile: int = 8):
+    """ops/poisson stencil code (uint8, cells) -> internal layout (the
+    RHS/divergence fluid mask rides its FLUID_BIT)."""
+    n0, n1, n2 = grid.shape
+    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    SC = _code_sublanes(grid)
+    return jnp.pad(code, [(0, RP - n0), (0, SC - n1), (0, L - n2)])
+
+
 def from_internal_3d(grid: GridSpec, bcs: BCTable, iu):
     """Internal layout -> exact face arrays (re-attaching comp 2's elided
     boundary face from its BC spec)."""
@@ -1140,10 +1202,10 @@ def from_internal_3d(grid: GridSpec, bcs: BCTable, iu):
 
 
 def _fused_pred_kernel(
-    sc_ref, u0_hbm, u1_hbm, u2_hbm, out0, out1, out2, rhs_ref,
-    s0, s1, s2, sems, sg0, sg1, sg2, gsems,
-    *, T: int, n: tuple, h: tuple, nu: float, gamma: float,
+    sc_ref, u0_hbm, u1_hbm, u2_hbm, *rest,
+    T: int, n: tuple, h: tuple, nu: float, gamma: float,
     tg: dict, own: dict, RP: int, halo: bool = False, db: bool = True,
+    masked: bool = False,
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
@@ -1161,6 +1223,13 @@ def _fused_pred_kernel(
     averages M_t. Rows beyond n0(+1) hold finite garbage that never reaches
     a kept output; the margin stripe (i == G) zero-fills.
     """
+    if masked:
+        (c0_hbm, c1_hbm, c2_hbm, fc_hbm, out0, out1, out2, rhs_ref,
+         s0, s1, s2, sems, sg0, sg1, sg2, gsems,
+         cs0, cs1, cs2, cfs, csems) = rest
+    else:
+        (out0, out1, out2, rhs_ref,
+         s0, s1, s2, sems, sg0, sg1, sg2, gsems) = rest
     i = pl.program_id(0)
     n0, n1, n2 = n
     # halo mode (sharded whole-step; parallel/fused_sharded.py): n0 is the
@@ -1186,7 +1255,7 @@ def _fused_pred_kernel(
 
     def _dma(j, ph):
         st = jnp.clip(j * T - 1, 0, RP - R3)
-        return [
+        cps = [
             pltpu.make_async_copy(
                 ref.at[pl.ds(st, R3)],
                 scr.at[pl.ds(ph * R3, R3)],
@@ -1194,6 +1263,22 @@ def _fused_pred_kernel(
             )
             for k, (ref, scr) in enumerate(zip(refs, scrs))
         ]
+        if masked:
+            # code windows align to OUTPUT rows [jT, jT+T+1): masks apply
+            # to kept faces only, no halo rows needed
+            stc = jnp.minimum(j * T, RP - (T + 1))
+            cps += [
+                pltpu.make_async_copy(
+                    ref.at[pl.ds(stc, T + 1)],
+                    scr.at[pl.ds(ph * (T + 1), T + 1)],
+                    csems.at[ph, k],
+                )
+                for k, (ref, scr) in enumerate(
+                    zip((c0_hbm, c1_hbm, c2_hbm, fc_hbm),
+                        (cs0, cs1, cs2, cfs))
+                )
+            ]
+        return cps
 
     if db:
         @pl.when(i == 0)
@@ -1409,6 +1494,18 @@ def _fused_pred_kernel(
                 star = jnp.where(l_i == 0, v_lo, star)   # face n2 elided
             stars.append(star)
 
+        if masked:
+            # obstacle faces: zero closed faces AFTER the BC writes (the
+            # jnp path's apply_velocity_bcs order; boundary faces stay
+            # open unless solid touches the wall)
+            offc = phase * (T + 1)
+            cw = [scr[pl.ds(offc, T + 1)] for scr in (cs0, cs1, cs2)]
+            stars[0] = jnp.where(
+                (cw[0][:, :SOUT[0]] & FACE_OPEN_3D) != 0, stars[0], 0.0)
+            stars[1] = jnp.where(
+                (cw[1][:T, :SOUT[1]] & FACE_OPEN_3D) != 0, stars[1], 0.0)
+            stars[2] = jnp.where(
+                (cw[2][:T, :SOUT[2]] & FACE_OPEN_3D) != 0, stars[2], 0.0)
         out0[...] = stars[0][:T]
         out1[...] = stars[1]
         out2[...] = stars[2]
@@ -1419,7 +1516,13 @@ def _fused_pred_kernel(
             * (1.0 / h[1])
         d2 = (_shift_fix(stars[2], 2, 1, own2_hi_fix()) - stars[2]) \
             * (1.0 / h[2])
-        rhs_ref[...] = (d0[:, :S_RHS] + d1 + d2[:, :S_RHS]) * rho_over_dt
+        rhs = (d0[:, :S_RHS] + d1 + d2[:, :S_RHS]) * rho_over_dt
+        if masked:
+            fw = cfs[pl.ds(phase * (T + 1), T + 1)]
+            rhs = jnp.where(
+                (fw[:T, :S_RHS] & (1 << 6)) != 0, rhs, 0.0
+            )  # bit 6 = ops/poisson FLUID_BIT
+        rhs_ref[...] = rhs
 
     @pl.when(i == 0)
     def _stripe0():
@@ -1460,6 +1563,8 @@ def predictor_rhs_3d_internal(
     halo: bool = False,
     edge_flags=None,
     db: Optional[bool] = None,
+    face_codes=None,
+    fluid_code=None,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
     internal-layout u* and the exact-shaped rhs.
@@ -1468,7 +1573,10 @@ def predictor_rhs_3d_internal(
     ``iu`` the halo-mode layout (ghost slots filled), ``edge_flags`` the
     (is_first, is_last) traced 0/1 scalars. ``db`` selects double-buffered
     input windows (None = auto by plane footprint; see
-    :func:`_db_for_plane`)."""
+    :func:`_db_for_plane`). ``face_codes``/``fluid_code``
+    (build_face_codes_3d / pad_fluid_code_3d) enable obstacle masking.
+    An axis-0 HI outflow face is handled by a post-kernel one-plane fixup
+    (the in-stripe copy cannot reach the previous stripe's row)."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
     if halo:
@@ -1478,20 +1586,43 @@ def predictor_rhs_3d_internal(
     if db is None:
         db = _db_for_plane(S1, L)
     nb = 2 if db else 1
+    masked = face_codes is not None
 
     tg, own = _ghost_tables(grid, bcs)
-    parts = [
-        jnp.asarray(dt, jnp.float32),
-        jnp.asarray(rho, jnp.float32) / jnp.asarray(dt, jnp.float32),
-    ]
+    rho_over_dt = jnp.asarray(rho, jnp.float32) / jnp.asarray(dt, jnp.float32)
+    parts = [jnp.asarray(dt, jnp.float32), rho_over_dt]
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
     sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own, RP=RP, halo=halo, db=db,
+        tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked,
     )
+    scratch = [
+        pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
+        pltpu.VMEM((nb * (T + 3), S1, L), jnp.float32),
+        pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.VMEM((1, S0, L), jnp.float32),
+        pltpu.VMEM((1, S1, L), jnp.float32),
+        pltpu.VMEM((1, S0, L), jnp.float32),
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    args = (sc, iu[0], iu[1], iu[2])
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
+        [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    if masked:
+        SC = _code_sublanes(grid)
+        args += (face_codes[0], face_codes[1], face_codes[2], fluid_code)
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        scratch += [
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
     out0, out1, out2, rhs = pl.pallas_call(
         kern,
         out_shape=[
@@ -1501,34 +1632,41 @@ def predictor_rhs_3d_internal(
             jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
         ],
         grid=(G + 1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, S1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, S0, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
-            pltpu.VMEM((nb * (T + 3), S1, L), jnp.float32),
-            pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.VMEM((1, S0, L), jnp.float32),
-            pltpu.VMEM((1, S1, L), jnp.float32),
-            pltpu.VMEM((1, S0, L), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sc, iu[0], iu[1], iu[2])
-    return (out0, out1, out2), rhs[:n0, :n1, :n2]
+    )(*args)
+    rhs = rhs[:n0, :n1, :n2]
+    if not halo and own[(0, 1)][0] == "copy":
+        # axis-0 HI outflow: the zero-gradient copy u*[n0] = u*[n0-1]
+        # crosses a stripe boundary, so it (and the rhs plane it feeds) is
+        # patched here -- one plane of work per step. d0 at cell row n0-1
+        # is exactly zero after the copy.
+        plane = jax.lax.dynamic_slice_in_dim(out0, n0 - 1, 1, axis=0)
+        out0 = jax.lax.dynamic_update_slice_in_dim(out0, plane, n0, axis=0)
+        u1p = out1[n0 - 1]
+        d1 = (u1p[1:n1 + 1, :n2] - u1p[:n1, :n2]) * (1.0 / h[1])
+        u2v = out2[n0 - 1][:n1, :n2]
+        spec2 = own[(2, 1)]
+        hi2 = (u2v[:, n2 - 1:n2] if spec2[0] == "copy"
+               else jnp.full((n1, 1), spec2[1], u2v.dtype))
+        d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
+            * (1.0 / h[2])
+        plane_rhs = (d1 + d2) * rho_over_dt
+        if masked:
+            fl = ((fluid_code[n0 - 1, :n1, :n2] >> 6) & 1)
+            plane_rhs = plane_rhs * fl.astype(plane_rhs.dtype)
+        rhs = rhs.at[n0 - 1].set(plane_rhs)
+    return (out0, out1, out2), rhs
 
 
 def predictor_rhs_3d(
@@ -1553,11 +1691,9 @@ def predictor_rhs_3d(
 
 
 def _fused_corr_kernel(
-    sc_ref, u0_hbm, u1_hbm, u2_hbm, p_hbm,
-    out0, out1, out2, divmax_ref, velmax_ref,
-    s0, s1, s2, sp, sems,
-    *, T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
-    db: bool = True,
+    sc_ref, u0_hbm, u1_hbm, u2_hbm, p_hbm, *rest,
+    T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
+    db: bool = True, masked: bool = False, hi0_copy: bool = False,
 ):
     """One axis-0 stripe of the projection corrector + step diagnostics,
     internal layout in AND out (row r <-> global row r).
@@ -1569,6 +1705,13 @@ def _fused_corr_kernel(
     Diagnostics mask the garbage rows/sublanes/lanes beyond the physical
     extents. The margin stripe (j == G) zero-fills.
     """
+    if masked:
+        (c0_hbm, c1_hbm, c2_hbm, fc_hbm,
+         out0, out1, out2, divmax_ref, velmax_ref,
+         s0, s1, s2, sp, sems, cs0, cs1, cs2, cfs, csems) = rest
+    else:
+        (out0, out1, out2, divmax_ref, velmax_ref,
+         s0, s1, s2, sp, sems) = rest
     j = pl.program_id(0)
     n0, n1, n2 = n
     # halo mode: n0 = local B; u* row B holds the exchanged shared-face
@@ -1586,7 +1729,7 @@ def _fused_corr_kernel(
         st = jnp.minimum(jj * T, RP - T)
         stp = jj * T                     # p is padded to (G+1)*T + 2 rows
         starts = (st0, st, st, stp)
-        return [
+        cps = [
             pltpu.make_async_copy(
                 ref.at[pl.ds(starts[k], H[k])],
                 scr.at[pl.ds(ph * H[k], H[k])],
@@ -1596,6 +1739,19 @@ def _fused_corr_kernel(
                 zip((u0_hbm, u1_hbm, u2_hbm, p_hbm), (s0, s1, s2, sp))
             )
         ]
+        if masked:
+            cps += [
+                pltpu.make_async_copy(
+                    ref.at[pl.ds(st0, T + 1)],
+                    scr.at[pl.ds(ph * (T + 1), T + 1)],
+                    csems.at[ph, k],
+                )
+                for k, (ref, scr) in enumerate(
+                    zip((c0_hbm, c1_hbm, c2_hbm, fc_hbm),
+                        (cs0, cs1, cs2, cfs))
+                )
+            ]
+        return cps
 
     if db:
         @pl.when(j == 0)
@@ -1626,10 +1782,22 @@ def _fused_corr_kernel(
         pw = sp[pl.ds(phase * (T + 2), T + 2)]
         S0 = u0s.shape[1]
         pc = pw[1:T + 1]                     # p at cell rows [jT, jT+T)
+        if masked:
+            offc = phase * (T + 1)
+            c0w = cs0[pl.ds(offc, T + 1)]
+            c1w = cs1[pl.ds(offc, T + 1)]
+            c2w = cs2[pl.ds(offc, T + 1)]
+            fw = cfs[pl.ds(offc, T + 1)]
 
         # comp 0: faces rows [jT, jT+T+1), interior corrected with dp/dx0
         g0 = (pw[1:T + 2] - pw[:T + 1]) * (1.0 / h[0])
         u0n = u0s - scale * g0
+        if masked:
+            # only faces between two fluid cells are corrected (solid
+            # cells carry a dummy p that must not leak); boundary faces
+            # have no CORR bit, so BC preservation falls out too
+            u0n = jnp.where(
+                (c0w[:, :S0] & CORR_OK_3D) != 0, u0n, u0s)
         grow = _ax_iota(u0n.shape, 0) + j * T
         if halo:
             u0n = jnp.where(
@@ -1643,6 +1811,9 @@ def _fused_corr_kernel(
         g1 = (pc - _shift_fix(pc, 1, -1, None)) * (1.0 / h[1])
         g1 = jnp.pad(g1, [(0, 0), (0, u1s.shape[1] - g1.shape[1]), (0, 0)])
         u1n = u1s - scale * g1
+        if masked:
+            u1n = jnp.where(
+                (c1w[:T, :u1n.shape[1]] & CORR_OK_3D) != 0, u1n, u1s)
         s_i = _ax_iota(u1n.shape, 1)
         v1_lo = _shift_fix(u1n, 1, 1, None) if own[(1, 0)][0] == "copy" else u1s
         v1_hi = _shift_fix(u1n, 1, -1, None) if own[(1, 1)][0] == "copy" else u1s
@@ -1651,6 +1822,9 @@ def _fused_corr_kernel(
         # comp 2 (lane-elided): faces 0..n2-1
         g2 = (pc - _shift_fix(pc, 2, -1, None)) * (1.0 / h[2])
         u2n = u2s - scale * g2
+        if masked:
+            u2n = jnp.where(
+                (c2w[:T, :u2n.shape[1]] & CORR_OK_3D) != 0, u2n, u2s)
         l_i = _ax_iota(u2n.shape, 2)
         v2_lo = _shift_fix(u2n, 2, 1, None) if own[(2, 0)][0] == "copy" else u2s
         u2n = jnp.where(l_i == 0, v2_lo, u2n)
@@ -1663,18 +1837,22 @@ def _fused_corr_kernel(
         zr = jnp.zeros((), u0n.dtype)
         # (halo mode: data stripes only cover valid rows [0, B); the row
         # bound is only live unsharded, the sublane/lane bounds in both.)
-        u0n = jnp.where(
-            (_ax_iota(u0n.shape, 0) + j * T <= n0)
-            & (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
-            u0n, zr)
-        u1n = jnp.where(
-            (_ax_iota(u1n.shape, 0) + j * T < n0)
-            & (s_i <= n1) & (_ax_iota(u1n.shape, 2) < n2),
-            u1n, zr)
-        u2n = jnp.where(
-            (_ax_iota(u2n.shape, 0) + j * T < n0)
-            & (_ax_iota(u2n.shape, 1) < n1) & (l_i < n2),
-            u2n, zr)
+        keep0 = ((_ax_iota(u0n.shape, 0) + j * T <= n0)
+                 & (_ax_iota(u0n.shape, 1) < n1)
+                 & (_ax_iota(u0n.shape, 2) < n2))
+        keep1 = ((_ax_iota(u1n.shape, 0) + j * T < n0)
+                 & (s_i <= n1) & (_ax_iota(u1n.shape, 2) < n2))
+        keep2 = ((_ax_iota(u2n.shape, 0) + j * T < n0)
+                 & (_ax_iota(u2n.shape, 1) < n1) & (l_i < n2))
+        if masked:
+            # obstacle faces: re-zero closed faces (the correction gate
+            # preserved u*'s zeros, but outflow copies could repopulate)
+            keep0 = keep0 & ((c0w[:, :u0n.shape[1]] & FACE_OPEN_3D) != 0)
+            keep1 = keep1 & ((c1w[:T, :u1n.shape[1]] & FACE_OPEN_3D) != 0)
+            keep2 = keep2 & ((c2w[:T, :u2n.shape[1]] & FACE_OPEN_3D) != 0)
+        u0n = jnp.where(keep0, u0n, zr)
+        u1n = jnp.where(keep1, u1n, zr)
+        u2n = jnp.where(keep2, u2n, zr)
 
         out0[...] = u0n[:T]
         out1[...] = u1n
@@ -1689,7 +1867,13 @@ def _fused_corr_kernel(
         r_c = _ax_iota(dd.shape, 0) + j * T
         s_c = _ax_iota(dd.shape, 1)
         l_c = _ax_iota(dd.shape, 2)
-        valid = (r_c < n0) & (s_c < n1) & (l_c < n2)
+        # hi0_copy (axis-0 HI outflow): cell row n0-1's divergence uses
+        # face row n0, which only gets its zero-gradient copy in the
+        # post-kernel fixup -- exclude it here, the wrapper maxes it in
+        valid = (r_c < (n0 - 1 if hi0_copy else n0)) \
+            & (s_c < n1) & (l_c < n2)
+        if masked:
+            valid = valid & ((fw[:T, :dd.shape[1]] & (1 << 6)) != 0)
         divm = jnp.max(jnp.where(valid, jnp.abs(dd), 0.0))
         if halo:
             # the shared face row B is counted by the shard that owns it
@@ -1697,7 +1881,9 @@ def _fused_corr_kernel(
             # B is the domain-boundary face
             lim0 = jnp.where(is_last, n0 + 1, n0)
         else:
-            lim0 = n0 + 1
+            # hi0_copy: face row n0 duplicates row n0-1 after the fixup --
+            # its in-kernel (pre-fixup) value must not enter the max
+            lim0 = n0 if hi0_copy else n0 + 1
         vel = jnp.max(jnp.where(
             (_ax_iota(u0n.shape, 0) + j * T < lim0)
             & (_ax_iota(u0n.shape, 1) < n1) & (_ax_iota(u0n.shape, 2) < n2),
@@ -1734,13 +1920,17 @@ def correct_diag_3d_internal(
     edge_flags=None,
     pp=None,
     db: Optional[bool] = None,
+    face_codes=None,
+    fluid_code=None,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
     internal-layout u_new plus (max |div u|, max_a |u_a|/h_a).
 
     ``halo=True``: local-block mode; ``pp`` must be the pre-built padded
     pressure with ppermute ghost rows at [0] and [B+1]. ``db``: see
-    :func:`predictor_rhs_3d_internal`."""
+    :func:`predictor_rhs_3d_internal`. ``face_codes``/``fluid_code``
+    enable obstacle masking; an axis-0 HI outflow face is patched
+    post-kernel (one plane: copy + its divergence row)."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
     if halo:
@@ -1750,19 +1940,42 @@ def correct_diag_3d_internal(
     if db is None:
         db = _db_for_plane(S1, L)
     nb = 2 if db else 1
+    masked = face_codes is not None
 
     u0p, u1p, u2p = u_star_internal
     if pp is None:
         pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, S0 - n1), (0, L - n2)])
     _, own = _ghost_tables(grid, bcs)
+    hi0_copy = (not halo) and own[(0, 1)][0] == "copy"
     parts = [jnp.asarray(scale, jnp.float32)]
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
     sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
-        halo=halo, db=db,
+        halo=halo, db=db, masked=masked, hi0_copy=hi0_copy,
     )
+    scratch = [
+        pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),
+        pltpu.VMEM((nb * T, S1, L), jnp.float32),
+        pltpu.VMEM((nb * T, S0, L), jnp.float32),
+        pltpu.VMEM((nb * (T + 2), S0, L), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+    args = (sc, u0p, u1p, u2p, pp)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
+        [pl.BlockSpec(memory_space=pl.ANY)] * 4
+    if masked:
+        SC = _code_sublanes(grid)
+        args += (face_codes[0], face_codes[1], face_codes[2], fluid_code)
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        scratch += [
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
     out0, out1, out2, divp, velp = pl.pallas_call(
         kern,
         out_shape=[
@@ -1773,13 +1986,7 @@ def correct_diag_3d_internal(
             jax.ShapeDtypeStruct((G + 1, 8, 128), jnp.float32),
         ],
         grid=(G + 1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((T, S0, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, S1, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
@@ -1787,19 +1994,33 @@ def correct_diag_3d_internal(
             pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),
-            pltpu.VMEM((nb * T, S1, L), jnp.float32),
-            pltpu.VMEM((nb * T, S0, L), jnp.float32),
-            pltpu.VMEM((nb * (T + 2), S0, L), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sc, u0p, u1p, u2p, pp)
-    return (out0, out1, out2), jnp.max(divp), jnp.max(velp)
+    )(*args)
+    divm = jnp.max(divp)
+    velm = jnp.max(velp)
+    if hi0_copy:
+        # zero-gradient copy of the CORRECTED inner face onto face row n0,
+        # then the excluded divergence plane (cell row n0-1; d0 = 0 there)
+        plane = jax.lax.dynamic_slice_in_dim(out0, n0 - 1, 1, axis=0)
+        out0 = jax.lax.dynamic_update_slice_in_dim(out0, plane, n0, axis=0)
+        u1pl = out1[n0 - 1]
+        d1 = (u1pl[1:n1 + 1, :n2] - u1pl[:n1, :n2]) * (1.0 / h[1])
+        u2v = out2[n0 - 1][:n1, :n2]
+        spec2 = own[(2, 1)]
+        hi2 = (u2v[:, n2 - 1:n2] if spec2[0] == "copy"
+               else jnp.full((n1, 1), spec2[1], u2v.dtype))
+        d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
+            * (1.0 / h[2])
+        dplane = d1 + d2
+        if masked:
+            fl = ((fluid_code[n0 - 1, :n1, :n2] >> 6) & 1)
+            dplane = dplane * fl.astype(dplane.dtype)
+        divm = jnp.maximum(divm, jnp.max(jnp.abs(dplane)))
+    return (out0, out1, out2), divm, velm
 
 
 def correct_diag_3d(

@@ -284,7 +284,9 @@ class Simulation:
         # CFL-adaptive dt IS supported: the corrector kernel's masked
         # max|u_a|/h_a diagnostic (garbage rows excluded) is carried through
         # the scan and sets the next step's dt -- zero extra passes.
-        if (self.forcing is not None or self.face_masks is not None
+        # Obstacles are supported too: uint8 face codes stream alongside
+        # the velocity windows (see pallas_kernels.build_face_codes_3d).
+        if (self.forcing is not None
                 or self.shardings is not None or self.scalar is not None):
             return False
         from .ops import pallas_kernels
@@ -344,6 +346,18 @@ class Simulation:
                   if codes is not None else None)
             object.__setattr__(self, "_fc2d_cache", (codes, fc))
         return self._fc2d_cache
+
+    def _face_codes_3d(self):
+        from .ops import pallas_kernels
+
+        if not hasattr(self, "_fc3d_cache"):
+            codes = pallas_kernels.build_face_codes_3d(
+                self.grid, self.face_masks, self.corr_masks
+            )
+            fc = (pallas_kernels.pad_fluid_code_3d(self.grid, self.op.code)
+                  if codes is not None else None)
+            object.__setattr__(self, "_fc3d_cache", (codes, fc))
+        return self._fc3d_cache
 
     def _step_fused2d_internal(
         self, istate: State, vel=None
@@ -441,10 +455,12 @@ class Simulation:
         g, b, pr = self.grid, self.bcs, self.params
         dt = (self._dt_from_vel(vel) if pr.cfl is not None
               else jnp.asarray(pr.dt, g.dtype))
+        codes, fcode = self._face_codes_3d()
         with jax.named_scope("predictor"):
             u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
                 g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
                 interpret=self.pallas_interpret,
+                face_codes=codes, fluid_code=fcode,
             )
         with jax.named_scope("poisson"):
             beta = pr.poisson.extrapolate
@@ -457,6 +473,7 @@ class Simulation:
             iu_new, max_div, max_vel = pallas_kernels.correct_diag_3d_internal(
                 g, b, u_star, p, dt / pr.rho,
                 interpret=self.pallas_interpret,
+                face_codes=codes, fluid_code=fcode,
             )
         diag = StepDiagnostics(
             poisson_iters=iters,
@@ -664,6 +681,8 @@ class Simulation:
             # build the uint8 face codes EAGERLY (from concrete masks) and
             # thread them as traced args like every other per-cell array
             c["fc2d"] = self._face_codes_2d()
+        if self._fused3d_ok():
+            c["fc3d"] = self._face_codes_3d()
         if self.dct_solver is not None:
             c["inv_eig"] = self.dct_solver.inv_eig
         if self.dctcg_solver is not None:
@@ -707,6 +726,8 @@ class Simulation:
         )
         if "fc2d" in c:
             object.__setattr__(bound, "_fc2d_cache", c["fc2d"])
+        if "fc3d" in c:
+            object.__setattr__(bound, "_fc3d_cache", c["fc3d"])
         return bound
 
     def run_scan(self, state: State, n_steps: int) -> tuple[State, StepDiagnostics]:

@@ -122,10 +122,14 @@ def test_fused_gating():
     g = GridSpec(shape=(8, 8, 8), lengths=(1.0, 1.0, 1.0))
     bcs = no_slip_box(g)
     assert fused_step3d_applicable(g, bcs)
-    # axis-0 outflow crosses stripe boundaries -> gated off
+    # axis-0 HI outflow: supported via the one-plane post-kernel fixup
     bcs_o = dict(bcs)
     bcs_o[(0, 1)] = BCSpec.outflow()
-    assert not fused_step3d_applicable(g, bcs_o)
+    assert fused_step3d_applicable(g, bcs_o)
+    # ... but a LO-side outflow stays gated (stripe-0 ghost synthesis)
+    bcs_ol = dict(bcs)
+    bcs_ol[(0, 0)] = BCSpec.outflow()
+    assert not fused_step3d_applicable(g, bcs_ol)
     # non-scalar BC profile -> gated off
     bcs_p = dict(bcs)
     prof = jnp.ones((8, 8), jnp.float32)
@@ -270,4 +274,95 @@ def test_fused3d_cfl_adaptive_matches_reference():
         )
     np.testing.assert_allclose(
         np.asarray(b.p), np.asarray(a.p), rtol=5e-4, atol=5e-5
+    )
+
+
+def test_fused3d_axis0_outflow_matches_reference():
+    """Axis-0 HI outflow (inflow -> outflow duct, no obstacle) through the
+    fused whole-step path: the cross-stripe zero-gradient copy and its
+    divergence plane are patched post-kernel; trajectory matches jnp."""
+    from navierstokessolver_tpu.solver import SimParams, PoissonConfig, \
+        Simulation
+
+    g = GridSpec(shape=(16, 8, 8), lengths=(2.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.inflow((1.0, 0.0, 0.0))
+    bcs[(0, 1)] = BCSpec.outflow()
+    bcs[(1, 0)] = BCSpec.slip()
+    bcs[(1, 1)] = BCSpec.slip()
+    params = SimParams(dt=2e-3, nu=0.02, poisson=PoissonConfig(
+        method="mg", tol=1e-6, max_iters=400))
+    sim_ref = Simulation.build(g, bcs, params)
+    p_fused = dataclasses.replace(params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        Simulation.build(g, bcs, p_fused), pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    st = _mk_state(g, bcs, seed=3)
+    from navierstokessolver_tpu.grid import State
+
+    st = State(u=st, p=jnp.zeros(g.shape, jnp.float32))
+    a, da = sim_ref.run_scan(st, 6)
+    b, db_ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(db_.max_div[-1]), float(da.max_div[-1]), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(db_.max_cfl[-1]), float(da.max_cfl[-1]), rtol=1e-3, atol=1e-8
+    )
+
+
+def test_fused3d_sphere_obstacle_matches_reference():
+    """Obstacle masks through the fused 3D path (sphere: inflow + axis-0
+    outflow + interior solid): uint8 face codes stream alongside the
+    velocity windows; velocities/pressure/diagnostics match the jnp path."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("sphere", shape=(16, 16, 16), lengths=(8.0, 8.0, 8.0),
+                     center=(2.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg")
+    sim_ref = case.sim
+    assert sim_ref.face_masks is not None      # the mask actually bites
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+    assert not sim_ref._fused3d_ok()
+
+    st = case.initial_state()
+    sr, sf = st, st
+    for _ in range(4):
+        sr, dr = sim_ref.step(sr)
+        sf, df = sim_fused.step(sf)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(sf.u[c]), np.asarray(sr.u[c]), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(sf.p), np.asarray(sr.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(df.max_div), float(dr.max_div), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(float(df.max_cfl), float(dr.max_cfl),
+                               rtol=1e-3, atol=1e-8)
+
+    # run_scan (internal layout carried, codes threaded via _consts)
+    a, _ = sim_ref.run_scan(st, 4)
+    b, _ = sim_fused.run_scan(st, 4)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
     )
