@@ -1013,8 +1013,11 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
     n1, n2 = grid.shape[1], grid.shape[2]
     if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 272 * 1024:
         return False
-    if any(periodic_axes(grid, bcs)):
-        return False
+    # Periodic axes are supported in-kernel: axes 1/2 by wrap reads
+    # (_shift_wrap: plain rolls when the tile padding vanishes, patched
+    # rolls otherwise), axis 0 by the halo-mode lo-ghost slot (row RP-1,
+    # refreshed per step from row n0-1) + refreshed hi-ghost data rows and
+    # a one-plane post-kernel dup/rhs fixup in the predictor wrapper.
     # An axis-0 HI outflow face's cross-stripe zero-gradient copy is
     # patched by a one-plane post-kernel fixup (see
     # predictor_rhs_3d_internal / correct_diag_3d_internal); a LO-side
@@ -1046,6 +1049,8 @@ def _own_face_spec(bcs: BCTable, a: int, side: int):
     bc = bcs[(a, side)]
     if bc.kind is BCKind.OUTFLOW:
         return ("copy",)
+    if bc.kind is BCKind.PERIODIC:
+        return ("wrap",)
     return ("d", _scalar_bc(bcs, (a, side), a, 3))
 
 
@@ -1063,6 +1068,30 @@ def _shift_fix(x, axis: int, sh: int, fix):
         return r
     edge, alpha, beta = fix
     return jnp.where(_ax_iota(x.shape, axis) == edge, alpha * x + beta, r)
+
+
+def _shift_wrap(x, axis: int, sh: int, n: int):
+    """Periodic neighbor at index (k+sh) mod ``n`` along ``axis`` for an
+    array whose VALID extent there is ``n`` (tile padding beyond). When the
+    padded size equals ``n`` a plain roll IS the wrap (production shapes:
+    n2 % 128 == 0, n1 % 8 == 0); otherwise the vacated edge position is
+    patched with the true wrap value via a second roll (|sh| == 1 only).
+    Positions >= n keep roll garbage -- they only feed masked/overwritten
+    outputs."""
+    r = jnp.roll(x, -sh, axis=axis)
+    if x.shape[axis] == n:
+        return r
+    assert sh in (-1, 1), sh
+    if sh == 1:
+        # position n-1 <- x[0]
+        return jnp.where(
+            _ax_iota(x.shape, axis) == n - 1,
+            jnp.roll(x, n - 1, axis=axis), r,
+        )
+    # position 0 <- x[n-1]
+    return jnp.where(
+        _ax_iota(x.shape, axis) == 0, jnp.roll(x, 1 - n, axis=axis), r
+    )
 
 
 def _db_for_plane(s: int, lanes: int) -> bool:
@@ -1196,6 +1225,8 @@ def from_internal_3d(grid: GridSpec, bcs: BCTable, iu):
     spec = _own_face_spec(bcs, 2, 1)
     if spec[0] == "copy":
         face = u2e[:, :, n2 - 1:n2]
+    elif spec[0] == "wrap":
+        face = u2e[:, :, 0:1]          # periodic duplicate face n2 == face 0
     else:
         face = jnp.full((n0, n1, 1), spec[1], u2e.dtype)
     return u0, u1, u2e, face
@@ -1205,10 +1236,17 @@ def _fused_pred_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, *rest,
     T: int, n: tuple, h: tuple, nu: float, gamma: float,
     tg: dict, own: dict, RP: int, halo: bool = False, db: bool = True,
-    masked: bool = False,
+    masked: bool = False, per: tuple = (False, False, False),
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
+
+    ``per``: periodic axes. Axes 1/2 wrap in-register (_shift_wrap); a
+    periodic axis 0 reuses the halo-mode lo-ghost slot (input row RP-1 =
+    global row n0-1, refreshed by the wrapper) and reads the hi ghosts
+    from the refreshed data rows n0 (cell comps) / the carried duplicate
+    face row n0 (comp 0); the dup face output and its rhs plane are
+    patched post-kernel by the wrapper.
 
     v3 layout: input/output row r <-> global row r, sublane j <-> index j
     (no aprons) -- kernel B's outputs feed this kernel directly across scan
@@ -1294,7 +1332,7 @@ def _fused_pred_kernel(
         for cp in _dma(i, 0):
             cp.start()
 
-    if halo:
+    if halo or per[0]:
         gcopies = [
             pltpu.make_async_copy(
                 ref.at[pl.ds(RP - 1, 1)], scr, gsems.at[k]
@@ -1328,9 +1366,10 @@ def _fused_pred_kernel(
     def body(ro: int):
         # hi-side axis-0 ghost rows for comps 1/2 (global row n0), written
         # into the scratch window once; static row index per branch.
-        # (halo mode: the hi ghosts are DATA rows B, B+1 -- nothing to write.)
+        # (halo mode / periodic axis 0: the hi ghosts are DATA rows --
+        # neighbor halos, resp. wrapper-refreshed wrap rows.)
         hi_row = n0 - i_star * T + ro
-        if not halo and (i_star == 0) == (ro == 0):
+        if not (halo or per[0]) and (i_star == 0) == (ro == 0):
             def _write_hi():
                 for a, scr in ((1, s1), (2, s2)):
                     ah, bh = tg[(a, 0, 1)]
@@ -1357,8 +1396,9 @@ def _fused_pred_kernel(
                 # stripe 0, d = -1: global row -1 ghost via roll + fix
                 r = jnp.roll(w, 1, axis=0)[0:rows, :S]
                 rows_i = _ax_iota(r.shape, 0)
-                if halo:
-                    # the lo ghost row (global kB-1) is real data at RP-1
+                if halo or per[0]:
+                    # the lo ghost row (global kB-1 / wrap row n0-1) is
+                    # real data at RP-1
                     g_scr = (sg0, sg1, sg2)[a]
                     return jnp.where(rows_i == 0, g_scr[0:1, :S], r)
                 if a == 0:
@@ -1368,12 +1408,18 @@ def _fused_pred_kernel(
                 return jnp.where(rows_i == 0, al * c + bl, r)
             c = w[ro:ro + rows, :S]
             if ax == 1:
+                if per[1]:
+                    # n1 distinct faces/cells for every component (comp 1's
+                    # in-array face n1 is the maintained duplicate)
+                    return _shift_wrap(c, 1, d, n1)
                 if a == 1:
                     return _shift_fix(c, 1, d, None)   # faces in-array
                 al, bl = tg[(a, 1, 0)]
                 ah, bh = tg[(a, 1, 1)]
                 fix = (0, al, bl) if d < 0 else (n1 - 1, ah, bh)
                 return _shift_fix(c, 1, d, fix)
+            if per[2]:
+                return _shift_wrap(c, 2, d, n2)
             if a == 2:
                 if d < 0:
                     return _shift_fix(c, 2, d, None)
@@ -1388,7 +1434,9 @@ def _fused_pred_kernel(
         M0 = 0.5 * (wins[0][0:T + 2] + wins[0][1:T + 3])
         W1 = wins[1].shape[1] - 1
         M1 = 0.5 * (wins[1][:, 0:W1] + wins[1][:, 1:1 + W1])
-        M2 = 0.5 * (wins[2] + _shift_fix(wins[2], 2, 1, own2_hi_fix()))
+        hi2 = (_shift_wrap(wins[2], 2, 1, n2) if per[2]
+               else _shift_fix(wins[2], 2, 1, own2_hi_fix()))
+        M2 = 0.5 * (wins[2] + hi2)
 
         def bavg(a, t, rows):
             m = (M0, M1, M2)[t]
@@ -1402,16 +1450,18 @@ def _fused_pred_kernel(
                 hi = m[ro:ro + rows, :S]
                 if ro == 0:
                     lo = jnp.roll(m, 1, axis=0)[0:rows, :S]  # feeds face 0
-                    if halo:
-                        # M_t at cell kB-1 from the comp-t lo ghost row
+                    if halo or per[0]:
+                        # M_t at cell kB-1 (wrap: n0-1) from the comp-t lo
+                        # ghost row
                         if t == 1:
                             gW = sg1.shape[1] - 1
                             m_m1 = 0.5 * (sg1[0:1, 0:gW] + sg1[0:1, 1:1 + gW])
                         else:
-                            m_m1 = 0.5 * (
-                                sg2[0:1]
-                                + _shift_fix(sg2[0:1], 2, 1, own2_hi_fix())
-                            )
+                            g_hi = (_shift_wrap(sg2[0:1], 2, 1, n2)
+                                    if per[2]
+                                    else _shift_fix(sg2[0:1], 2, 1,
+                                                    own2_hi_fix()))
+                            m_m1 = 0.5 * (sg2[0:1] + g_hi)
                         if m_m1.shape[1] < S:
                             m_m1 = jnp.pad(
                                 m_m1, [(0, 0), (0, S - m_m1.shape[1]), (0, 0)]
@@ -1425,7 +1475,11 @@ def _fused_pred_kernel(
             mc = m[ro:ro + T, :S]
             if a == 1:
                 # faces s: cells s-1, s (sublane shift; wrap feeds face 0)
+                if per[1]:
+                    return 0.5 * (_shift_wrap(mc, 1, -1, n1) + mc)
                 return 0.5 * (_shift_fix(mc, 1, -1, None) + mc)
+            if per[2]:
+                return 0.5 * (_shift_wrap(mc, 2, -1, n2) + mc)
             return 0.5 * (_shift_fix(mc, 2, -1, None) + mc)
 
         stars = []
@@ -1460,34 +1514,45 @@ def _fused_pred_kernel(
             star = c0 + dt * (nu * lap - adv)
 
             # in-kernel BC application to the component's boundary faces
+            # (periodic own axis: face 0 is COMPUTED from wrap reads; the
+            # duplicate face -- sublane n1 for comp 1, row n0 for comp 0
+            # (post-kernel), elided for comp 2 -- mirrors it)
             lo, hi = own[(a, 0)], own[(a, 1)]
             if a == 0:
-                g = _ax_iota(star.shape, 0) + i * T
-                v_lo = jnp.roll(star, -1, axis=0) if lo[0] == "copy" else lo[1]
-                v_hi = jnp.roll(star, 1, axis=0) if hi[0] == "copy" else hi[1]
-                if halo:
-                    # face 0 / face B(=n0, in-register only: the divergence
-                    # epilogue needs the shared/BC face value, the OUTPUT is
-                    # trimmed to rows [0, B)) are boundary faces only on the
-                    # edge shards
-                    star = jnp.where(
-                        (g == 0) & is_first, v_lo,
-                        jnp.where((g == n0) & is_last, v_hi, star),
-                    )
-                else:
-                    star = jnp.where(
-                        g == 0, v_lo, jnp.where(g == n0, v_hi, star)
-                    )
+                if not per[0]:
+                    g = _ax_iota(star.shape, 0) + i * T
+                    v_lo = (jnp.roll(star, -1, axis=0)
+                            if lo[0] == "copy" else lo[1])
+                    v_hi = (jnp.roll(star, 1, axis=0)
+                            if hi[0] == "copy" else hi[1])
+                    if halo:
+                        # face 0 / face B(=n0, in-register only: the
+                        # divergence epilogue needs the shared/BC face
+                        # value, the OUTPUT is trimmed to rows [0, B)) are
+                        # boundary faces only on the edge shards
+                        star = jnp.where(
+                            (g == 0) & is_first, v_lo,
+                            jnp.where((g == n0) & is_last, v_hi, star),
+                        )
+                    else:
+                        star = jnp.where(
+                            g == 0, v_lo, jnp.where(g == n0, v_hi, star)
+                        )
             elif a == 1:
                 s_i = _ax_iota(star.shape, 1)
-                v_lo = (_shift_fix(star, 1, 1, None)
-                        if lo[0] == "copy" else lo[1])
-                v_hi = (_shift_fix(star, 1, -1, None)
-                        if hi[0] == "copy" else hi[1])
-                star = jnp.where(
-                    s_i == 0, v_lo, jnp.where(s_i == n1, v_hi, star)
-                )
-            else:
+                if per[1]:
+                    star = jnp.where(
+                        s_i == n1, jnp.roll(star, n1, axis=1), star
+                    )
+                else:
+                    v_lo = (_shift_fix(star, 1, 1, None)
+                            if lo[0] == "copy" else lo[1])
+                    v_hi = (_shift_fix(star, 1, -1, None)
+                            if hi[0] == "copy" else hi[1])
+                    star = jnp.where(
+                        s_i == 0, v_lo, jnp.where(s_i == n1, v_hi, star)
+                    )
+            elif not per[2]:
                 l_i = _ax_iota(star.shape, 2)
                 v_lo = (_shift_fix(star, 2, 1, None)
                         if lo[0] == "copy" else lo[1])
@@ -1510,12 +1575,16 @@ def _fused_pred_kernel(
         out1[...] = stars[1]
         out2[...] = stars[2]
 
-        # divergence epilogue on the BC-correct in-register u*
+        # divergence epilogue on the BC-correct in-register u* (per[1]:
+        # cell n1-1 reads the just-written duplicate face at sublane n1;
+        # per[0]: the cell-n0-1 plane is recomputed post-kernel with the
+        # dup face)
         d0 = (stars[0][1:T + 1] - stars[0][:T]) * (1.0 / h[0])
         d1 = (_shift_fix(stars[1], 1, 1, None) - stars[1])[:, :S_RHS] \
             * (1.0 / h[1])
-        d2 = (_shift_fix(stars[2], 2, 1, own2_hi_fix()) - stars[2]) \
-            * (1.0 / h[2])
+        s2hi = (_shift_wrap(stars[2], 2, 1, n2) if per[2]
+                else _shift_fix(stars[2], 2, 1, own2_hi_fix()))
+        d2 = (s2hi - stars[2]) * (1.0 / h[2])
         rhs = (d0[:, :S_RHS] + d1 + d2[:, :S_RHS]) * rho_over_dt
         if masked:
             fw = cfs[pl.ds(phase * (T + 1), T + 1)]
@@ -1577,6 +1646,8 @@ def predictor_rhs_3d_internal(
     (build_face_codes_3d / pad_fluid_code_3d) enable obstacle masking.
     An axis-0 HI outflow face is handled by a post-kernel one-plane fixup
     (the in-stripe copy cannot reach the previous stripe's row)."""
+    from ..bcs import periodic_axes
+
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
     if halo:
@@ -1587,6 +1658,23 @@ def predictor_rhs_3d_internal(
         db = _db_for_plane(S1, L)
     nb = 2 if db else 1
     masked = face_codes is not None
+    per = tuple(periodic_axes(grid, bcs))
+    assert not (halo and per[0]), "sharded periodic axis 0 not supported"
+    assert not (masked and any(per)), "obstacles + periodic not supported"
+
+    if per[0]:
+        # refresh the axis-0 wrap ghost rows in the carried input layout:
+        # hi ghost row n0 := row 0 (cell-centered comps; comp 0's row n0 is
+        # the carried duplicate face), lo ghost row RP-1 := row n0-1.
+        # Plane-sized updates -- XLA updates the dead carry in place.
+        upd = jax.lax.dynamic_update_slice_in_dim
+        iu0, iu1, iu2 = iu
+        iu1 = upd(iu1, iu1[0:1], n0, axis=0)
+        iu2 = upd(iu2, iu2[0:1], n0, axis=0)
+        iu0 = upd(iu0, iu0[n0 - 1:n0], RP - 1, axis=0)
+        iu1 = upd(iu1, iu1[n0 - 1:n0], RP - 1, axis=0)
+        iu2 = upd(iu2, iu2[n0 - 1:n0], RP - 1, axis=0)
+        iu = (iu0, iu1, iu2)
 
     tg, own = _ghost_tables(grid, bcs)
     rho_over_dt = jnp.asarray(rho, jnp.float32) / jnp.asarray(dt, jnp.float32)
@@ -1597,7 +1685,7 @@ def predictor_rhs_3d_internal(
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked,
+        tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked, per=per,
     )
     scratch = [
         pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
@@ -1646,22 +1734,33 @@ def predictor_rhs_3d_internal(
         interpret=interpret,
     )(*args)
     rhs = rhs[:n0, :n1, :n2]
-    if not halo and own[(0, 1)][0] == "copy":
-        # axis-0 HI outflow: the zero-gradient copy u*[n0] = u*[n0-1]
-        # crosses a stripe boundary, so it (and the rhs plane it feeds) is
-        # patched here -- one plane of work per step. d0 at cell row n0-1
-        # is exactly zero after the copy.
-        plane = jax.lax.dynamic_slice_in_dim(out0, n0 - 1, 1, axis=0)
+    if not halo and (own[(0, 1)][0] == "copy" or per[0]):
+        # axis-0 HI outflow / periodic: the face-n0 value (zero-gradient
+        # copy of face n0-1, resp. the wrap duplicate of face 0) crosses a
+        # stripe boundary, so it and the rhs plane it feeds are patched
+        # here -- one plane of work per step. For outflow, d0 at cell row
+        # n0-1 is exactly zero after the copy; for periodic it is
+        # (u*[0] - u*[n0-1]) / h0.
+        src = 0 if per[0] else n0 - 1
+        plane = jax.lax.dynamic_slice_in_dim(out0, src, 1, axis=0)
         out0 = jax.lax.dynamic_update_slice_in_dim(out0, plane, n0, axis=0)
         u1p = out1[n0 - 1]
         d1 = (u1p[1:n1 + 1, :n2] - u1p[:n1, :n2]) * (1.0 / h[1])
         u2v = out2[n0 - 1][:n1, :n2]
         spec2 = own[(2, 1)]
-        hi2 = (u2v[:, n2 - 1:n2] if spec2[0] == "copy"
-               else jnp.full((n1, 1), spec2[1], u2v.dtype))
+        if spec2[0] == "copy":
+            hi2 = u2v[:, n2 - 1:n2]
+        elif spec2[0] == "wrap":
+            hi2 = u2v[:, 0:1]
+        else:
+            hi2 = jnp.full((n1, 1), spec2[1], u2v.dtype)
         d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
             * (1.0 / h[2])
         plane_rhs = (d1 + d2) * rho_over_dt
+        if per[0]:
+            d0 = (plane[0, :n1, :n2] - out0[n0 - 1, :n1, :n2]) \
+                * (1.0 / h[0])
+            plane_rhs = plane_rhs + d0 * rho_over_dt
         if masked:
             fl = ((fluid_code[n0 - 1, :n1, :n2] >> 6) & 1)
             plane_rhs = plane_rhs * fl.astype(plane_rhs.dtype)
@@ -1694,6 +1793,7 @@ def _fused_corr_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, p_hbm, *rest,
     T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
     db: bool = True, masked: bool = False, hi0_copy: bool = False,
+    per: tuple = (False, False, False),
 ):
     """One axis-0 stripe of the projection corrector + step diagnostics,
     internal layout in AND out (row r <-> global row r).
@@ -1804,30 +1904,48 @@ def _fused_corr_kernel(
                 ((grow == 0) & is_first) | ((grow == n0) & is_last),
                 u0s, u0n,
             )
-        else:
+        elif not per[0]:
             u0n = jnp.where((grow == 0) | (grow == n0), u0s, u0n)
+        # (per[0]: faces 0 AND n0 are corrected with the wrap gradient --
+        # the pressure window's pad rows carry p[n0-1] / p[0], so both get
+        # the identical corrected value.)
 
         # comp 1: boundary faces Dirichlet-preserved or outflow-copied
-        g1 = (pc - _shift_fix(pc, 1, -1, None)) * (1.0 / h[1])
+        # (periodic: face 0 corrected with the wrap gradient, face n1 is
+        # the mirrored duplicate)
+        pc1m = (_shift_wrap(pc, 1, -1, n1) if per[1]
+                else _shift_fix(pc, 1, -1, None))
+        g1 = (pc - pc1m) * (1.0 / h[1])
         g1 = jnp.pad(g1, [(0, 0), (0, u1s.shape[1] - g1.shape[1]), (0, 0)])
         u1n = u1s - scale * g1
         if masked:
             u1n = jnp.where(
                 (c1w[:T, :u1n.shape[1]] & CORR_OK_3D) != 0, u1n, u1s)
         s_i = _ax_iota(u1n.shape, 1)
-        v1_lo = _shift_fix(u1n, 1, 1, None) if own[(1, 0)][0] == "copy" else u1s
-        v1_hi = _shift_fix(u1n, 1, -1, None) if own[(1, 1)][0] == "copy" else u1s
-        u1n = jnp.where(s_i == 0, v1_lo, jnp.where(s_i == n1, v1_hi, u1n))
+        if per[1]:
+            u1n = jnp.where(s_i == n1, jnp.roll(u1n, n1, axis=1), u1n)
+        else:
+            v1_lo = (_shift_fix(u1n, 1, 1, None)
+                     if own[(1, 0)][0] == "copy" else u1s)
+            v1_hi = (_shift_fix(u1n, 1, -1, None)
+                     if own[(1, 1)][0] == "copy" else u1s)
+            u1n = jnp.where(
+                s_i == 0, v1_lo, jnp.where(s_i == n1, v1_hi, u1n)
+            )
 
         # comp 2 (lane-elided): faces 0..n2-1
-        g2 = (pc - _shift_fix(pc, 2, -1, None)) * (1.0 / h[2])
+        pc2m = (_shift_wrap(pc, 2, -1, n2) if per[2]
+                else _shift_fix(pc, 2, -1, None))
+        g2 = (pc - pc2m) * (1.0 / h[2])
         u2n = u2s - scale * g2
         if masked:
             u2n = jnp.where(
                 (c2w[:T, :u2n.shape[1]] & CORR_OK_3D) != 0, u2n, u2s)
         l_i = _ax_iota(u2n.shape, 2)
-        v2_lo = _shift_fix(u2n, 2, 1, None) if own[(2, 0)][0] == "copy" else u2s
-        u2n = jnp.where(l_i == 0, v2_lo, u2n)
+        if not per[2]:
+            v2_lo = (_shift_fix(u2n, 2, 1, None)
+                     if own[(2, 0)][0] == "copy" else u2s)
+            u2n = jnp.where(l_i == 0, v2_lo, u2n)
 
         # Scan-carried pad regions must stay identically zero: the next
         # step's predictor re-evolves whatever is here through the nonlinear
@@ -1859,11 +1977,16 @@ def _fused_corr_kernel(
         out2[...] = u2n
 
         # diagnostics over the valid physical region only
-        spec = own[(2, 1)]
-        fix = (n2 - 1, 1.0, 0.0) if spec[0] == "copy" else (n2 - 1, 0.0, spec[1])
+        if per[2]:
+            u2hi = _shift_wrap(u2n, 2, 1, n2)
+        else:
+            spec = own[(2, 1)]
+            fix = ((n2 - 1, 1.0, 0.0) if spec[0] == "copy"
+                   else (n2 - 1, 0.0, spec[1]))
+            u2hi = _shift_fix(u2n, 2, 1, fix)
         dd = (u0n[1:T + 1] - u0n[:T]) * (1.0 / h[0]) \
             + (_shift_fix(u1n, 1, 1, None) - u1n)[:, :S0] * (1.0 / h[1]) \
-            + (_shift_fix(u2n, 2, 1, fix) - u2n) * (1.0 / h[2])
+            + (u2hi - u2n) * (1.0 / h[2])
         r_c = _ax_iota(dd.shape, 0) + j * T
         s_c = _ax_iota(dd.shape, 1)
         l_c = _ax_iota(dd.shape, 2)
@@ -1942,9 +2065,22 @@ def correct_diag_3d_internal(
     nb = 2 if db else 1
     masked = face_codes is not None
 
+    from ..bcs import periodic_axes
+
+    per = tuple(periodic_axes(grid, bcs))
+    assert not (halo and per[0]), "sharded periodic axis 0 not supported"
+    assert not (masked and any(per)), "obstacles + periodic not supported"
     u0p, u1p, u2p = u_star_internal
     if pp is None:
         pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, S0 - n1), (0, L - n2)])
+        if per[0]:
+            # wrap-pad the pressure rows: pad row 0 <-> global row -1 =
+            # p[n0-1]; pad row n0+1 <-> global row n0 = p[0]. Both axis-0
+            # boundary faces then receive the identical wrap-gradient
+            # correction in-kernel (face n0 is the duplicate of face 0).
+            upd = jax.lax.dynamic_update_slice_in_dim
+            pp = upd(pp, pp[n0:n0 + 1], 0, axis=0)
+            pp = upd(pp, pp[1:2], n0 + 1, axis=0)
     _, own = _ghost_tables(grid, bcs)
     hi0_copy = (not halo) and own[(0, 1)][0] == "copy"
     parts = [jnp.asarray(scale, jnp.float32)]
@@ -1953,7 +2089,7 @@ def correct_diag_3d_internal(
     sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
-        halo=halo, db=db, masked=masked, hi0_copy=hi0_copy,
+        halo=halo, db=db, masked=masked, hi0_copy=hi0_copy, per=per,
     )
     scratch = [
         pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),
@@ -2011,8 +2147,12 @@ def correct_diag_3d_internal(
         d1 = (u1pl[1:n1 + 1, :n2] - u1pl[:n1, :n2]) * (1.0 / h[1])
         u2v = out2[n0 - 1][:n1, :n2]
         spec2 = own[(2, 1)]
-        hi2 = (u2v[:, n2 - 1:n2] if spec2[0] == "copy"
-               else jnp.full((n1, 1), spec2[1], u2v.dtype))
+        if spec2[0] == "copy":
+            hi2 = u2v[:, n2 - 1:n2]
+        elif spec2[0] == "wrap":
+            hi2 = u2v[:, 0:1]
+        else:
+            hi2 = jnp.full((n1, 1), spec2[1], u2v.dtype)
         d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
             * (1.0 / h[2])
         dplane = d1 + d2

@@ -51,6 +51,13 @@ def fused_step3d_sharded_applicable(
     b = grid.shape[0] // n_dev
     if b < 8:
         return False  # degenerate slabs: ghost machinery dominates
+    from ..bcs import periodic_axes
+
+    if periodic_axes(grid, bcs)[0]:
+        # a periodic sharded axis needs wraparound ghost rings in the
+        # per-step ppermute refresh -- not wired yet (axes 1/2 periodic
+        # compose fine: they wrap within each shard)
+        return False
     return pk.fused_step3d_applicable(grid, bcs)
 
 
@@ -111,6 +118,8 @@ def from_internal_halo(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
     spec2 = pk._own_face_spec(bcs, 2, 1)
     if spec2[0] == "copy":
         face2 = u2e[:, :, n2 - 1:n2]
+    elif spec2[0] == "wrap":
+        face2 = u2e[:, :, 0:1]       # periodic duplicate face n2 == face 0
     else:
         face2 = jnp.full((n0, n1, 1), spec2[1], u2e.dtype)
     u2 = jnp.concatenate([u2e, face2], axis=2)

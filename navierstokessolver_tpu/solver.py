@@ -266,10 +266,10 @@ class Simulation:
 
     def _fused3d_ok(self) -> bool:
         """Fully fused 3D step (predictor+BC+RHS kernel, corrector+diag
-        kernel): unsharded 3D float32, scalar BCs, no obstacles/forcing/
-        periodic axes. Relies on the state invariant that boundary faces
-        carry BC values (initial_state and the corrector kernel maintain
-        it), so the per-step entry BC pass disappears too."""
+        kernel): unsharded 3D float32, scalar BCs, no forcing/scalar.
+        Relies on the state invariant that boundary faces carry BC values
+        (initial_state and the corrector kernel maintain it), so the
+        per-step entry BC pass disappears too."""
         use = self.params.use_pallas
         if use is None:
             use = (
@@ -286,8 +286,13 @@ class Simulation:
         # the scan and sets the next step's dt -- zero extra passes.
         # Obstacles are supported too: uint8 face codes stream alongside
         # the velocity windows (see pallas_kernels.build_face_codes_3d).
+        # Periodic axes are supported (in-kernel wraps + axis-0 ghost-row
+        # refresh) -- but not COMBINED with obstacle masks.
         if (self.forcing is not None
                 or self.shardings is not None or self.scalar is not None):
+            return False
+        if ((self.face_masks is not None or self.corr_masks is not None)
+                and any(bcs_mod.periodic_axes(self.grid, self.bcs))):
             return False
         from .ops import pallas_kernels
 

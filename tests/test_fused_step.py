@@ -16,6 +16,7 @@ from navierstokessolver_tpu.bcs import (
     BCSpec,
     apply_velocity_bcs,
     no_slip_box,
+    periodic_axes,
 )
 from navierstokessolver_tpu.ops import stencils
 from navierstokessolver_tpu.ops.pallas_kernels import (
@@ -70,7 +71,7 @@ def _check(g, bcs, dt=1e-3, nu=0.02, gamma=0.0, rho=1.3):
         g, bcs, (o0, o1, o2), p, scale, tile=8, interpret=True
     )
     un_ref = stencils.correct_velocity(
-        g, ustar_ref, p, scale, None, (False,) * 3
+        g, ustar_ref, p, scale, None, periodic_axes(g, bcs)
     )
     if any(bcs[(a, s)].kind is BCKind.OUTFLOW
            for a in range(3) for s in (0, 1)):
@@ -116,6 +117,93 @@ def test_fused_outflow_axis1():
     bcs = no_slip_box(g)
     bcs[(1, 1)] = BCSpec.outflow()
     _check(g, bcs)
+
+
+def test_fused_periodic_all_axes():
+    """Fully periodic box (Taylor-Green topology): every axis wraps --
+    axis 0 via the refreshed ghost rows + dup-face fixup, axes 1/2 via
+    patched in-register rolls (tile padding on both here)."""
+    g = GridSpec(shape=(12, 6, 10), lengths=(1.0, 0.5, 0.8))
+    bcs = {(a, s): BCSpec.periodic() for a in range(3) for s in (0, 1)}
+    _check(g, bcs, gamma=0.3)
+
+
+def test_fused_periodic_axis0():
+    """Streamwise-periodic channel topology: periodic axis 0, walls + a
+    moving lid transverse."""
+    g = GridSpec(shape=(16, 8, 12), lengths=(2.0, 1.0, 1.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.periodic()
+    bcs[(0, 1)] = BCSpec.periodic()
+    bcs[(2, 1)] = BCSpec.wall((0.5, 0.2, 0.0))
+    _check(g, bcs, gamma=0.5)
+
+
+def test_fused_periodic_axis1():
+    g = GridSpec(shape=(16, 12, 8), lengths=(1.0, 1.0, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(1, 0)] = BCSpec.periodic()
+    bcs[(1, 1)] = BCSpec.periodic()
+    bcs[(0, 0)] = BCSpec.inflow((0.7, 0.0, 0.0))
+    _check(g, bcs, gamma=0.4)
+
+
+def test_fused_periodic_axis2_with_outflow():
+    """Spanwise-periodic lanes composed with the axis-0 HI outflow
+    post-kernel fixup (the cylinder-with-periodic-span topology)."""
+    g = GridSpec(shape=(16, 8, 12), lengths=(2.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(2, 0)] = BCSpec.periodic()
+    bcs[(2, 1)] = BCSpec.periodic()
+    bcs[(0, 0)] = BCSpec.inflow((1.0, 0.0, 0.0))
+    bcs[(0, 1)] = BCSpec.outflow()
+    bcs[(1, 0)] = BCSpec.slip()
+    bcs[(1, 1)] = BCSpec.slip()
+    _check(g, bcs, gamma=0.2)
+
+
+def test_fused_periodic_unpadded_fastpath():
+    """n1 % 8 == 0 and n2 % 128 == 0: the wrap reads reduce to plain rolls
+    (the production-shape fast path inside _shift_wrap)."""
+    g = GridSpec(shape=(8, 8, 128), lengths=(1.0, 1.0, 4.0))
+    bcs = no_slip_box(g)
+    for a in (1, 2):
+        bcs[(a, 0)] = BCSpec.periodic()
+        bcs[(a, 1)] = BCSpec.periodic()
+    bcs[(0, 1)] = BCSpec.wall((0.0, 0.4, 0.6))
+    _check(g, bcs, gamma=0.3)
+
+
+def test_fused3d_taylor_green_matches_reference():
+    """Whole-sim parity on the fully periodic taylor_green3d case: the
+    fused whole-step path (interpret mode) tracks the jnp path through
+    run_scan, including the circulant spectral pressure solve."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("taylor_green3d", shape=(16, 16, 16), re=200.0)
+    sim_ref = case.sim
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    st = case.initial_state()
+    a, da = sim_ref.run_scan(st, 6)
+    b, db_ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(db_.max_div[-1]), float(da.max_div[-1]), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(db_.max_cfl[-1]), float(da.max_cfl[-1]), rtol=1e-3, atol=1e-8
+    )
 
 
 def test_fused_gating():
