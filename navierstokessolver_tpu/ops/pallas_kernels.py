@@ -1237,6 +1237,7 @@ def _fused_pred_kernel(
     T: int, n: tuple, h: tuple, nu: float, gamma: float,
     tg: dict, own: dict, RP: int, halo: bool = False, db: bool = True,
     masked: bool = False, per: tuple = (False, False, False),
+    force: tuple = (0.0, 0.0, 0.0),
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
@@ -1511,7 +1512,13 @@ def _fused_pred_kernel(
                 adv = term if adv is None else adv + term
                 lp = (p - 2.0 * c0 + m) * invh2
                 lap = lp if lap is None else lap + lp
-            star = c0 + dt * (nu * lap - adv)
+            rhs_a = nu * lap - adv
+            if force[a]:
+                # static scalar body force (e.g. the channel/duct pressure
+                # -gradient surrogate); boundary faces are overwritten by
+                # the BC writes below, matching the jnp interior-only add
+                rhs_a = rhs_a + force[a]
+            star = c0 + dt * rhs_a
 
             # in-kernel BC application to the component's boundary faces
             # (periodic own axis: face 0 is COMPUTED from wrap reads; the
@@ -1634,9 +1641,14 @@ def predictor_rhs_3d_internal(
     db: Optional[bool] = None,
     face_codes=None,
     fluid_code=None,
+    forcing=None,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
     internal-layout u* and the exact-shaped rhs.
+
+    ``forcing``: optional per-component STATIC scalar body force (the
+    channel/duct constant pressure-gradient surrogate); array forcing
+    (e.g. Boussinesq buoyancy) stays on the jnp path.
 
     ``halo=True`` (parallel/fused_sharded.py): ``grid`` is the LOCAL block,
     ``iu`` the halo-mode layout (ghost slots filled), ``edge_flags`` the
@@ -1682,10 +1694,16 @@ def predictor_rhs_3d_internal(
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
     sc = jnp.stack(parts)
+    force = (0.0, 0.0, 0.0)
+    if forcing is not None:
+        force = tuple(
+            0.0 if f is None else float(f) for f in forcing
+        )
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
         tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked, per=per,
+        force=force,
     )
     scratch = [
         pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
@@ -1779,13 +1797,15 @@ def predictor_rhs_3d(
     tile: int = 8,
     interpret: bool = False,
     db: Optional[bool] = None,
+    forcing=None,
 ) -> tuple[tuple[Array, Array, Array], Array]:
     """Exact-layout entry point: pads to the internal layout, runs the
     fused kernel. ``u_star`` comes back internal (row r <-> global face/cell
     row r; comp 2 lane-elided) for :func:`correct_diag_3d`."""
     iu = to_internal_3d(grid, u, tile)
     return predictor_rhs_3d_internal(
-        grid, bcs, iu, dt, nu, upwind_gamma, rho, tile, interpret, db=db
+        grid, bcs, iu, dt, nu, upwind_gamma, rho, tile, interpret, db=db,
+        forcing=forcing,
     )
 
 

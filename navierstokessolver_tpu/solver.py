@@ -287,9 +287,12 @@ class Simulation:
         # Obstacles are supported too: uint8 face codes stream alongside
         # the velocity windows (see pallas_kernels.build_face_codes_3d).
         # Periodic axes are supported (in-kernel wraps + axis-0 ghost-row
-        # refresh) -- but not COMBINED with obstacle masks.
-        if (self.forcing is not None
-                or self.shardings is not None or self.scalar is not None):
+        # refresh) -- but not COMBINED with obstacle masks. STATIC scalar
+        # body forcing (channel/duct) is baked into the predictor kernel;
+        # array forcing (buoyancy) stays on the jnp path.
+        if self.shardings is not None or self.scalar is not None:
+            return False
+        if self.forcing is not None and self._static_forcing() is None:
             return False
         if ((self.face_masks is not None or self.corr_masks is not None)
                 and any(bcs_mod.periodic_axes(self.grid, self.bcs))):
@@ -351,6 +354,25 @@ class Simulation:
                   if codes is not None else None)
             object.__setattr__(self, "_fc2d_cache", (codes, fc))
         return self._fc2d_cache
+
+    def _static_forcing(self):
+        """self.forcing as a tuple of Python floats/None, or None when any
+        component is a non-scalar (array) force -- the fused-kernel gate."""
+        if self.forcing is None:
+            return None
+        import numpy as _np
+
+        vals = []
+        for f in self.forcing:
+            if f is None:
+                vals.append(None)
+            elif isinstance(f, (int, float)) or (
+                isinstance(f, _np.ndarray) and f.ndim == 0
+            ):
+                vals.append(float(f))
+            else:
+                return None
+        return tuple(vals)
 
     def _face_codes_3d(self):
         from .ops import pallas_kernels
@@ -466,6 +488,7 @@ class Simulation:
                 g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
                 interpret=self.pallas_interpret,
                 face_codes=codes, fluid_code=fcode,
+                forcing=self._static_forcing(),
             )
         with jax.named_scope("poisson"):
             beta = pr.poisson.extrapolate

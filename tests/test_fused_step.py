@@ -35,16 +35,17 @@ def _mk_state(g, bcs, seed=0):
     return apply_velocity_bcs(g, bcs, u)
 
 
-def _check(g, bcs, dt=1e-3, nu=0.02, gamma=0.0, rho=1.3):
+def _check(g, bcs, dt=1e-3, nu=0.02, gamma=0.0, rho=1.3, forcing=None):
     assert fused_step3d_applicable(g, bcs)
     u = _mk_state(g, bcs)
     n0, n1, n2 = g.shape
     rng = np.random.default_rng(1)
 
     (o0, o1, o2), rhs = predictor_rhs_3d(
-        g, bcs, u, dt, nu, gamma, rho=rho, tile=8, interpret=True
+        g, bcs, u, dt, nu, gamma, rho=rho, tile=8, interpret=True,
+        forcing=forcing,
     )
-    ustar_ref = stencils.predictor(g, bcs, u, dt, nu, gamma, None)
+    ustar_ref = stencils.predictor(g, bcs, u, dt, nu, gamma, forcing)
     ustar_ref = apply_velocity_bcs(g, bcs, ustar_ref)
     rhs_ref = stencils.divergence(g, ustar_ref) * (rho / dt)
 
@@ -172,6 +173,49 @@ def test_fused_periodic_unpadded_fastpath():
         bcs[(a, 1)] = BCSpec.periodic()
     bcs[(0, 1)] = BCSpec.wall((0.0, 0.4, 0.6))
     _check(g, bcs, gamma=0.3)
+
+
+def test_fused_scalar_forcing():
+    """Static scalar body force baked into the predictor kernel (the
+    channel/duct pressure-gradient surrogate), walls all around."""
+    g = GridSpec(shape=(16, 8, 8), lengths=(1.0, 0.5, 0.5))
+    bcs = no_slip_box(g)
+    _check(g, bcs, gamma=0.3, forcing=(0.7, None, -0.2))
+
+
+def test_fused_periodic_forcing_duct():
+    """Periodic axis 0 + scalar forcing: the duct topology."""
+    g = GridSpec(shape=(16, 8, 12), lengths=(2.0, 1.0, 1.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.periodic()
+    bcs[(0, 1)] = BCSpec.periodic()
+    _check(g, bcs, gamma=0.0, forcing=(0.9, None, None))
+
+
+def test_fused3d_duct_matches_reference():
+    """Whole-sim parity on the body-forced periodic duct: the fused path
+    (static forcing + periodic axis 0 + mixed spectral solve) tracks jnp."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("duct_periodic", shape=(16, 8, 8),
+                     lengths=(2.0, 1.0, 1.0))
+    sim_ref = case.sim
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    st = case.initial_state()
+    a, _ = sim_ref.run_scan(st, 6)
+    b, _ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
+    )
 
 
 def test_fused3d_taylor_green_matches_reference():
