@@ -71,16 +71,19 @@ def _own_face_2d(bcs: BCTable, a: int, side: int):
     bc = bcs[(a, side)]
     if bc.kind is BCKind.OUTFLOW:
         return ("copy",)
+    if bc.kind is BCKind.PERIODIC:
+        return ("wrap",)
     return ("d", _scalar_bc(bcs, (a, side), a, 2))
 
 
 def fused_step2d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
-    from ..bcs import periodic_axes
-
     if grid.ndim != 2 or grid.dtype != jnp.float32:
         return False
-    if any(periodic_axes(grid, bcs)):
-        return False
+    # Periodic axes ARE supported: lanes (axis 1) wrap in-register
+    # (_lane_wrap: a plain roll when L == n1), rows (axis 0) read the lo
+    # wrap ghost from a 1-row scratch DMA'd off the refreshed row RP-1 and
+    # the hi ghost from the refreshed data row n0; the u duplicate face and
+    # its rhs plane are patched post-kernel.
     if _tile_2d(grid) < 32:
         return False   # masked-code DMA needs 32-row-aligned stripes
     for a in range(2):
@@ -128,6 +131,8 @@ def from_internal_2d(grid: GridSpec, bcs: BCTable, iu):
     spec = _own_face_2d(bcs, 1, 1)
     if spec[0] == "copy":
         face = vv[:, n1 - 1:n1]
+    elif spec[0] == "wrap":
+        face = vv[:, 0:1]            # periodic duplicate face n1 == face 0
     else:
         face = jnp.full((n0, 1), spec[1], vv.dtype)
     return uu, jnp.concatenate([vv, face], axis=1)
@@ -194,6 +199,23 @@ def _lane_shift(x, sh: int, fix):
     return jnp.where(_lane_iota(x.shape) == edge, alpha * x + beta, r)
 
 
+def _lane_wrap(x, sh: int, n: int):
+    """Periodic lane neighbor at (j+sh) mod ``n`` (valid lane extent n;
+    tile padding beyond). Plain roll when L == n (production shapes);
+    otherwise the vacated edge lane is patched via a second roll."""
+    r = jnp.roll(x, -sh, axis=1)
+    if x.shape[1] == n:
+        return r
+    assert sh in (-1, 1), sh
+    if sh == 1:
+        return jnp.where(
+            _lane_iota(x.shape) == n - 1, jnp.roll(x, n - 1, axis=1), r
+        )
+    return jnp.where(
+        _lane_iota(x.shape) == 0, jnp.roll(x, 1 - n, axis=1), r
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kernel A: predictor + BCs + masks + Poisson RHS
 # ---------------------------------------------------------------------------
@@ -203,10 +225,15 @@ def _pred2d_kernel(
     sc_ref, u_hbm, v_hbm, *rest,
     T: int, n: tuple, h: tuple, nu: float, gamma: float,
     tg: dict, own: dict, RP: int, masked: bool,
+    per: tuple = (False, False), force: tuple = (0.0, 0.0),
 ):
     if masked:
         cu_hbm, cv_hbm, fc_hbm, uo, vo, rhs_ref, us, vs, sems, \
             cu_s, cv_s, fc_s, csems = rest
+    elif per[0]:
+        # periodic rows: +2 one-row lo-ghost scratches (global row n0-1,
+        # DMA'd off the wrapper-refreshed input row RP-1 at stripe 0)
+        uo, vo, rhs_ref, us, vs, sems, ug, vg, gsems = rest
     else:
         uo, vo, rhs_ref, us, vs, sems = rest
     i = pl.program_id(0)
@@ -260,6 +287,21 @@ def _pred2d_kernel(
         for cp in _dma(i * T + (T - 8), i * T + T, 1 - phase):
             cp.start()
 
+    if per[0]:
+        gcopies = [
+            pltpu.make_async_copy(
+                ref.at[pl.ds(RP - 8, 8)], scr, gsems.at[k]
+            )
+            for k, (ref, scr) in enumerate(((u_hbm, ug), (v_hbm, vg)))
+        ]
+
+        @pl.when(i == 0)
+        def _lo_ghost_dma():
+            for cp in gcopies:
+                cp.start()
+            for cp in gcopies:
+                cp.wait()
+
     @pl.when(i < G)
     def _wait():
         for cp in _dma(0, 0, phase):   # starts irrelevant for wait
@@ -274,6 +316,12 @@ def _pred2d_kernel(
         if spec_v_hi[0] == "copy":
             return (n1 - 1, 1.0, 0.0)
         return (n1 - 1, 0.0, spec_v_hi[1])
+
+    def lane_hi(x):
+        """v-face hi neighbor across lanes: wrap (periodic) or the
+        elided-face ghost fix."""
+        return (_lane_wrap(x, +1, n1) if per[1]
+                else _lane_shift(x, +1, v_hi_fix()))
 
     def body(ro: int, lo_extra: int):
         """Window row (off + w) <-> global row (i*T + w - ro). Stars are
@@ -290,16 +338,22 @@ def _pred2d_kernel(
             if s < 0:
                 # stripe 0 reaching global row -1: roll + tangential ghost
                 r = jnp.roll(w, 1, axis=0)[0:rows]
+                ri = _row_iota(r.shape)
+                if per[0]:
+                    # true wrap row n0-1 from the lo-ghost scratch (last
+                    # row of the 8-aligned fetch off input row RP-1)
+                    g_scr = (ug, vg)[a]
+                    return jnp.where(ri == 0, g_scr[7:8], r)
                 if a == 0:
                     return r      # only feeds face 0 (BC-overwritten)
                 al, bl = tg[(1, 0, 0)]
                 c = w[0:rows]
-                ri = _row_iota(r.shape)
                 return jnp.where(ri == 0, al * c + bl, r)
             r = w[s:s + rows]
-            if a == 1 and d > 0:
+            if a == 1 and d > 0 and not per[0]:
                 # v's axis-0 hi tangential ghost: reads of (pad) row n0
                 # become ah * v[n0-1] + bh, with v[n0-1] = the center slice
+                # (periodic rows: data row n0 is the refreshed wrap ghost)
                 ah, bh = tg[(1, 0, 1)]
                 c = w[s - 1:s - 1 + rows]
                 gi = _row_iota(r.shape) + i * T - lo_extra + d
@@ -310,15 +364,17 @@ def _pred2d_kernel(
         uc = uw[bu:bu + rows_u]
         u_e = nbr(uw, +1, rows_u, 0)
         u_w = nbr(uw, -1, rows_u, 0)
-        alu, blu = tg[(0, 1, 0)]
-        ahu, bhu = tg[(0, 1, 1)]
-        u_n = _lane_shift(uc, +1, (n1 - 1, ahu, bhu))
-        u_s = _lane_shift(uc, -1, (0, alu, blu))
+        if per[1]:
+            u_n = _lane_wrap(uc, +1, n1)
+            u_s = _lane_wrap(uc, -1, n1)
+        else:
+            alu, blu = tg[(0, 1, 0)]
+            ahu, bhu = tg[(0, 1, 1)]
+            u_n = _lane_shift(uc, +1, (n1 - 1, ahu, bhu))
+            u_s = _lane_shift(uc, -1, (0, alu, blu))
         v_r = nbr(vw, 0, rows_u, 1)
         v_rm = nbr(vw, -1, rows_u, 1)
-        vf = v_hi_fix()
-        vbar = 0.25 * (v_r + v_rm + _lane_shift(v_r, +1, vf)
-                       + _lane_shift(v_rm, +1, vf))
+        vbar = 0.25 * (v_r + v_rm + lane_hi(v_r) + lane_hi(v_rm))
         d0c = (u_e - u_w) * (1.0 / (2 * hx))
         d1c = (u_n - u_s) * (1.0 / (2 * hy))
         if gamma > 0.0:
@@ -332,18 +388,27 @@ def _pred2d_kernel(
             d0, d1 = d0c, d1c
         lap = (u_e - 2 * uc + u_w) * (1.0 / (hx * hx)) + \
               (u_n - 2 * uc + u_s) * (1.0 / (hy * hy))
-        u_star = uc + dt * (nu * lap - (uc * d0 + vbar * d1))
+        rhs_u = nu * lap - (uc * d0 + vbar * d1)
+        if force[0]:
+            rhs_u = rhs_u + force[0]
+        u_star = uc + dt * rhs_u
 
         # ---- v stars ---------------------------------------------------
         vc = vw[bu:bu + rows_v]
         v_e = nbr(vw, +1, rows_v, 1)
         v_w = nbr(vw, -1, rows_v, 1)
-        v_n = _lane_shift(vc, +1, vf)
-        v_s = _lane_shift(vc, -1, None)   # face -1: feeds BC-written face 0
+        v_n = lane_hi(vc)
+        # face -1: wrap (periodic) or garbage feeding the BC-written face 0
+        v_s = (_lane_wrap(vc, -1, n1) if per[1]
+               else _lane_shift(vc, -1, None))
         u_r = nbr(uw, 0, rows_v, 0)
         u_rp = nbr(uw, +1, rows_v, 0)
-        ubar = 0.25 * (u_r + u_rp + _lane_shift(u_r, -1, None)
-                       + _lane_shift(u_rp, -1, None))
+        if per[1]:
+            ubar = 0.25 * (u_r + u_rp + _lane_wrap(u_r, -1, n1)
+                           + _lane_wrap(u_rp, -1, n1))
+        else:
+            ubar = 0.25 * (u_r + u_rp + _lane_shift(u_r, -1, None)
+                           + _lane_shift(u_rp, -1, None))
         e0c = (v_e - v_w) * (1.0 / (2 * hx))
         e1c = (v_n - v_s) * (1.0 / (2 * hy))
         if gamma > 0.0:
@@ -357,21 +422,30 @@ def _pred2d_kernel(
             e0, e1 = e0c, e1c
         lav = (v_e - 2 * vc + v_w) * (1.0 / (hx * hx)) + \
               (v_n - 2 * vc + v_s) * (1.0 / (hy * hy))
-        v_star = vc + dt * (nu * lav - (ubar * e0 + vc * e1))
+        rhs_v = nu * lav - (ubar * e0 + vc * e1)
+        if force[1]:
+            rhs_v = rhs_v + force[1]
+        v_star = vc + dt * rhs_v
 
         # ---- in-register BCs -------------------------------------------
-        gi = _row_iota(u_star.shape) + i * T - lo_extra
-        lo_u, hi_u = own[(0, 0)], own[(0, 1)]
-        vle = (jnp.roll(u_star, -1, axis=0) if lo_u[0] == "copy"
-               else jnp.full_like(u_star, lo_u[1]))
-        vhe = (jnp.roll(u_star, 1, axis=0) if hi_u[0] == "copy"
-               else jnp.full_like(u_star, hi_u[1]))
-        u_star = jnp.where(gi == 0, vle, jnp.where(gi == n0, vhe, u_star))
-        lv = _lane_iota(v_star.shape)
-        v_lo_val = (_lane_shift(v_star, +1, None)
-                    if spec_v_lo[0] == "copy"
-                    else jnp.full_like(v_star, spec_v_lo[1]))
-        v_star = jnp.where(lv == 0, v_lo_val, v_star)
+        # (periodic own axis: face 0 is computed from wrap reads; u's
+        # duplicate face n0 is patched post-kernel, v's is lane-elided)
+        if not per[0]:
+            gi = _row_iota(u_star.shape) + i * T - lo_extra
+            lo_u, hi_u = own[(0, 0)], own[(0, 1)]
+            vle = (jnp.roll(u_star, -1, axis=0) if lo_u[0] == "copy"
+                   else jnp.full_like(u_star, lo_u[1]))
+            vhe = (jnp.roll(u_star, 1, axis=0) if hi_u[0] == "copy"
+                   else jnp.full_like(u_star, hi_u[1]))
+            u_star = jnp.where(
+                gi == 0, vle, jnp.where(gi == n0, vhe, u_star)
+            )
+        if not per[1]:
+            lv = _lane_iota(v_star.shape)
+            v_lo_val = (_lane_shift(v_star, +1, None)
+                        if spec_v_lo[0] == "copy"
+                        else jnp.full_like(v_star, spec_v_lo[1]))
+            v_star = jnp.where(lv == 0, v_lo_val, v_star)
 
         # ---- obstacle face masks + outputs + divergence ---------------
         if masked:
@@ -389,8 +463,7 @@ def _pred2d_kernel(
         uo[...] = u_keep[:T]
         vo[...] = v_keep[:T]
         dd = (u_keep[1:T + 1] - u_keep[:T]) * (1.0 / hx) + \
-             (_lane_shift(v_keep[:T], +1, v_hi_fix()) - v_keep[:T]) \
-             * (1.0 / hy)
+             (lane_hi(v_keep[:T]) - v_keep[:T]) * (1.0 / hy)
         rhs = dd * rho_over_dt
         if masked:
             fc = fc_s[phase][0:T]
@@ -424,13 +497,31 @@ def predictor_rhs_2d_internal(
     fluid_code=None,
     tile: int = 128,
     interpret: bool = False,
+    forcing=None,
 ):
     """Fused u*, v* + rhs over internal-layout inputs. ``face_codes`` /
-    ``fluid_code`` enable the masked (obstacle) variant."""
+    ``fluid_code`` enable the masked (obstacle) variant. ``forcing``:
+    optional per-component STATIC scalar body force."""
+    from ..bcs import periodic_axes
+
     n0, n1 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
     T, G, RP, L = _dims_2d(grid, tile)
     masked = face_codes is not None
+    per = tuple(periodic_axes(grid, bcs))
+    assert not (masked and any(per)), "obstacles + periodic not supported"
+
+    if per[0]:
+        # refresh the axis-0 wrap ghost rows in the carried input layout:
+        # v's hi ghost row n0 := row 0 (u's row n0 is the carried duplicate
+        # face), lo ghost row RP-1 := row n0-1 for both.
+        upd = jax.lax.dynamic_update_slice_in_dim
+        iu0, iu1 = iu
+        iu1 = upd(iu1, iu1[0:1], n0, axis=0)
+        iu0 = upd(iu0, iu0[n0 - 1:n0], RP - 1, axis=0)
+        iu1 = upd(iu1, iu1[n0 - 1:n0], RP - 1, axis=0)
+        iu = (iu0, iu1)
+
     tg = {}
     for c in range(2):
         for ax in range(2):
@@ -443,9 +534,13 @@ def predictor_rhs_2d_internal(
         jnp.asarray(dt, jnp.float32),
         jnp.asarray(rho, jnp.float32) / jnp.asarray(dt, jnp.float32),
     ])
+    rho_over_dt = sc[1]
+    force = (0.0, 0.0)
+    if forcing is not None:
+        force = tuple(0.0 if f is None else float(f) for f in forcing)
     kern = functools.partial(
         _pred2d_kernel, T=T, n=(n0, n1), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own, RP=RP, masked=masked,
+        tg=tg, own=own, RP=RP, masked=masked, per=per, force=force,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
         [pl.BlockSpec(memory_space=pl.ANY)] * (5 if masked else 2)
@@ -460,6 +555,12 @@ def predictor_rhs_2d_internal(
             pltpu.VMEM((2, 2 * T, L), jnp.uint8),
             pltpu.VMEM((2, 2 * T, L), jnp.uint8),
             pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+    elif per[0]:
+        scratch += [
+            pltpu.VMEM((8, L), jnp.float32),
+            pltpu.VMEM((8, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     args = (sc, iu[0], iu[1])
     if masked:
@@ -484,7 +585,27 @@ def predictor_rhs_2d_internal(
         ),
         interpret=interpret,
     )(*args)
-    return (uo, vo), rhs[:n0, :n1]
+    rhs = rhs[:n0, :n1]
+    if per[0]:
+        # u's duplicate face n0 := face 0 (cross-stripe wrap) and the rhs
+        # plane it feeds (cell n0-1): one row of work per step.
+        row = uo[0:1]
+        uo = jax.lax.dynamic_update_slice_in_dim(uo, row, n0, axis=0)
+        du = (row[0, :n1] - uo[n0 - 1, :n1]) * (1.0 / h[0])
+        vrow = vo[n0 - 1, :n1]
+        if per[1]:
+            vhi = jnp.roll(vrow, -1)
+        else:
+            spec = _own_face_2d(bcs, 1, 1)
+            if spec[0] == "copy":
+                vhi = jnp.concatenate([vrow[1:], vrow[n1 - 1:]], axis=0)
+            else:
+                vhi = jnp.concatenate(
+                    [vrow[1:], jnp.full((1,), spec[1], vrow.dtype)], axis=0
+                )
+        dv = (vhi - vrow) * (1.0 / h[1])
+        rhs = rhs.at[n0 - 1].set((du + dv) * rho_over_dt)
+    return (uo, vo), rhs
 
 
 # ---------------------------------------------------------------------------
@@ -495,6 +616,7 @@ def predictor_rhs_2d_internal(
 def _corr2d_kernel(
     sc_ref, u_hbm, v_hbm, p_hbm, *rest,
     T: int, n: tuple, h: tuple, own: dict, RP: int, masked: bool,
+    per: tuple = (False, False),
 ):
     if masked:
         cu_hbm, cv_hbm, fc_hbm, uo, vo, divmax_ref, velmax_ref, \
@@ -560,6 +682,10 @@ def _corr2d_kernel(
             return (n1 - 1, 1.0, 0.0)
         return (n1 - 1, 0.0, spec_v_hi[1])
 
+    def lane_hi(x):
+        return (_lane_wrap(x, +1, n1) if per[1]
+                else _lane_shift(x, +1, v_hi_fix()))
+
     def body(ro: int, lo_extra: int):
         # window row (off+w) <-> global row jT + w - ro for u/v;
         # p window row w <-> global p row jT + w - ro - 1 + ... see DMA:
@@ -586,7 +712,9 @@ def _corr2d_kernel(
         u_n = u_sw - scale * gpx
         v_sw = vw[bu:bu + rows_v]
         pc = pr(0, rows_v)
-        gpy = (pc - _lane_shift(pc, -1, None)) * (1.0 / hy)
+        pcm = (_lane_wrap(pc, -1, n1) if per[1]
+               else _lane_shift(pc, -1, None))
+        gpy = (pc - pcm) * (1.0 / hy)
         v_n = v_sw - scale * gpy
 
         if masked:
@@ -608,16 +736,20 @@ def _corr2d_kernel(
             u_n = jnp.where((cu_al & CORR_OK) != 0, u_n, u_sw)
             v_n = jnp.where((cv_al & CORR_OK) != 0, v_n, v_sw)
 
-        # BC-face preservation / outflow copies
-        gi = _row_iota(u_n.shape) + j * T - lo_extra
-        lo_u, hi_u = own[(0, 0)], own[(0, 1)]
-        vle = (jnp.roll(u_n, -1, axis=0) if lo_u[0] == "copy" else u_sw)
-        vhe = (jnp.roll(u_n, 1, axis=0) if hi_u[0] == "copy" else u_sw)
-        u_n = jnp.where(gi == 0, vle, jnp.where(gi == n0, vhe, u_n))
-        lv = _lane_iota(v_n.shape)
-        v_lo_val = (_lane_shift(v_n, +1, None)
-                    if spec_v_lo[0] == "copy" else v_sw)
-        v_n = jnp.where(lv == 0, v_lo_val, v_n)
+        # BC-face preservation / outflow copies (periodic: every face is
+        # corrected with the wrap gradient -- the pressure window's wrap
+        # pad rows make faces 0 and n0 receive the identical correction)
+        if not per[0]:
+            gi = _row_iota(u_n.shape) + j * T - lo_extra
+            lo_u, hi_u = own[(0, 0)], own[(0, 1)]
+            vle = (jnp.roll(u_n, -1, axis=0) if lo_u[0] == "copy" else u_sw)
+            vhe = (jnp.roll(u_n, 1, axis=0) if hi_u[0] == "copy" else u_sw)
+            u_n = jnp.where(gi == 0, vle, jnp.where(gi == n0, vhe, u_n))
+        if not per[1]:
+            lv = _lane_iota(v_n.shape)
+            v_lo_val = (_lane_shift(v_n, +1, None)
+                        if spec_v_lo[0] == "copy" else v_sw)
+            v_n = jnp.where(lv == 0, v_lo_val, v_n)
 
         if masked:
             u_n = jnp.where((cu_al & FACE_OPEN) != 0, u_n, 0.0)
@@ -636,8 +768,7 @@ def _corr2d_kernel(
         vo[...] = v_keep[:T]
 
         dd = (u_keep[1:T + 1] - u_keep[:T]) * (1.0 / hx) + \
-             (_lane_shift(v_keep[:T], +1, v_hi_fix()) - v_keep[:T]) \
-             * (1.0 / hy)
+             (lane_hi(v_keep[:T]) - v_keep[:T]) * (1.0 / hy)
         # iotas built AT the consumer's shape: a jnp.where over SLICED
         # iotas crashes XLA's TPU lowering (array.h limits check)
         gT = _row_iota(dd.shape) + j * T
@@ -686,18 +817,30 @@ def correct_diag_2d_internal(
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
     internal-layout u_new plus (max |div u| over fluid, max |u_a|/h_a)."""
+    from ..bcs import periodic_axes
+
     n0, n1 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
     T, G, RP, L = _dims_2d(grid, tile)
     masked = face_codes is not None
+    per = tuple(periodic_axes(grid, bcs))
+    assert not (masked and any(per)), "obstacles + periodic not supported"
     own = {(a, s): _own_face_2d(bcs, a, s) for a in range(2) for s in (0, 1)}
     # ONE leading pad row so p window starts can reach row -1
     pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, L - n1)])
+    if per[0]:
+        # wrap-pad the pressure rows: pad row 0 <-> global row -1 =
+        # p[n0-1]; pad row n0+1 <-> global row n0 = p[0] (both axis-0
+        # boundary faces then get the identical wrap correction in-kernel)
+        upd = jax.lax.dynamic_update_slice_in_dim
+        pp = upd(pp, pp[n0:n0 + 1], 0, axis=0)
+        pp = upd(pp, pp[1:2], n0 + 1, axis=0)
     # 2 entries: a length-1 SMEM operand trips an XLA windowing check here
     sc = jnp.stack([jnp.asarray(scale, jnp.float32),
                     jnp.zeros((), jnp.float32)])
     kern = functools.partial(
         _corr2d_kernel, T=T, n=(n0, n1), h=h, own=own, RP=RP, masked=masked,
+        per=per,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
         [pl.BlockSpec(memory_space=pl.ANY)] * (6 if masked else 3)

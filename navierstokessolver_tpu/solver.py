@@ -328,16 +328,21 @@ class Simulation:
 
     def _fused2d_ok(self) -> bool:
         """Fused 2D whole-step (ops/pallas_2d.py): unsharded 2D float32
-        euler runs, obstacles and outflow INCLUDED (unlike 3D). Gated to
-        explicit use_pallas=True until the TPU win is measured; flip the
-        auto default then."""
+        euler runs, obstacles and outflow INCLUDED. Periodic axes and
+        static scalar forcing are supported (but not periodic+obstacles).
+        Gated to explicit use_pallas=True until the TPU win is measured;
+        flip the auto default then."""
         use = self.params.use_pallas
         if not use or self.grid.ndim != 2:
             return False
         if self.params.integrator != "euler":
             return False
-        if (self.forcing is not None or self.shardings is not None
-                or self.scalar is not None):
+        if self.shardings is not None or self.scalar is not None:
+            return False
+        if self.forcing is not None and self._static_forcing() is None:
+            return False
+        if ((self.face_masks is not None or self.corr_masks is not None)
+                and any(bcs_mod.periodic_axes(self.grid, self.bcs))):
             return False
         from .ops import pallas_2d
 
@@ -405,6 +410,7 @@ class Simulation:
                 g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
                 face_codes=codes, fluid_code=fc,
                 interpret=self.pallas_interpret,
+                forcing=self._static_forcing(),
             )
         with jax.named_scope("poisson"):
             beta = pr.poisson.extrapolate

@@ -52,6 +52,33 @@ def _setup_cylinderish():
     return g, bcs, solid
 
 
+def _setup_periodic_box():
+    # fully periodic (turbulence/Taylor-Green topology); n1 < L exercises
+    # the patched lane wraps
+    g = GridSpec(shape=(64, 48), lengths=(1.0, 0.75))
+    bcs = {(a, s): BCSpec.periodic() for a in range(2) for s in (0, 1)}
+    return g, bcs, None
+
+
+def _setup_channelish_periodic():
+    # streamwise-periodic rows + no-slip walls (periodic channel topology)
+    g = GridSpec(shape=(64, 32), lengths=(2.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.periodic()
+    bcs[(0, 1)] = BCSpec.periodic()
+    return g, bcs, None
+
+
+def _setup_rb_like():
+    # periodic lanes + walls on the rows (Rayleigh-Benard topology);
+    # n1 == 128 == L exercises the pure-roll lane-wrap fast path
+    g = GridSpec(shape=(32, 128), lengths=(1.0, 4.0))
+    bcs = no_slip_box(g)
+    bcs[(1, 0)] = BCSpec.periodic()
+    bcs[(1, 1)] = BCSpec.periodic()
+    return g, bcs, None
+
+
 def _ref_pred(g, bcs, u, dt, nu, gamma, masks, op):
     u_star = stencils.predictor(g, bcs, u, dt, nu, gamma, None)
     u_star = apply_velocity_bcs(g, bcs, u_star, masks)
@@ -61,6 +88,8 @@ def _ref_pred(g, bcs, u, dt, nu, gamma, masks, op):
 
 @pytest.mark.parametrize("setup,gamma", [
     (_setup_cavity, 0.0), (_setup_cavity, 0.3), (_setup_cylinderish, 0.2),
+    (_setup_periodic_box, 0.3), (_setup_channelish_periodic, 0.0),
+    (_setup_rb_like, 0.4),
 ])
 def test_pred2d_matches_jnp(setup, gamma):
     g, bcs, solid = setup()
@@ -96,7 +125,10 @@ def test_pred2d_matches_jnp(setup, gamma):
     )
 
 
-@pytest.mark.parametrize("setup", [_setup_cavity, _setup_cylinderish])
+@pytest.mark.parametrize("setup", [
+    _setup_cavity, _setup_cylinderish, _setup_periodic_box,
+    _setup_channelish_periodic, _setup_rb_like,
+])
 def test_corr2d_matches_jnp(setup):
     g, bcs, solid = setup()
     per = periodic_axes(g, bcs)
@@ -138,6 +170,8 @@ def test_corr2d_matches_jnp(setup):
 @pytest.mark.parametrize("name,kwargs", [
     ("cavity", dict(shape=(32, 32), re=100.0, poisson_method="mg")),
     ("cylinder", dict(shape=(64, 32), re=100.0, poisson_method="mg")),
+    ("taylor_green", dict(shape=(32, 32), re=100.0)),
+    ("channel_periodic", dict(shape=(64, 32))),
 ])
 def test_fused2d_sim_matches_reference(name, kwargs):
     """Full projection steps through Simulation with the fused 2D path vs
