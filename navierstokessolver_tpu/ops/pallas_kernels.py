@@ -1528,10 +1528,15 @@ def _fused_pred_kernel(
             if a == 0:
                 if not per[0]:
                     g = _ax_iota(star.shape, 0) + i * T
+                    # ("wrap",) specs only reach here in halo mode, where
+                    # the ring keeps is_first/is_last False -- the value is
+                    # dead, any placeholder works
                     v_lo = (jnp.roll(star, -1, axis=0)
-                            if lo[0] == "copy" else lo[1])
+                            if lo[0] == "copy"
+                            else (0.0 if lo[0] == "wrap" else lo[1]))
                     v_hi = (jnp.roll(star, 1, axis=0)
-                            if hi[0] == "copy" else hi[1])
+                            if hi[0] == "copy"
+                            else (0.0 if hi[0] == "wrap" else hi[1]))
                     if halo:
                         # face 0 / face B(=n0, in-register only: the
                         # divergence epilogue needs the shared/BC face
@@ -1671,7 +1676,11 @@ def predictor_rhs_3d_internal(
     nb = 2 if db else 1
     masked = face_codes is not None
     per = tuple(periodic_axes(grid, bcs))
-    assert not (halo and per[0]), "sharded periodic axis 0 not supported"
+    if halo:
+        # sharded periodic axis 0 is handled OUTSIDE the kernel by the
+        # wraparound ppermute ghost rings (parallel/fused_sharded.py) with
+        # first=last=False edge flags; in-kernel axis-0 stays halo-mode
+        per = (False,) + per[1:]
     assert not (masked and any(per)), "obstacles + periodic not supported"
 
     if per[0]:
@@ -2088,7 +2097,8 @@ def correct_diag_3d_internal(
     from ..bcs import periodic_axes
 
     per = tuple(periodic_axes(grid, bcs))
-    assert not (halo and per[0]), "sharded periodic axis 0 not supported"
+    if halo:
+        per = (False,) + per[1:]   # axis-0 wrap rides the ppermute rings
     assert not (masked and any(per)), "obstacles + periodic not supported"
     u0p, u1p, u2p = u_star_internal
     if pp is None:

@@ -51,13 +51,6 @@ def fused_step3d_sharded_applicable(
     b = grid.shape[0] // n_dev
     if b < 8:
         return False  # degenerate slabs: ghost machinery dominates
-    from ..bcs import periodic_axes
-
-    if periodic_axes(grid, bcs)[0]:
-        # a periodic sharded axis needs wraparound ghost rings in the
-        # per-step ppermute refresh -- not wired yet (axes 1/2 periodic
-        # compose fine: they wrap within each shard)
-        return False
     return pk.fused_step3d_applicable(grid, bcs)
 
 
@@ -112,6 +105,8 @@ def from_internal_halo(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
     spec0 = pk._own_face_spec(bcs, 0, 1)
     if spec0[0] == "copy":
         face0 = u0i[n0 - 1:n0]
+    elif spec0[0] == "wrap":
+        face0 = u0i[0:1]             # periodic duplicate face n0 == face 0
     else:
         face0 = jnp.full((1, n1, n2), spec0[1], u0i.dtype)
     u0 = jnp.concatenate([u0i, face0], axis=0)
@@ -126,12 +121,14 @@ def from_internal_halo(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
     return u0, u1, u2
 
 
-def _perm_fwd(n):
-    return [(k, k + 1) for k in range(n - 1)]
+def _perm_fwd(n, ring: bool = False):
+    # ring=True closes the wraparound link (periodic sharded axis)
+    return [(k, (k + 1) % n) for k in range(n if ring else n - 1)]
 
 
-def _perm_bwd(n):
-    return [(k, k - 1) for k in range(1, n)]
+def _perm_bwd(n, ring: bool = False):
+    return [((k + 1) % n if ring else k + 1, k)
+            for k in range(n if ring else n - 1)]
 
 
 def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
@@ -142,33 +139,47 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
     n1, n2 = grid.shape[1], grid.shape[2]
     tg, own = pk._ghost_tables(grid, bcs)
+    from ..bcs import periodic_axes
+
+    # Periodic sharded axis: the ghost rings CLOSE (wraparound ppermute
+    # links) and no shard is an "edge" -- first/last stay False so the
+    # halo-mode kernels never synthesize axis-0 BC faces. Global face n0
+    # (the periodic duplicate) is trimmed from the layout anyway.
+    ring = bool(periodic_axes(grid, bcs)[0])
     spec3 = P(AXIS, None, None)
     pspec = NamedSharding(mesh, spec3)
 
     def _refresh_ghosts(iu, first, last):
         """Fill each component's ghost slots: ppermute halos at interior
-        boundaries, BC synthesis at the true edges."""
+        boundaries, BC synthesis at the true edges (wrap halos everywhere
+        on a periodic ring)."""
         out = []
         for a, x in enumerate(iu):
             lo_halo = jax.lax.ppermute(
-                x[b - 1:b], AXIS, _perm_fwd(n_dev)
+                x[b - 1:b], AXIS, _perm_fwd(n_dev, ring)
             )
-            if a == 0:
-                bc_lo = x[0:1]             # apron; face 0 is BC-overwritten
+            if ring:
+                lo = lo_halo
             else:
-                al, bl = tg[(a, 0, 0)]
-                bc_lo = al * x[0:1] + bl
-            lo = jnp.where(first, bc_lo, lo_halo)
-            hi_halo = jax.lax.ppermute(x[0:2], AXIS, _perm_bwd(n_dev))
-            if a == 0:
-                sp = own[(0, 1)]
-                row = (x[b - 1:b] if sp[0] == "copy"
-                       else jnp.full((1,) + x.shape[1:], sp[1], x.dtype))
+                if a == 0:
+                    bc_lo = x[0:1]         # apron; face 0 is BC-overwritten
+                else:
+                    al, bl = tg[(a, 0, 0)]
+                    bc_lo = al * x[0:1] + bl
+                lo = jnp.where(first, bc_lo, lo_halo)
+            hi_halo = jax.lax.ppermute(x[0:2], AXIS, _perm_bwd(n_dev, ring))
+            if ring:
+                hi = hi_halo
             else:
-                ah, bh = tg[(a, 0, 1)]
-                row = ah * x[b - 1:b] + bh
-            bc_hi = jnp.concatenate([row, row], axis=0)
-            hi = jnp.where(last, bc_hi, hi_halo)
+                if a == 0:
+                    sp = own[(0, 1)]
+                    row = (x[b - 1:b] if sp[0] == "copy"
+                           else jnp.full((1,) + x.shape[1:], sp[1], x.dtype))
+                else:
+                    ah, bh = tg[(a, 0, 1)]
+                    row = ah * x[b - 1:b] + bh
+                bc_hi = jnp.concatenate([row, row], axis=0)
+                hi = jnp.where(last, bc_hi, hi_halo)
             x = jax.lax.dynamic_update_slice(x, hi, (b, 0, 0))
             x = jax.lax.dynamic_update_slice(x, lo, (RP - 1, 0, 0))
             out.append(x)
@@ -176,8 +187,8 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
 
     def pred_body(iu0, iu1, iu2):
         idx = jax.lax.axis_index(AXIS)
-        first = idx == 0
-        last = idx == n_dev - 1
+        first = (idx == 0) & (not ring)
+        last = (idx == n_dev - 1) & (not ring)
         iu = _refresh_ghosts((iu0, iu1, iu2), first, last)
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
         dt = jnp.asarray(pr.dt, grid.dtype)
@@ -185,29 +196,40 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
             local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
             tile=tile, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff,
+            forcing=sim._static_forcing(),
         )
         # the corrector's divergence diagnostic needs the corrected SHARED
         # face: exchange the neighbor's fresh face-0 star into row b
-        hi_halo = jax.lax.ppermute(us[0][0:1], AXIS, _perm_bwd(n_dev))
-        sp = own[(0, 1)]
-        bc_row = (us[0][b - 1:b] if sp[0] == "copy"
-                  else jnp.full((1, S0, L), sp[1], us[0].dtype))
-        hi = jnp.where(last, bc_row, hi_halo)
+        hi_halo = jax.lax.ppermute(
+            us[0][0:1], AXIS, _perm_bwd(n_dev, ring)
+        )
+        if ring:
+            hi = hi_halo
+        else:
+            sp = own[(0, 1)]
+            bc_row = (us[0][b - 1:b] if sp[0] == "copy"
+                      else jnp.full((1, S0, L), sp[1], us[0].dtype))
+            hi = jnp.where(last, bc_row, hi_halo)
         us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
         return us0, us[1], us[2], rhs
 
     def corr_body(us0, us1, us2, p_local):
         idx = jax.lax.axis_index(AXIS)
-        first = idx == 0
-        last = idx == n_dev - 1
+        first = (idx == 0) & (not ring)
+        last = (idx == n_dev - 1) & (not ring)
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
         lo_halo = jax.lax.ppermute(
-            p_local[b - 1:b], AXIS, _perm_fwd(n_dev)
+            p_local[b - 1:b], AXIS, _perm_fwd(n_dev, ring)
         )
-        hi_halo = jax.lax.ppermute(p_local[0:1], AXIS, _perm_bwd(n_dev))
-        zrow = jnp.zeros_like(p_local[0:1])
-        lo = jnp.where(first, zrow, lo_halo)     # edge: zero pad, faces are
-        hi = jnp.where(last, zrow, hi_halo)      # BC-preserved anyway
+        hi_halo = jax.lax.ppermute(
+            p_local[0:1], AXIS, _perm_bwd(n_dev, ring)
+        )
+        if ring:
+            lo, hi = lo_halo, hi_halo   # wrap gradient at the seam faces
+        else:
+            zrow = jnp.zeros_like(p_local[0:1])
+            lo = jnp.where(first, zrow, lo_halo)   # edge: zero pad, faces
+            hi = jnp.where(last, zrow, hi_halo)    # are BC-preserved anyway
         pp = jnp.concatenate(
             [lo, p_local, hi, jnp.zeros((RP - b,) + p_local.shape[1:],
                                         p_local.dtype)],

@@ -317,8 +317,9 @@ class Simulation:
             return False
         if self.params.integrator != "euler" or self.params.cfl is not None:
             return False
-        if (self.forcing is not None or self.face_masks is not None
-                or self.scalar is not None):
+        if self.face_masks is not None or self.scalar is not None:
+            return False
+        if self.forcing is not None and self._static_forcing() is None:
             return False
         from .parallel.fused_sharded import fused_step3d_sharded_applicable
 

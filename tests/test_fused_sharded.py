@@ -129,3 +129,47 @@ def test_sharded_fused_with_explicit_halo_poisson():
         np.testing.assert_allclose(
             np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
         )
+
+
+@requires_8
+def test_sharded_fused_periodic_ring_matches_unsharded():
+    """Periodic sharded axis 0 (taylor_green3d on a 4-way slab mesh): the
+    ppermute ghost rings CLOSE with wraparound links and no shard is an
+    edge; trajectory matches the single-device run."""
+    case = make_case("taylor_green3d", shape=(32, 16, 16), re=400.0)
+    sim = case.sim
+    ref, dref = sim.run_scan(case.initial_state(), 10)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, d = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 10
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4)
+    assert abs(float(d.max_div[-1]) - float(dref.max_div[-1])) < 1e-5
+
+
+@requires_8
+def test_sharded_fused_duct_forcing_matches_unsharded():
+    """Periodic ring + static scalar forcing (the duct) through the
+    sharded fused path."""
+    case = make_case("duct_periodic", shape=(32, 8, 8),
+                     lengths=(4.0, 1.0, 1.0))
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 10)
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, _ = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 10
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
