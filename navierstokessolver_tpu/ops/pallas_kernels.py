@@ -1136,6 +1136,38 @@ def _ghost_tables(grid: GridSpec, bcs: BCTable):
     return tg, own
 
 
+def theta_ghost_table(scfg, ndim: int = 3):
+    """Scalar-BC ghost coefficients per (axis, side): ``("a", alpha,
+    beta)`` with ghost = alpha*edge + beta (Dirichlet reflection /
+    Neumann copy), or ``("wrap",)`` for periodic. None when any value is
+    non-scalar (gates the fused thermal path)."""
+    from ..scalar import ScalarBCKind
+
+    out = {}
+    for a in range(ndim):
+        for s in (0, 1):
+            bc = scfg.bcs[(a, s)]
+            if bc.kind is ScalarBCKind.PERIODIC:
+                out[(a, s)] = ("wrap",)
+            elif bc.kind is ScalarBCKind.NEUMANN:
+                out[(a, s)] = ("a", 1.0, 0.0)
+            else:
+                v = bc.value
+                if not (np.isscalar(v) or getattr(v, "ndim", 1) == 0):
+                    return None
+                out[(a, s)] = ("a", -1.0, 2.0 * float(v))
+    return out
+
+
+def pad_theta_3d(grid: GridSpec, theta: Array, tile: int = 8) -> Array:
+    """Cell-centered scalar -> the fused-step internal layout (rows pad to
+    RP; the axis-0 ghost rows are refreshed per step by the corrector
+    wrapper: row n0 = hi ghost, row RP-1 = lo ghost)."""
+    n0, n1, n2 = grid.shape
+    T, G, RP, S0, S1, L = _fused_dims(grid, tile)
+    return jnp.pad(theta, [(0, RP - n0), (0, S0 - n1), (0, L - n2)])
+
+
 def to_internal_3d(grid: GridSpec, u, tile: int = 8):
     """Exact face arrays -> the fused-step internal layout: row r <-> global
     row r, sublane j <-> index j, component 2 lane-elided, hi-side zero
@@ -1238,6 +1270,8 @@ def _fused_pred_kernel(
     tg: dict, own: dict, RP: int, halo: bool = False, db: bool = True,
     masked: bool = False, per: tuple = (False, False, False),
     force: tuple = (0.0, 0.0, 0.0),
+    buoy: tuple = (0.0, 0.0, 0.0), tref: float = 0.0,
+    thermal: bool = False,
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
@@ -1266,6 +1300,9 @@ def _fused_pred_kernel(
         (c0_hbm, c1_hbm, c2_hbm, fc_hbm, out0, out1, out2, rhs_ref,
          s0, s1, s2, sems, sg0, sg1, sg2, gsems,
          cs0, cs1, cs2, cfs, csems) = rest
+    elif thermal:
+        (th_hbm, out0, out1, out2, rhs_ref,
+         s0, s1, s2, s_th, sems, sg0, sg1, sg2, gsems) = rest
     else:
         (out0, out1, out2, rhs_ref,
          s0, s1, s2, sems, sg0, sg1, sg2, gsems) = rest
@@ -1289,8 +1326,13 @@ def _fused_pred_kernel(
     # budget) holds ONE half and serializes each stripe's transfer --
     # still one fused HBM pass, just without copy/compute overlap.
     phase = jax.lax.rem(i, 2) if db else 0
-    refs = (u0_hbm, u1_hbm, u2_hbm)
-    scrs = (s0, s1, s2)
+    if thermal:
+        # theta rides the same windows/starts as the velocity volumes
+        refs = (u0_hbm, u1_hbm, u2_hbm, th_hbm)
+        scrs = (s0, s1, s2, s_th)
+    else:
+        refs = (u0_hbm, u1_hbm, u2_hbm)
+        scrs = (s0, s1, s2)
 
     def _dma(j, ph):
         st = jnp.clip(j * T - 1, 0, RP - R3)
@@ -1518,6 +1560,30 @@ def _fused_pred_kernel(
                 # -gradient surrogate); boundary faces are overwritten by
                 # the BC writes below, matching the jnp interior-only add
                 rhs_a = rhs_a + force[a]
+            if thermal and buoy[a]:
+                # Boussinesq buoyancy f_a = coef * (theta_face - tref):
+                # theta cell pair averaged to comp-a faces. Interior faces
+                # only need in-range cells (buoyancy along a periodic axis
+                # is rejected at build); boundary-face garbage is
+                # BC-overwritten below.
+                S = SOUT[a]
+                thw = s_th[pl.ds(off, R3)]
+                if thw.shape[1] < S:
+                    # comp 1's face sublanes exceed theta's cell sublanes;
+                    # the pad only feeds BC-overwritten faces
+                    thw = jnp.pad(
+                        thw, [(0, 0), (0, S - thw.shape[1]), (0, 0)]
+                    )
+                if a == 0:
+                    th_c = thw[ro:ro + rows, :S]
+                    if ro == 0:
+                        th_m = jnp.roll(thw, 1, axis=0)[0:rows, :S]
+                    else:
+                        th_m = thw[ro - 1:ro - 1 + rows, :S]
+                else:
+                    th_c = thw[ro:ro + rows, :S]
+                    th_m = _shift_fix(th_c, a, -1, None)
+                rhs_a = rhs_a + buoy[a] * (0.5 * (th_m + th_c) - tref)
             star = c0 + dt * rhs_a
 
             # in-kernel BC application to the component's boundary faces
@@ -1647,13 +1713,19 @@ def predictor_rhs_3d_internal(
     face_codes=None,
     fluid_code=None,
     forcing=None,
+    theta=None,
+    buoyancy=None,
+    theta_ref: float = 0.0,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
     internal-layout u* and the exact-shaped rhs.
 
     ``forcing``: optional per-component STATIC scalar body force (the
-    channel/duct constant pressure-gradient surrogate); array forcing
-    (e.g. Boussinesq buoyancy) stays on the jnp path.
+    channel/duct constant pressure-gradient surrogate). ``theta`` +
+    ``buoyancy`` (static per-axis coefficients) fuse the Boussinesq
+    forcing in-kernel: theta (internal layout) streams alongside the
+    velocity windows and the face-averaged deviation from ``theta_ref``
+    adds to the predictor RHS.
 
     ``halo=True`` (parallel/fused_sharded.py): ``grid`` is the LOCAL block,
     ``iu`` the halo-mode layout (ghost slots filled), ``edge_flags`` the
@@ -1708,25 +1780,38 @@ def predictor_rhs_3d_internal(
         force = tuple(
             0.0 if f is None else float(f) for f in forcing
         )
+    buoy = (0.0, 0.0, 0.0)
+    if buoyancy is not None:
+        buoy = tuple(float(b) for b in buoyancy)
+    thermal = theta is not None and any(buoy)
+    if thermal:
+        assert not (halo or masked), \
+            "fused thermal predictor: unsharded, no obstacles"
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
         tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked, per=per,
-        force=force,
+        force=force, buoy=buoy, tref=float(theta_ref), thermal=thermal,
     )
     scratch = [
         pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
         pltpu.VMEM((nb * (T + 3), S1, L), jnp.float32),
         pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
+    if thermal:
+        scratch.append(pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32))
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, 4 if thermal else 3)),
         pltpu.VMEM((1, S0, L), jnp.float32),
         pltpu.VMEM((1, S1, L), jnp.float32),
         pltpu.VMEM((1, S0, L), jnp.float32),
         pltpu.SemaphoreType.DMA((3,)),
     ]
     args = (sc, iu[0], iu[1], iu[2])
+    if thermal:
+        args += (theta,)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
-        [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        [pl.BlockSpec(memory_space=pl.ANY)] * (4 if thermal else 3)
     if masked:
         SC = _code_sublanes(grid)
         args += (face_codes[0], face_codes[1], face_codes[2], fluid_code)
@@ -1823,6 +1908,8 @@ def _fused_corr_kernel(
     T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
     db: bool = True, masked: bool = False, hi0_copy: bool = False,
     per: tuple = (False, False, False),
+    thermal: bool = False, alpha: float = 0.0, tgamma: float = 0.0,
+    thg: dict = None,
 ):
     """One axis-0 stripe of the projection corrector + step diagnostics,
     internal layout in AND out (row r <-> global row r).
@@ -1838,6 +1925,9 @@ def _fused_corr_kernel(
         (c0_hbm, c1_hbm, c2_hbm, fc_hbm,
          out0, out1, out2, divmax_ref, velmax_ref,
          s0, s1, s2, sp, sems, cs0, cs1, cs2, cfs, csems) = rest
+    elif thermal:
+        (th_hbm, out0, out1, out2, th_out, divmax_ref, velmax_ref,
+         s0, s1, s2, sp, sth, sthlo, sems) = rest
     else:
         (out0, out1, out2, divmax_ref, velmax_ref,
          s0, s1, s2, sp, sems) = rest
@@ -1880,6 +1970,21 @@ def _fused_corr_kernel(
                         (cs0, cs1, cs2, cfs))
                 )
             ]
+        if thermal:
+            # theta main window: cells [jT, jT+T] (row jT+T may be the
+            # refreshed hi ghost row n0); lo window: ONE row = cell jT-1,
+            # or the refreshed lo ghost at RP-1 for stripe 0
+            cps.append(pltpu.make_async_copy(
+                th_hbm.at[pl.ds(st0, T + 1)],
+                sth.at[pl.ds(ph * (T + 1), T + 1)],
+                sems.at[ph, 4],
+            ))
+            st_lo = jnp.where(jj == 0, RP - 1, jj * T - 1)
+            cps.append(pltpu.make_async_copy(
+                th_hbm.at[pl.ds(st_lo, 1)],
+                sthlo.at[pl.ds(ph, 1)],
+                sems.at[ph, 5],
+            ))
         return cps
 
     if db:
@@ -2005,6 +2110,96 @@ def _fused_corr_kernel(
         out1[...] = u1n
         out2[...] = u2n
 
+        if thermal:
+            # conservative flux-form scalar update with the CORRECTED
+            # (divergence-free) velocities in-register -- matches
+            # scalar.scalar_rhs + the jnp step's end-of-step theta advance.
+            scale_dt = sc_ref[3 if halo else 1]
+            S0w = u0n.shape[1]
+            thw = sth[pl.ds(phase * (T + 1), T + 1)]   # cells jT..jT+T
+            thc = thw[:T, :S0w]                        # cells jT..jT+T-1
+            th_lo1 = sthlo[pl.ds(phase, 1)][:, :S0w]   # cell jT-1
+            # cells k-1 aligned to cells k (axis 0)
+            th_m0 = jnp.where(
+                _ax_iota(thc.shape, 0) == 0,
+                th_lo1, jnp.roll(thw[:T, :S0w], 1, axis=0),
+            )
+            th_p0 = thw[1:T + 1, :S0w]                 # cells k+1
+
+            def face_th(t_m, t_p, uf):
+                tf = 0.5 * (t_m + t_p)
+                if tgamma > 0.0:
+                    tf = (tgamma * jnp.where(uf > 0.0, t_m, t_p)
+                          + (1.0 - tgamma) * tf)
+                return tf
+
+            # axis 0: fluxes at faces k (cells k-1,k) and k+1 (cells k,k+1)
+            u0f = u0n[:, :S0w]
+            f_lo0 = u0f[:T] * face_th(th_m0, thc, u0f[:T])
+            f_hi0 = u0f[1:T + 1] * face_th(thc, th_p0, u0f[1:T + 1])
+            adv = (f_hi0 - f_lo0) * (1.0 / h[0])
+            lap = (th_m0 - 2.0 * thc + th_p0) * (1.0 / (h[0] * h[0]))
+
+            def gfix(ax, side, edge_idx):
+                spec = thg[(ax, side)]
+                if spec[0] == "wrap":
+                    return None
+                return (edge_idx, spec[1], spec[2])
+
+            # axis 1 (sublanes): flux at faces s (cells s-1, s), s = 0..n1
+            tp1 = jnp.pad(thc, [(0, 0), (0, u1n.shape[1] - S0w), (0, 0)])
+            s_i1 = _ax_iota(tp1.shape, 1)
+            if thg[(1, 1)][0] == "wrap":
+                gh1 = jnp.roll(tp1, n1, axis=1)        # cell n1 = cell 0
+            else:
+                _, a1h, b1h = thg[(1, 1)]
+                gh1 = a1h * jnp.roll(tp1, 1, axis=1) + b1h
+            tp1g = jnp.where(s_i1 == n1, gh1, tp1)     # + ghost cell n1
+            t_m1 = (_shift_wrap(tp1g, 1, -1, n1)
+                    if thg[(1, 0)][0] == "wrap"
+                    else _shift_fix(tp1g, 1, -1, gfix(1, 0, 0)))
+            F1 = u1n * face_th(t_m1, tp1g, u1n)
+            adv = adv + (jnp.roll(F1, -1, axis=1) - F1)[:, :S0w] \
+                * (1.0 / h[1])
+            t_hi1 = (_shift_wrap(thc, 1, 1, n1)
+                     if thg[(1, 1)][0] == "wrap"
+                     else _shift_fix(thc, 1, 1, gfix(1, 1, n1 - 1)))
+            t_lo1 = (_shift_wrap(thc, 1, -1, n1)
+                     if thg[(1, 0)][0] == "wrap"
+                     else _shift_fix(thc, 1, -1, gfix(1, 0, 0)))
+            lap = lap + (t_lo1 - 2.0 * thc + t_hi1) * (1.0 / (h[1] * h[1]))
+
+            # axis 2 (lanes): u2n carries faces 0..n2-1 (hi face elided)
+            t_m2 = (_shift_wrap(thc, 2, -1, n2)
+                    if thg[(2, 0)][0] == "wrap"
+                    else _shift_fix(thc, 2, -1, gfix(2, 0, 0)))
+            F2 = u2n * face_th(t_m2, thc, u2n)
+            # face n2's flux: the elided hi face value x the ghost average
+            t_hi2 = (_shift_wrap(thc, 2, 1, n2)
+                     if thg[(2, 1)][0] == "wrap"
+                     else _shift_fix(thc, 2, 1, gfix(2, 1, n2 - 1)))
+            if per[2]:
+                F2hi = jnp.roll(F2, -1, axis=2)        # face n2 == face 0
+            else:
+                sp2 = own[(2, 1)]
+                uhi_arr = (_shift_fix(u2n, 2, 1, (n2 - 1, 1.0, 0.0))
+                           if sp2[0] == "copy"
+                           else jnp.full_like(u2n, sp2[1]))
+                fhi_face = uhi_arr * face_th(thc, t_hi2, uhi_arr)
+                F2hi = jnp.where(
+                    _ax_iota(F2.shape, 2) == n2 - 1,
+                    fhi_face, jnp.roll(F2, -1, axis=2),
+                )
+            adv = adv + (F2hi - F2) * (1.0 / h[2])
+            lap = lap + (t_m2 - 2.0 * thc + t_hi2) \
+                * (1.0 / (h[2] * h[2]))
+
+            th_new = thc + scale_dt * (alpha * lap - adv)
+            keep_t = ((_ax_iota(th_new.shape, 0) + j * T < n0)
+                      & (_ax_iota(th_new.shape, 1) < n1)
+                      & (_ax_iota(th_new.shape, 2) < n2))
+            th_out[...] = jnp.where(keep_t, th_new, 0.0)
+
         # diagnostics over the valid physical region only
         if per[2]:
             u2hi = _shift_wrap(u2n, 2, 1, n2)
@@ -2056,6 +2251,8 @@ def _fused_corr_kernel(
         out0[...] = jnp.zeros(out0.shape, out0.dtype)
         out1[...] = jnp.zeros(out1.shape, out1.dtype)
         out2[...] = jnp.zeros(out2.shape, out2.dtype)
+        if thermal:
+            th_out[...] = jnp.zeros(th_out.shape, th_out.dtype)
         divmax_ref[...] = jnp.zeros(divmax_ref.shape, divmax_ref.dtype)
         velmax_ref[...] = jnp.zeros(velmax_ref.shape, velmax_ref.dtype)
 
@@ -2074,9 +2271,16 @@ def correct_diag_3d_internal(
     db: Optional[bool] = None,
     face_codes=None,
     fluid_code=None,
+    theta=None,
+    scalar_cfg=None,
+    dt=None,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
-    internal-layout u_new plus (max |div u|, max_a |u_a|/h_a).
+    internal-layout u_new plus (max |div u|, max_a |u_a|/h_a) -- and,
+    when ``theta``/``scalar_cfg``/``dt`` are given, the advanced scalar
+    as a fourth result (the flux-form theta update fused into the same
+    HBM pass, using the corrected in-register velocities exactly like the
+    jnp step's end-of-step scalar advance).
 
     ``halo=True``: local-block mode; ``pp`` must be the pre-built padded
     pressure with ppermute ghost rows at [0] and [B+1]. ``db``: see
@@ -2113,24 +2317,55 @@ def correct_diag_3d_internal(
             pp = upd(pp, pp[1:2], n0 + 1, axis=0)
     _, own = _ghost_tables(grid, bcs)
     hi0_copy = (not halo) and own[(0, 1)][0] == "copy"
+    thermal = theta is not None
+    if thermal:
+        assert not (halo or masked or hi0_copy), \
+            "fused thermal: unsharded, no obstacles, no axis-0 HI outflow"
+        thg = theta_ghost_table(scalar_cfg, 3)
+        assert thg is not None
+        # refresh the axis-0 theta ghost rows in the carried layout
+        upd = jax.lax.dynamic_update_slice_in_dim
+        if thg[(0, 1)][0] == "wrap":
+            hi_row = theta[0:1]
+        else:
+            hi_row = thg[(0, 1)][1] * theta[n0 - 1:n0] + thg[(0, 1)][2]
+        if thg[(0, 0)][0] == "wrap":
+            lo_row = theta[n0 - 1:n0]
+        else:
+            lo_row = thg[(0, 0)][1] * theta[0:1] + thg[(0, 0)][2]
+        theta = upd(theta, hi_row, n0, axis=0)
+        theta = upd(theta, lo_row, RP - 1, axis=0)
     parts = [jnp.asarray(scale, jnp.float32)]
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
+    if thermal:
+        parts.append(jnp.asarray(dt, jnp.float32))
     sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
         halo=halo, db=db, masked=masked, hi0_copy=hi0_copy, per=per,
+        thermal=thermal,
+        alpha=float(scalar_cfg.diffusivity) if thermal else 0.0,
+        tgamma=float(scalar_cfg.upwind_gamma) if thermal else 0.0,
+        thg=thg if thermal else None,
     )
     scratch = [
         pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),
         pltpu.VMEM((nb * T, S1, L), jnp.float32),
         pltpu.VMEM((nb * T, S0, L), jnp.float32),
         pltpu.VMEM((nb * (T + 2), S0, L), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 4)),
     ]
+    if thermal:
+        scratch += [
+            pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),
+            pltpu.VMEM((nb * 1, S0, L), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 6 if thermal else 4)))
     args = (sc, u0p, u1p, u2p, pp)
+    if thermal:
+        args += (theta,)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
-        [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        [pl.BlockSpec(memory_space=pl.ANY)] * (5 if thermal else 4)
     if masked:
         SC = _code_sublanes(grid)
         args += (face_codes[0], face_codes[1], face_codes[2], fluid_code)
@@ -2142,30 +2377,45 @@ def correct_diag_3d_internal(
             pltpu.VMEM((nb * (T + 1), SC, L), jnp.uint8),
             pltpu.SemaphoreType.DMA((2, 4)),
         ]
-    out0, out1, out2, divp, velp = pl.pallas_call(
+    vol = pl.BlockSpec((T, S0, L), lambda j: (j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    red = pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
+        jax.ShapeDtypeStruct((RP, S1, L), jnp.float32),
+        jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
+    ]
+    out_specs = [
+        vol,
+        pl.BlockSpec((T, S1, L), lambda j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        vol,
+    ]
+    if thermal:
+        out_shape.append(jax.ShapeDtypeStruct((RP, S0, L), jnp.float32))
+        out_specs.append(vol)
+    out_shape += [
+        jax.ShapeDtypeStruct((G + 1, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G + 1, 8, 128), jnp.float32),
+    ]
+    out_specs += [red, red]
+    res = pl.pallas_call(
         kern,
-        out_shape=[
-            jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
-            jax.ShapeDtypeStruct((RP, S1, L), jnp.float32),
-            jax.ShapeDtypeStruct((RP, S0, L), jnp.float32),
-            jax.ShapeDtypeStruct((G + 1, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((G + 1, 8, 128), jnp.float32),
-        ],
+        out_shape=out_shape,
         grid=(G + 1,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((T, S0, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, S1, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, S0, L), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
+    if thermal:
+        out0, out1, out2, theta_new, divp, velp = res
+    else:
+        out0, out1, out2, divp, velp = res
     divm = jnp.max(divp)
     velm = jnp.max(velp)
     if hi0_copy:
@@ -2190,6 +2440,8 @@ def correct_diag_3d_internal(
             fl = ((fluid_code[n0 - 1, :n1, :n2] >> 6) & 1)
             dplane = dplane * fl.astype(dplane.dtype)
         divm = jnp.maximum(divm, jnp.max(jnp.abs(dplane)))
+    if thermal:
+        return (out0, out1, out2), divm, velm, theta_new
     return (out0, out1, out2), divm, velm
 
 

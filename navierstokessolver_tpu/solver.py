@@ -288,12 +288,25 @@ class Simulation:
         # the velocity windows (see pallas_kernels.build_face_codes_3d).
         # Periodic axes are supported (in-kernel wraps + axis-0 ghost-row
         # refresh) -- but not COMBINED with obstacle masks. STATIC scalar
-        # body forcing (channel/duct) is baked into the predictor kernel;
-        # array forcing (buoyancy) stays on the jnp path.
-        if self.shardings is not None or self.scalar is not None:
+        # body forcing (channel/duct) is baked into the predictor kernel.
+        # Scalar transport + Boussinesq buoyancy fuse too (theta streams
+        # with the velocity windows; its flux-form update rides the
+        # corrector pass) when the scalar BC values are static scalars.
+        if self.shardings is not None:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
+        if self.scalar is not None:
+            from .ops import pallas_kernels
+
+            if pallas_kernels.theta_ghost_table(self.scalar, 3) is None:
+                return False
+            if self.face_masks is not None or self.corr_masks is not None:
+                return False
+            if self.bcs[(0, 1)].kind is bcs_mod.BCKind.OUTFLOW:
+                # theta's axis-0 flux at face n0 would read the pre-fixup
+                # outflow face inside the kernel
+                return False
         if ((self.face_masks is not None or self.corr_masks is not None)
                 and any(bcs_mod.periodic_axes(self.grid, self.bcs))):
             return False
@@ -490,12 +503,16 @@ class Simulation:
         dt = (self._dt_from_vel(vel) if pr.cfl is not None
               else jnp.asarray(pr.dt, g.dtype))
         codes, fcode = self._face_codes_3d()
+        thermal = self.scalar is not None and istate.theta is not None
         with jax.named_scope("predictor"):
             u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
                 g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
                 interpret=self.pallas_interpret,
                 face_codes=codes, fluid_code=fcode,
                 forcing=self._static_forcing(),
+                theta=istate.theta if thermal else None,
+                buoyancy=self.scalar.buoyancy if thermal else None,
+                theta_ref=self.scalar.theta_ref if thermal else 0.0,
             )
         with jax.named_scope("poisson"):
             beta = pr.poisson.extrapolate
@@ -505,11 +522,19 @@ class Simulation:
                 p_start = istate.p
             p, iters, res = self._solve_pressure(rhs, p_start)
         with jax.named_scope("correction"):
-            iu_new, max_div, max_vel = pallas_kernels.correct_diag_3d_internal(
+            corr = pallas_kernels.correct_diag_3d_internal(
                 g, b, u_star, p, dt / pr.rho,
                 interpret=self.pallas_interpret,
                 face_codes=codes, fluid_code=fcode,
+                theta=istate.theta if thermal else None,
+                scalar_cfg=self.scalar if thermal else None,
+                dt=dt if thermal else None,
             )
+            if thermal:
+                iu_new, max_div, max_vel, theta_new = corr
+            else:
+                iu_new, max_div, max_vel = corr
+                theta_new = istate.theta
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,
@@ -518,7 +543,8 @@ class Simulation:
             dt=dt,
         )
         p_prev_new = istate.p if istate.p_prev is not None else None
-        return State(u=iu_new, p=p, p_prev=p_prev_new), diag, max_vel
+        return (State(u=iu_new, p=p, theta=theta_new, p_prev=p_prev_new),
+                diag, max_vel)
 
     def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
         """Whole-step fused path on exact-layout state: convert to the
@@ -528,14 +554,20 @@ class Simulation:
         vel = (self._vel_inv(state.u) if self.params.cfl is not None
                else None)
         iu = pallas_kernels.to_internal_3d(self.grid, state.u)
+        itheta = (pallas_kernels.pad_theta_3d(self.grid, state.theta)
+                  if state.theta is not None else None)
         istate, diag, _ = self._step_fused3d_internal(
-            State(u=iu, p=state.p, p_prev=state.p_prev), vel
+            State(u=iu, p=state.p, theta=itheta, p_prev=state.p_prev), vel
         )
         u0, u1, u2e, face = pallas_kernels.from_internal_3d(
             self.grid, self.bcs, istate.u
         )
         u2 = jnp.concatenate([u2e, face], axis=2)
-        return State(u=(u0, u1, u2), p=istate.p, p_prev=istate.p_prev), diag
+        n0, n1, n2 = self.grid.shape
+        theta = (istate.theta[:n0, :n1, :n2]
+                 if istate.theta is not None else None)
+        return State(u=(u0, u1, u2), p=istate.p, theta=theta,
+                     p_prev=istate.p_prev), diag
 
     def _combined_forcing(self, theta):
         """Static body forcing + Boussinesq buoyancy from the scalar."""
@@ -891,6 +923,8 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         from .ops import pallas_kernels
 
         iu = pallas_kernels.to_internal_3d(sim.grid, state.u)
+        itheta = (pallas_kernels.pad_theta_3d(sim.grid, state.theta)
+                  if state.theta is not None else None)
 
         def body3d(carry, _):
             st, vel = carry
@@ -899,14 +933,19 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
 
         (istate, _), diags = jax.lax.scan(
             body3d,
-            (State(u=iu, p=state.p, p_prev=state.p_prev), vel0),
+            (State(u=iu, p=state.p, theta=itheta, p_prev=state.p_prev),
+             vel0),
             xs=None, length=n_steps,
         )
         u0, u1, u2e, face = pallas_kernels.from_internal_3d(
             sim.grid, sim.bcs, istate.u
         )
         u2 = jnp.concatenate([u2e, face], axis=2)
-        return State(u=(u0, u1, u2), p=istate.p, p_prev=istate.p_prev), diags
+        n0, n1, n2 = sim.grid.shape
+        theta = (istate.theta[:n0, :n1, :n2]
+                 if istate.theta is not None else None)
+        return State(u=(u0, u1, u2), p=istate.p, theta=theta,
+                     p_prev=istate.p_prev), diags
     step_fn = sim.make_step_fn()
     return jax.lax.scan(step_fn, state, xs=None, length=n_steps)
 

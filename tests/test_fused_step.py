@@ -218,6 +218,54 @@ def test_fused3d_duct_matches_reference():
     )
 
 
+def test_fused3d_heated_cavity_matches_reference():
+    """Fully coupled thermal step through the fused 3D path: Boussinesq
+    buoyancy rides the predictor kernel, the flux-form theta update rides
+    the corrector kernel; u, p AND theta track the jnp path."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("heated_cavity", shape=(16, 16, 16), ra=1e4)
+    sim_ref = case.sim
+    assert sim_ref.scalar is not None
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    st = case.initial_state()
+    assert st.theta is not None
+    # step() path
+    sr, sf = st, st
+    for _ in range(4):
+        sr, dr = sim_ref.step(sr)
+        sf, df = sim_fused.step(sf)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(sf.u[c]), np.asarray(sr.u[c]), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(sf.theta), np.asarray(sr.theta), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sf.p), np.asarray(sr.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(df.max_div), float(dr.max_div), rtol=1e-3, atol=1e-6
+    )
+
+    # run_scan path (theta carried through the internal-layout scan)
+    a, _ = sim_ref.run_scan(st, 6)
+    b, _ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.theta), np.asarray(a.theta), rtol=2e-5, atol=2e-6
+    )
+
+
 def test_fused3d_taylor_green_matches_reference():
     """Whole-sim parity on the fully periodic taylor_green3d case: the
     fused whole-step path (interpret mode) tracks the jnp path through
