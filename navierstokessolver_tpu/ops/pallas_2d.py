@@ -180,6 +180,14 @@ def pad_fluid_code(grid: GridSpec, code: Array, tile: int = 128) -> Array:
     return jnp.pad(code, [(0, RP - n0), (0, L - n1)])
 
 
+def pad_theta_2d(grid: GridSpec, theta: Array, tile: int = 128) -> Array:
+    """Cell-centered scalar -> internal layout (axis-0 ghost rows n0 /
+    RP-1 are refreshed per step by the corrector wrapper)."""
+    T, G, RP, L = _dims_2d(grid, tile)
+    n0, n1 = grid.shape
+    return jnp.pad(theta, [(0, RP - n0), (0, L - n1)])
+
+
 def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
@@ -226,10 +234,15 @@ def _pred2d_kernel(
     T: int, n: tuple, h: tuple, nu: float, gamma: float,
     tg: dict, own: dict, RP: int, masked: bool,
     per: tuple = (False, False), force: tuple = (0.0, 0.0),
+    buoy: tuple = (0.0, 0.0), tref: float = 0.0, thermal: bool = False,
 ):
     if masked:
         cu_hbm, cv_hbm, fc_hbm, uo, vo, rhs_ref, us, vs, sems, \
             cu_s, cv_s, fc_s, csems = rest
+    elif thermal and per[0]:
+        th_hbm, uo, vo, rhs_ref, us, vs, ths, sems, ug, vg, gsems = rest
+    elif thermal:
+        th_hbm, uo, vo, rhs_ref, us, vs, ths, sems = rest
     elif per[0]:
         # periodic rows: +2 one-row lo-ghost scratches (global row n0-1,
         # DMA'd off the wrapper-refreshed input row RP-1 at stripe 0)
@@ -254,12 +267,15 @@ def _pred2d_kernel(
         # window); the prefetch passes (i+1)*T - 8, which is never negative
         # for i >= 0. Only data stripes are fetched, so windows stay in
         # bounds.
+        pairs = [(u_hbm, us), (v_hbm, vs)]
+        if thermal:
+            pairs.append((th_hbm, ths))   # theta rides the same windows
         cps = [
             pltpu.make_async_copy(
                 ref.at[pl.ds(st, R4)], scr.at[ph],
                 sems.at[ph, k],
             )
-            for k, (ref, scr) in enumerate(((u_hbm, us), (v_hbm, vs)))
+            for k, (ref, scr) in enumerate(pairs)
         ]
         if masked:
             # code windows [jT, jT+2T): covers output rows + the extra top
@@ -391,6 +407,15 @@ def _pred2d_kernel(
         rhs_u = nu * lap - (uc * d0 + vbar * d1)
         if force[0]:
             rhs_u = rhs_u + force[0]
+        if thermal and buoy[0]:
+            # Boussinesq buoyancy at u faces: theta cells k-1, k averaged
+            # (stripe-0 face 0 reads roll garbage -- BC-overwritten below;
+            # buoyancy along a periodic axis is rejected at build)
+            thw = ths[phase]
+            th_c = thw[bu:bu + rows_u]
+            th_m = (jnp.roll(thw, 1, axis=0)[0:rows_u] if bu == 0
+                    else thw[bu - 1:bu - 1 + rows_u])
+            rhs_u = rhs_u + buoy[0] * (0.5 * (th_m + th_c) - tref)
         u_star = uc + dt * rhs_u
 
         # ---- v stars ---------------------------------------------------
@@ -425,6 +450,11 @@ def _pred2d_kernel(
         rhs_v = nu * lav - (ubar * e0 + vc * e1)
         if force[1]:
             rhs_v = rhs_v + force[1]
+        if thermal and buoy[1]:
+            thw = ths[phase]
+            th_cv = thw[bu:bu + rows_v]
+            th_mv = _lane_shift(th_cv, -1, None)   # face-0 garbage: BC'd
+            rhs_v = rhs_v + buoy[1] * (0.5 * (th_mv + th_cv) - tref)
         v_star = vc + dt * rhs_v
 
         # ---- in-register BCs -------------------------------------------
@@ -498,10 +528,15 @@ def predictor_rhs_2d_internal(
     tile: int = 128,
     interpret: bool = False,
     forcing=None,
+    theta=None,
+    buoyancy=None,
+    theta_ref: float = 0.0,
 ):
     """Fused u*, v* + rhs over internal-layout inputs. ``face_codes`` /
     ``fluid_code`` enable the masked (obstacle) variant. ``forcing``:
-    optional per-component STATIC scalar body force."""
+    optional per-component STATIC scalar body force. ``theta`` +
+    ``buoyancy`` fuse the Boussinesq forcing (theta in the internal
+    layout, streamed with the u/v windows)."""
     from ..bcs import periodic_axes
 
     n0, n1 = grid.shape
@@ -510,6 +545,11 @@ def predictor_rhs_2d_internal(
     masked = face_codes is not None
     per = tuple(periodic_axes(grid, bcs))
     assert not (masked and any(per)), "obstacles + periodic not supported"
+    buoy = (0.0, 0.0)
+    if buoyancy is not None:
+        buoy = tuple(float(bb) for bb in buoyancy)
+    thermal = theta is not None and any(buoy)
+    assert not (masked and thermal), "obstacles + thermal not fused"
 
     if per[0]:
         # refresh the axis-0 wrap ghost rows in the carried input layout:
@@ -541,14 +581,18 @@ def predictor_rhs_2d_internal(
     kern = functools.partial(
         _pred2d_kernel, T=T, n=(n0, n1), h=h, nu=nu, gamma=upwind_gamma,
         tg=tg, own=own, RP=RP, masked=masked, per=per, force=force,
+        buoy=buoy, tref=float(theta_ref), thermal=thermal,
     )
+    n_any = 2 + (3 if masked else 0) + (1 if thermal else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
-        [pl.BlockSpec(memory_space=pl.ANY)] * (5 if masked else 2)
+        [pl.BlockSpec(memory_space=pl.ANY)] * n_any
     scratch = [
         pltpu.VMEM((2, T + 16, L), jnp.float32),
         pltpu.VMEM((2, T + 16, L), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 2)),
     ]
+    if thermal:
+        scratch.append(pltpu.VMEM((2, T + 16, L), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3 if thermal else 2)))
     if masked:
         scratch += [
             pltpu.VMEM((2, 2 * T, L), jnp.uint8),
@@ -563,6 +607,8 @@ def predictor_rhs_2d_internal(
             pltpu.SemaphoreType.DMA((2,)),
         ]
     args = (sc, iu[0], iu[1])
+    if thermal:
+        args += (theta,)
     if masked:
         args += (face_codes[0], face_codes[1], fluid_code)
     uo, vo, rhs = pl.pallas_call(
@@ -617,10 +663,15 @@ def _corr2d_kernel(
     sc_ref, u_hbm, v_hbm, p_hbm, *rest,
     T: int, n: tuple, h: tuple, own: dict, RP: int, masked: bool,
     per: tuple = (False, False),
+    thermal: bool = False, alpha: float = 0.0, tgamma: float = 0.0,
+    thg: dict = None,
 ):
     if masked:
         cu_hbm, cv_hbm, fc_hbm, uo, vo, divmax_ref, velmax_ref, \
             us, vs, ps, sems, cu_s, cv_s, fc_s, csems = rest
+    elif thermal:
+        th_hbm, uo, vo, th_out, divmax_ref, velmax_ref, \
+            us, vs, ps, ths, sems, th_g, tgsem = rest
     else:
         uo, vo, divmax_ref, velmax_ref, us, vs, ps, sems = rest
     j = pl.program_id(0)
@@ -646,6 +697,10 @@ def _corr2d_kernel(
                 p_hbm.at[pl.ds(st, R4)], ps.at[ph], sems.at[ph, 2],
             ),
         ]
+        if thermal:
+            cps.append(pltpu.make_async_copy(
+                th_hbm.at[pl.ds(st, R4)], ths.at[ph], sems.at[ph, 3],
+            ))
         if masked:
             cps += [
                 pltpu.make_async_copy(
@@ -667,6 +722,18 @@ def _corr2d_kernel(
     def _prefetch():
         for cp in _dma(j * T + (T - 8), j * T + T, 1 - phase):
             cp.start()
+
+    if thermal:
+        # theta's global row -1 ghost (refreshed at input row RP-1): one
+        # 8-row-aligned fetch, last row is the ghost
+        gcp = pltpu.make_async_copy(
+            th_hbm.at[pl.ds(RP - 8, 8)], th_g, tgsem
+        )
+
+        @pl.when(j == 0)
+        def _theta_lo_ghost():
+            gcp.start()
+            gcp.wait()
 
     @pl.when(j < G)
     def _wait():
@@ -767,6 +834,68 @@ def _corr2d_kernel(
         uo[...] = u_keep[:T]
         vo[...] = v_keep[:T]
 
+        if thermal:
+            # conservative flux-form theta update with the corrected
+            # velocities in-register (scalar.scalar_rhs semantics)
+            dt_s = sc_ref[1]
+            thw2 = ths[phase]
+            th_c = thw2[ro:ro + T]                    # cells jT..jT+T-1
+            if ro == 0:
+                th_m0 = jnp.where(
+                    _row_iota(th_c.shape) == 0,
+                    th_g[7:8], jnp.roll(thw2[0:T], 1, axis=0),
+                )
+            else:
+                th_m0 = thw2[ro - 1:ro - 1 + T]
+            th_p0 = thw2[ro + 1:ro + 1 + T]           # cell k+1 (row n0 =
+            #                                           refreshed hi ghost)
+
+            def face_th(t_m, t_p, uf):
+                tf = 0.5 * (t_m + t_p)
+                if tgamma > 0.0:
+                    tf = (tgamma * jnp.where(uf > 0.0, t_m, t_p)
+                          + (1.0 - tgamma) * tf)
+                return tf
+
+            f_lo0 = u_keep[:T] * face_th(th_m0, th_c, u_keep[:T])
+            f_hi0 = u_keep[1:T + 1] * face_th(th_c, th_p0, u_keep[1:T + 1])
+            adv = (f_hi0 - f_lo0) * (1.0 / hx)
+            lap_t = (th_m0 - 2.0 * th_c + th_p0) * (1.0 / (hx * hx))
+
+            def tgfix(side, edge_idx):
+                spec = thg[(1, side)]
+                if spec[0] == "wrap":
+                    return None
+                return (edge_idx, spec[1], spec[2])
+
+            t_m1 = (_lane_wrap(th_c, -1, n1)
+                    if thg[(1, 0)][0] == "wrap"
+                    else _lane_shift(th_c, -1, tgfix(0, 0)))
+            t_hi1 = (_lane_wrap(th_c, +1, n1)
+                     if thg[(1, 1)][0] == "wrap"
+                     else _lane_shift(th_c, +1, tgfix(1, n1 - 1)))
+            vk = v_keep[:T]
+            F1 = vk * face_th(t_m1, th_c, vk)
+            if per[1]:
+                F1hi = jnp.roll(F1, -1, axis=1)        # face n1 == face 0
+            else:
+                spv = own[(1, 1)]
+                vhi_arr = (_lane_shift(vk, +1, (n1 - 1, 1.0, 0.0))
+                           if spv[0] == "copy"
+                           else jnp.full_like(vk, spv[1]))
+                fhi_face = vhi_arr * face_th(th_c, t_hi1, vhi_arr)
+                F1hi = jnp.where(
+                    _lane_iota(F1.shape) == n1 - 1,
+                    fhi_face, jnp.roll(F1, -1, axis=1),
+                )
+            adv = adv + (F1hi - F1) * (1.0 / hy)
+            lap_t = lap_t + (t_m1 - 2.0 * th_c + t_hi1) \
+                * (1.0 / (hy * hy))
+            th_new = th_c + dt_s * (alpha * lap_t - adv)
+            keep_th = ((_row_iota(th_new.shape) + j * T < n0)
+                       & (_lane_iota(th_new.shape) < n1))
+            th_out[...] = jnp.where(keep_th, th_new, 0.0)
+
         dd = (u_keep[1:T + 1] - u_keep[:T]) * (1.0 / hx) + \
              (lane_hi(v_keep[:T]) - v_keep[:T]) * (1.0 / hy)
         # iotas built AT the consumer's shape: a jnp.where over SLICED
@@ -800,6 +929,8 @@ def _corr2d_kernel(
     def _margin():
         uo[...] = jnp.zeros(uo.shape, uo.dtype)
         vo[...] = jnp.zeros(vo.shape, vo.dtype)
+        if thermal:
+            th_out[...] = jnp.zeros(th_out.shape, th_out.dtype)
         divmax_ref[...] = jnp.zeros(divmax_ref.shape, divmax_ref.dtype)
         velmax_ref[...] = jnp.zeros(velmax_ref.shape, velmax_ref.dtype)
 
@@ -814,9 +945,14 @@ def correct_diag_2d_internal(
     fluid_code=None,
     tile: int = 128,
     interpret: bool = False,
+    theta=None,
+    scalar_cfg=None,
+    dt=None,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
-    internal-layout u_new plus (max |div u| over fluid, max |u_a|/h_a)."""
+    internal-layout u_new plus (max |div u| over fluid, max |u_a|/h_a) --
+    and, with ``theta``/``scalar_cfg``/``dt``, the advanced scalar as a
+    fourth result (flux-form update fused into the same pass)."""
     from ..bcs import periodic_axes
 
     n0, n1 = grid.shape
@@ -826,6 +962,28 @@ def correct_diag_2d_internal(
     per = tuple(periodic_axes(grid, bcs))
     assert not (masked and any(per)), "obstacles + periodic not supported"
     own = {(a, s): _own_face_2d(bcs, a, s) for a in range(2) for s in (0, 1)}
+    thermal = theta is not None
+    if thermal:
+        assert not masked, "obstacles + thermal not fused"
+        assert own[(0, 1)][0] != "copy", \
+            "thermal + axis-0 HI outflow not fused"
+        from .pallas_kernels import theta_ghost_table
+
+        thg = theta_ghost_table(scalar_cfg, 2)
+        assert thg is not None
+        # refresh the axis-0 theta ghost rows in the carried layout:
+        # row n0 = hi ghost, row RP-1 = lo ghost (global cell -1)
+        upd = jax.lax.dynamic_update_slice_in_dim
+        if thg[(0, 1)][0] == "wrap":
+            hi_row = theta[0:1]
+        else:
+            hi_row = thg[(0, 1)][1] * theta[n0 - 1:n0] + thg[(0, 1)][2]
+        if thg[(0, 0)][0] == "wrap":
+            lo_row = theta[n0 - 1:n0]
+        else:
+            lo_row = thg[(0, 0)][1] * theta[0:1] + thg[(0, 0)][2]
+        theta = upd(theta, hi_row, n0, axis=0)
+        theta = upd(theta, lo_row, RP - 1, axis=0)
     # ONE leading pad row so p window starts can reach row -1
     pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, L - n1)])
     if per[0]:
@@ -836,20 +994,36 @@ def correct_diag_2d_internal(
         pp = upd(pp, pp[n0:n0 + 1], 0, axis=0)
         pp = upd(pp, pp[1:2], n0 + 1, axis=0)
     # 2 entries: a length-1 SMEM operand trips an XLA windowing check here
-    sc = jnp.stack([jnp.asarray(scale, jnp.float32),
-                    jnp.zeros((), jnp.float32)])
+    # (slot 1 doubles as dt for the fused thermal update)
+    sc = jnp.stack([
+        jnp.asarray(scale, jnp.float32),
+        (jnp.asarray(dt, jnp.float32) if thermal
+         else jnp.zeros((), jnp.float32)),
+    ])
     kern = functools.partial(
         _corr2d_kernel, T=T, n=(n0, n1), h=h, own=own, RP=RP, masked=masked,
-        per=per,
+        per=per, thermal=thermal,
+        alpha=float(scalar_cfg.diffusivity) if thermal else 0.0,
+        tgamma=float(scalar_cfg.upwind_gamma) if thermal else 0.0,
+        thg=thg if thermal else None,
     )
+    n_any = 3 + (3 if masked else 0) + (1 if thermal else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
-        [pl.BlockSpec(memory_space=pl.ANY)] * (6 if masked else 3)
+        [pl.BlockSpec(memory_space=pl.ANY)] * n_any
     scratch = [
         pltpu.VMEM((2, T + 16, L), jnp.float32),
         pltpu.VMEM((2, T + 16, L), jnp.float32),
         pltpu.VMEM((2, T + 16, L), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 3)),
     ]
+    if thermal:
+        scratch += [
+            pltpu.VMEM((2, T + 16, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((8, L), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
     if masked:
         scratch += [
             pltpu.VMEM((2, 2 * T, L), jnp.uint8),
@@ -858,32 +1032,42 @@ def correct_diag_2d_internal(
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
     args = (sc, u_star_internal[0], u_star_internal[1], pp)
+    if thermal:
+        args += (theta,)
     if masked:
         args += (face_codes[0], face_codes[1], fluid_code)
-    uo, vo, divp, velp = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((RP, L), jnp.float32),
+        jax.ShapeDtypeStruct((RP, L), jnp.float32),
+    ]
+    vol2 = pl.BlockSpec((T, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_specs = [vol2, vol2]
+    if thermal:
+        out_shape.append(jax.ShapeDtypeStruct((RP, L), jnp.float32))
+        out_specs.append(vol2)
+    out_shape += [
+        # rank-2 diag partials: mixing rank-3 outputs into a rank-2
+        # kernel crashes XLA's custom-call output preparation
+        jax.ShapeDtypeStruct((8 * (G + 1), 128), jnp.float32),
+        jax.ShapeDtypeStruct((8 * (G + 1), 128), jnp.float32),
+    ]
+    red2 = pl.BlockSpec((8, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_specs += [red2, red2]
+    res = pl.pallas_call(
         kern,
-        out_shape=[
-            jax.ShapeDtypeStruct((RP, L), jnp.float32),
-            jax.ShapeDtypeStruct((RP, L), jnp.float32),
-            # rank-2 diag partials: mixing rank-3 outputs into a rank-2
-            # kernel crashes XLA's custom-call output preparation
-            jax.ShapeDtypeStruct((8 * (G + 1), 128), jnp.float32),
-            jax.ShapeDtypeStruct((8 * (G + 1), 128), jnp.float32),
-        ],
+        out_shape=out_shape,
         grid=(G + 1,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((T, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
+    if thermal:
+        uo, vo, theta_new, divp, velp = res
+        return (uo, vo), jnp.max(divp), jnp.max(velp), theta_new
+    uo, vo, divp, velp = res
     return (uo, vo), jnp.max(divp), jnp.max(velp)

@@ -351,7 +351,7 @@ class Simulation:
             return False
         if self.params.integrator != "euler":
             return False
-        if self.shardings is not None or self.scalar is not None:
+        if self.shardings is not None:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
@@ -360,6 +360,15 @@ class Simulation:
             return False
         from .ops import pallas_2d
 
+        if self.scalar is not None:
+            from .ops import pallas_kernels
+
+            if pallas_kernels.theta_ghost_table(self.scalar, 2) is None:
+                return False
+            if self.face_masks is not None or self.corr_masks is not None:
+                return False
+            if self.bcs[(0, 1)].kind is bcs_mod.BCKind.OUTFLOW:
+                return False
         return pallas_2d.fused_step2d_applicable(self.grid, self.bcs)
 
     def _face_codes_2d(self):
@@ -419,12 +428,16 @@ class Simulation:
         dt = (self._dt_from_vel(vel) if pr.cfl is not None
               else jnp.asarray(pr.dt, g.dtype))
         codes, fc = self._face_codes_2d()
+        thermal = self.scalar is not None and istate.theta is not None
         with jax.named_scope("predictor"):
             u_star, rhs = pallas_2d.predictor_rhs_2d_internal(
                 g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
                 face_codes=codes, fluid_code=fc,
                 interpret=self.pallas_interpret,
                 forcing=self._static_forcing(),
+                theta=istate.theta if thermal else None,
+                buoyancy=self.scalar.buoyancy if thermal else None,
+                theta_ref=self.scalar.theta_ref if thermal else 0.0,
             )
         with jax.named_scope("poisson"):
             beta = pr.poisson.extrapolate
@@ -434,11 +447,19 @@ class Simulation:
                 p_start = istate.p
             p, iters, res = self._solve_pressure(rhs, p_start)
         with jax.named_scope("correction"):
-            iu_new, max_div, max_vel = pallas_2d.correct_diag_2d_internal(
+            corr = pallas_2d.correct_diag_2d_internal(
                 g, b, u_star, p, dt / pr.rho,
                 face_codes=codes, fluid_code=fc,
                 interpret=self.pallas_interpret,
+                theta=istate.theta if thermal else None,
+                scalar_cfg=self.scalar if thermal else None,
+                dt=dt if thermal else None,
             )
+            if thermal:
+                iu_new, max_div, max_vel, theta_new = corr
+            else:
+                iu_new, max_div, max_vel = corr
+                theta_new = istate.theta
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,
@@ -447,7 +468,8 @@ class Simulation:
             dt=dt,
         )
         p_prev_new = istate.p if istate.p_prev is not None else None
-        return State(u=iu_new, p=p, p_prev=p_prev_new), diag, max_vel
+        return (State(u=iu_new, p=p, theta=theta_new, p_prev=p_prev_new),
+                diag, max_vel)
 
     def _step_fused2d(self, state: State) -> tuple[State, StepDiagnostics]:
         from .ops import pallas_2d
@@ -455,11 +477,17 @@ class Simulation:
         vel = (self._vel_inv(state.u) if self.params.cfl is not None
                else None)
         iu = pallas_2d.to_internal_2d(self.grid, state.u)
+        itheta = (pallas_2d.pad_theta_2d(self.grid, state.theta)
+                  if state.theta is not None else None)
         istate, diag, _ = self._step_fused2d_internal(
-            State(u=iu, p=state.p, p_prev=state.p_prev), vel
+            State(u=iu, p=state.p, theta=itheta, p_prev=state.p_prev), vel
         )
         u0, u1 = pallas_2d.from_internal_2d(self.grid, self.bcs, istate.u)
-        return State(u=(u0, u1), p=istate.p, p_prev=istate.p_prev), diag
+        n0, n1 = self.grid.shape
+        theta = (istate.theta[:n0, :n1]
+                 if istate.theta is not None else None)
+        return State(u=(u0, u1), p=istate.p, theta=theta,
+                     p_prev=istate.p_prev), diag
 
     def _solve_pressure(self, rhs: Array, p0: Array):
         """Dispatch to the configured pressure solver; returns (p, iters, res)."""
@@ -901,6 +929,8 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         from .ops import pallas_2d
 
         iu = pallas_2d.to_internal_2d(sim.grid, state.u)
+        itheta = (pallas_2d.pad_theta_2d(sim.grid, state.theta)
+                  if state.theta is not None else None)
 
         def body2d(carry, _):
             st, vel = carry
@@ -909,12 +939,17 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
 
         (istate, _), diags = jax.lax.scan(
             body2d,
-            (State(u=iu, p=state.p, p_prev=state.p_prev), vel0),
+            (State(u=iu, p=state.p, theta=itheta, p_prev=state.p_prev),
+             vel0),
             xs=None, length=n_steps,
         )
         u0, u1 = pallas_2d.from_internal_2d(sim.grid, sim.bcs, istate.u)
+        n0, n1 = sim.grid.shape
+        theta = (istate.theta[:n0, :n1]
+                 if istate.theta is not None else None)
         return (
-            State(u=(u0, u1), p=istate.p, p_prev=istate.p_prev), diags
+            State(u=(u0, u1), p=istate.p, theta=theta,
+                  p_prev=istate.p_prev), diags
         )
     if sim._fused3d_ok():
         # Carry the fused kernels' internal padded layout THROUGH the scan:

@@ -262,3 +262,52 @@ def test_fused2d_cfl_adaptive_matches_reference():
     sf, df = sim_fused.step(st)
     sr, dr = sim_ref.step(st)
     np.testing.assert_allclose(float(df.dt), float(dr.dt), rtol=1e-6)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("heated_cavity", dict(shape=(32, 32), ra=1e4)),
+    ("rayleigh_benard", dict(shape=(64, 32), ra=5e3)),
+])
+def test_fused2d_thermal_matches_reference(name, kwargs):
+    """Fused thermal 2D step: Boussinesq buoyancy in the predictor kernel,
+    flux-form theta update in the corrector kernel -- u, p AND theta track
+    the jnp path (Rayleigh-Benard also exercises periodic rows + thermal)."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case(name, **kwargs)
+    sim_ref = case.sim
+    assert sim_ref.scalar is not None
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused2d_ok()
+
+    st = case.initial_state()
+    assert st.theta is not None
+    sr, sf = st, st
+    for _ in range(4):
+        sr, dr = sim_ref.step(sr)
+        sf, df = sim_fused.step(sf)
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(sf.u[c]), np.asarray(sr.u[c]), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(sf.theta), np.asarray(sr.theta), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sf.p), np.asarray(sr.p), rtol=2e-4, atol=2e-5
+    )
+
+    a, _ = sim_ref.run_scan(st, 6)
+    b, _ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.theta), np.asarray(a.theta), rtol=2e-5, atol=2e-6
+    )
