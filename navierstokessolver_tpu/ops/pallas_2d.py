@@ -235,20 +235,29 @@ def _pred2d_kernel(
     tg: dict, own: dict, RP: int, masked: bool,
     per: tuple = (False, False), force: tuple = (0.0, 0.0),
     buoy: tuple = (0.0, 0.0), tref: float = 0.0, thermal: bool = False,
+    based: bool = False,
 ):
+    # canonical optional-operand/scratch order: thermal, based, masked,
+    # then the per[0] lo-ghost scratches (matches the wrapper)
+    it = iter(rest)
+    if thermal:
+        th_hbm = next(it)
+    if based:
+        bu_hbm, bv_hbm = next(it), next(it)
     if masked:
-        cu_hbm, cv_hbm, fc_hbm, uo, vo, rhs_ref, us, vs, sems, \
-            cu_s, cv_s, fc_s, csems = rest
-    elif thermal and per[0]:
-        th_hbm, uo, vo, rhs_ref, us, vs, ths, sems, ug, vg, gsems = rest
-    elif thermal:
-        th_hbm, uo, vo, rhs_ref, us, vs, ths, sems = rest
-    elif per[0]:
+        cu_hbm, cv_hbm, fc_hbm = next(it), next(it), next(it)
+    uo, vo, rhs_ref, us, vs = (next(it) for _ in range(5))
+    if thermal:
+        ths = next(it)
+    if based:
+        bus, bvs = next(it), next(it)
+    sems = next(it)
+    if masked:
+        cu_s, cv_s, fc_s, csems = (next(it) for _ in range(4))
+    if per[0]:
         # periodic rows: +2 one-row lo-ghost scratches (global row n0-1,
         # DMA'd off the wrapper-refreshed input row RP-1 at stripe 0)
-        uo, vo, rhs_ref, us, vs, sems, ug, vg, gsems = rest
-    else:
-        uo, vo, rhs_ref, us, vs, sems = rest
+        ug, vg, gsems = next(it), next(it), next(it)
     i = pl.program_id(0)
     n0, n1 = n
     hx, hy = h
@@ -270,6 +279,8 @@ def _pred2d_kernel(
         pairs = [(u_hbm, us), (v_hbm, vs)]
         if thermal:
             pairs.append((th_hbm, ths))   # theta rides the same windows
+        if based:
+            pairs += [(bu_hbm, bus), (bv_hbm, bvs)]   # rk2 base state
         cps = [
             pltpu.make_async_copy(
                 ref.at[pl.ds(st, R4)], scr.at[ph],
@@ -416,7 +427,11 @@ def _pred2d_kernel(
             th_m = (jnp.roll(thw, 1, axis=0)[0:rows_u] if bu == 0
                     else thw[bu - 1:bu - 1 + rows_u])
             rhs_u = rhs_u + buoy[0] * (0.5 * (th_m + th_c) - tref)
-        u_star = uc + dt * rhs_u
+        if based:
+            # rk2 stage 2: u* = u_base + dt*RHS(u_mid)
+            u_star = bus[phase][bu:bu + rows_u] + dt * rhs_u
+        else:
+            u_star = uc + dt * rhs_u
 
         # ---- v stars ---------------------------------------------------
         vc = vw[bu:bu + rows_v]
@@ -455,7 +470,10 @@ def _pred2d_kernel(
             th_cv = thw[bu:bu + rows_v]
             th_mv = _lane_shift(th_cv, -1, None)   # face-0 garbage: BC'd
             rhs_v = rhs_v + buoy[1] * (0.5 * (th_mv + th_cv) - tref)
-        v_star = vc + dt * rhs_v
+        if based:
+            v_star = bvs[phase][bu:bu + rows_v] + dt * rhs_v
+        else:
+            v_star = vc + dt * rhs_v
 
         # ---- in-register BCs -------------------------------------------
         # (periodic own axis: face 0 is computed from wrap reads; u's
@@ -531,12 +549,14 @@ def predictor_rhs_2d_internal(
     theta=None,
     buoyancy=None,
     theta_ref: float = 0.0,
+    base=None,
 ):
     """Fused u*, v* + rhs over internal-layout inputs. ``face_codes`` /
     ``fluid_code`` enable the masked (obstacle) variant. ``forcing``:
     optional per-component STATIC scalar body force. ``theta`` +
     ``buoyancy`` fuse the Boussinesq forcing (theta in the internal
-    layout, streamed with the u/v windows)."""
+    layout, streamed with the u/v windows). ``base``: rk2 stage-2 mode
+    (``iu`` is the midpoint field; u* = base + dt*RHS(iu))."""
     from ..bcs import periodic_axes
 
     n0, n1 = grid.shape
@@ -549,6 +569,7 @@ def predictor_rhs_2d_internal(
     if buoyancy is not None:
         buoy = tuple(float(bb) for bb in buoyancy)
     thermal = theta is not None and any(buoy)
+    based = base is not None
     assert not (masked and thermal), "obstacles + thermal not fused"
 
     if per[0]:
@@ -581,18 +602,17 @@ def predictor_rhs_2d_internal(
     kern = functools.partial(
         _pred2d_kernel, T=T, n=(n0, n1), h=h, nu=nu, gamma=upwind_gamma,
         tg=tg, own=own, RP=RP, masked=masked, per=per, force=force,
-        buoy=buoy, tref=float(theta_ref), thermal=thermal,
+        buoy=buoy, tref=float(theta_ref), thermal=thermal, based=based,
     )
-    n_any = 2 + (3 if masked else 0) + (1 if thermal else 0)
+    n_any = 2 + (3 if masked else 0) + (1 if thermal else 0) \
+        + (2 if based else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
         [pl.BlockSpec(memory_space=pl.ANY)] * n_any
+    n_win = 2 + (1 if thermal else 0) + (2 if based else 0)
     scratch = [
-        pltpu.VMEM((2, T + 16, L), jnp.float32),
-        pltpu.VMEM((2, T + 16, L), jnp.float32),
+        pltpu.VMEM((2, T + 16, L), jnp.float32) for _ in range(n_win)
     ]
-    if thermal:
-        scratch.append(pltpu.VMEM((2, T + 16, L), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((2, 3 if thermal else 2)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_win)))
     if masked:
         scratch += [
             pltpu.VMEM((2, 2 * T, L), jnp.uint8),
@@ -600,7 +620,7 @@ def predictor_rhs_2d_internal(
             pltpu.VMEM((2, 2 * T, L), jnp.uint8),
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
-    elif per[0]:
+    if per[0]:
         scratch += [
             pltpu.VMEM((8, L), jnp.float32),
             pltpu.VMEM((8, L), jnp.float32),
@@ -609,6 +629,8 @@ def predictor_rhs_2d_internal(
     args = (sc, iu[0], iu[1])
     if thermal:
         args += (theta,)
+    if based:
+        args += (base[0], base[1])
     if masked:
         args += (face_codes[0], face_codes[1], fluid_code)
     uo, vo, rhs = pl.pallas_call(

@@ -1271,7 +1271,7 @@ def _fused_pred_kernel(
     masked: bool = False, per: tuple = (False, False, False),
     force: tuple = (0.0, 0.0, 0.0),
     buoy: tuple = (0.0, 0.0, 0.0), tref: float = 0.0,
-    thermal: bool = False,
+    thermal: bool = False, based: bool = False,
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
@@ -1300,9 +1300,16 @@ def _fused_pred_kernel(
         (c0_hbm, c1_hbm, c2_hbm, fc_hbm, out0, out1, out2, rhs_ref,
          s0, s1, s2, sems, sg0, sg1, sg2, gsems,
          cs0, cs1, cs2, cfs, csems) = rest
+    elif thermal and based:
+        (th_hbm, b0_hbm, b1_hbm, b2_hbm, out0, out1, out2, rhs_ref,
+         s0, s1, s2, s_th, sb0, sb1, sb2, sems,
+         sg0, sg1, sg2, gsems) = rest
     elif thermal:
         (th_hbm, out0, out1, out2, rhs_ref,
          s0, s1, s2, s_th, sems, sg0, sg1, sg2, gsems) = rest
+    elif based:
+        (b0_hbm, b1_hbm, b2_hbm, out0, out1, out2, rhs_ref,
+         s0, s1, s2, sb0, sb1, sb2, sems, sg0, sg1, sg2, gsems) = rest
     else:
         (out0, out1, out2, rhs_ref,
          s0, s1, s2, sems, sg0, sg1, sg2, gsems) = rest
@@ -1326,13 +1333,18 @@ def _fused_pred_kernel(
     # budget) holds ONE half and serializes each stripe's transfer --
     # still one fused HBM pass, just without copy/compute overlap.
     phase = jax.lax.rem(i, 2) if db else 0
+    # extra volumes ride the same windows/starts as the velocity volumes:
+    # theta (buoyancy), and the rk2 base state whose center anchors
+    # star = base + dt*RHS(midpoint)
+    refs = (u0_hbm, u1_hbm, u2_hbm)
+    scrs = [s0, s1, s2]
     if thermal:
-        # theta rides the same windows/starts as the velocity volumes
-        refs = (u0_hbm, u1_hbm, u2_hbm, th_hbm)
-        scrs = (s0, s1, s2, s_th)
-    else:
-        refs = (u0_hbm, u1_hbm, u2_hbm)
-        scrs = (s0, s1, s2)
+        refs += (th_hbm,)
+        scrs.append(s_th)
+    if based:
+        refs += (b0_hbm, b1_hbm, b2_hbm)
+        scrs += [sb0, sb1, sb2]
+    scrs = tuple(scrs)
 
     def _dma(j, ph):
         st = jnp.clip(j * T - 1, 0, RP - R3)
@@ -1584,7 +1596,13 @@ def _fused_pred_kernel(
                     th_c = thw[ro:ro + rows, :S]
                     th_m = _shift_fix(th_c, a, -1, None)
                 rhs_a = rhs_a + buoy[a] * (0.5 * (th_m + th_c) - tref)
-            star = c0 + dt * rhs_a
+            if based:
+                # rk2 stage 2: u* = u_base + dt*RHS(u_mid) -- the window
+                # holds the midpoint field, the base streams separately
+                bw = (sb0, sb1, sb2)[a][pl.ds(off, R3)]
+                star = bw[ro:ro + rows, :SOUT[a]] + dt * rhs_a
+            else:
+                star = c0 + dt * rhs_a
 
             # in-kernel BC application to the component's boundary faces
             # (periodic own axis: face 0 is COMPUTED from wrap reads; the
@@ -1716,9 +1734,14 @@ def predictor_rhs_3d_internal(
     theta=None,
     buoyancy=None,
     theta_ref: float = 0.0,
+    base=None,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
     internal-layout u* and the exact-shaped rhs.
+
+    ``base``: rk2 stage-2 mode -- ``iu`` is the MIDPOINT field whose
+    advection-diffusion RHS advances the separately streamed ``base``
+    state: u* = base + dt*RHS(iu).
 
     ``forcing``: optional per-component STATIC scalar body force (the
     channel/duct constant pressure-gradient surrogate). ``theta`` +
@@ -1784,24 +1807,30 @@ def predictor_rhs_3d_internal(
     if buoyancy is not None:
         buoy = tuple(float(b) for b in buoyancy)
     thermal = theta is not None and any(buoy)
-    if thermal:
+    based = base is not None
+    if thermal or based:
         assert not (halo or masked), \
-            "fused thermal predictor: unsharded, no obstacles"
+            "fused thermal/rk2 predictor: unsharded, no obstacles"
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
         tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked, per=per,
         force=force, buoy=buoy, tref=float(theta_ref), thermal=thermal,
+        based=based,
     )
-    scratch = [
+    win = [
         pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
         pltpu.VMEM((nb * (T + 3), S1, L), jnp.float32),
         pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
     ]
+    scratch = list(win)
     if thermal:
         scratch.append(pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32))
+    if based:
+        scratch += list(win)
+    n_vols = 3 + (1 if thermal else 0) + (3 if based else 0)
     scratch += [
-        pltpu.SemaphoreType.DMA((2, 4 if thermal else 3)),
+        pltpu.SemaphoreType.DMA((2, n_vols)),
         pltpu.VMEM((1, S0, L), jnp.float32),
         pltpu.VMEM((1, S1, L), jnp.float32),
         pltpu.VMEM((1, S0, L), jnp.float32),
@@ -1810,8 +1839,10 @@ def predictor_rhs_3d_internal(
     args = (sc, iu[0], iu[1], iu[2])
     if thermal:
         args += (theta,)
+    if based:
+        args += (base[0], base[1], base[2])
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
-        [pl.BlockSpec(memory_space=pl.ANY)] * (4 if thermal else 3)
+        [pl.BlockSpec(memory_space=pl.ANY)] * n_vols
     if masked:
         SC = _code_sublanes(grid)
         args += (face_codes[0], face_codes[1], face_codes[2], fluid_code)

@@ -279,7 +279,7 @@ class Simulation:
             )
         if not use or self.grid.ndim != 3:
             return False
-        if self.params.integrator != "euler":
+        if self.params.integrator not in ("euler", "rk2"):
             return False
         # CFL-adaptive dt IS supported: the corrector kernel's masked
         # max|u_a|/h_a diagnostic (garbage rows excluded) is carried through
@@ -349,7 +349,7 @@ class Simulation:
         use = self.params.use_pallas
         if not use or self.grid.ndim != 2:
             return False
-        if self.params.integrator != "euler":
+        if self.params.integrator not in ("euler", "rk2"):
             return False
         if self.shardings is not None:
             return False
@@ -429,23 +429,49 @@ class Simulation:
               else jnp.asarray(pr.dt, g.dtype))
         codes, fc = self._face_codes_2d()
         thermal = self.scalar is not None and istate.theta is not None
-        with jax.named_scope("predictor"):
-            u_star, rhs = pallas_2d.predictor_rhs_2d_internal(
-                g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
-                face_codes=codes, fluid_code=fc,
-                interpret=self.pallas_interpret,
-                forcing=self._static_forcing(),
-                theta=istate.theta if thermal else None,
-                buoyancy=self.scalar.buoyancy if thermal else None,
-                theta_ref=self.scalar.theta_ref if thermal else 0.0,
-            )
+        pred_kw = dict(
+            rho=pr.rho,
+            face_codes=codes, fluid_code=fc,
+            interpret=self.pallas_interpret,
+            forcing=self._static_forcing(),
+            theta=istate.theta if thermal else None,
+            buoyancy=self.scalar.buoyancy if thermal else None,
+            theta_ref=self.scalar.theta_ref if thermal else 0.0,
+        )
+        beta = pr.poisson.extrapolate
+        if beta and istate.p_prev is not None:
+            p_start = istate.p + beta * (istate.p - istate.p_prev)
+        else:
+            p_start = istate.p
+        it_extra = 0
+        if pr.integrator == "rk2":
+            with jax.named_scope("predictor_half"):
+                ush, rhsh = pallas_2d.predictor_rhs_2d_internal(
+                    g, b, istate.u, 0.5 * dt, pr.nu, pr.upwind_gamma,
+                    **pred_kw,
+                )
+            with jax.named_scope("poisson_half"):
+                ph_, it_extra, _ = self._solve_pressure(rhsh, p_start)
+            with jax.named_scope("correction_half"):
+                iu_h, _, _ = pallas_2d.correct_diag_2d_internal(
+                    g, b, ush, ph_, 0.5 * dt / pr.rho,
+                    face_codes=codes, fluid_code=fc,
+                    interpret=self.pallas_interpret,
+                )
+            with jax.named_scope("predictor"):
+                u_star, rhs = pallas_2d.predictor_rhs_2d_internal(
+                    g, b, iu_h, dt, pr.nu, pr.upwind_gamma,
+                    base=istate.u, **pred_kw,
+                )
+            p_start = ph_
+        else:
+            with jax.named_scope("predictor"):
+                u_star, rhs = pallas_2d.predictor_rhs_2d_internal(
+                    g, b, istate.u, dt, pr.nu, pr.upwind_gamma, **pred_kw,
+                )
         with jax.named_scope("poisson"):
-            beta = pr.poisson.extrapolate
-            if beta and istate.p_prev is not None:
-                p_start = istate.p + beta * (istate.p - istate.p_prev)
-            else:
-                p_start = istate.p
             p, iters, res = self._solve_pressure(rhs, p_start)
+            iters = iters + it_extra
         with jax.named_scope("correction"):
             corr = pallas_2d.correct_diag_2d_internal(
                 g, b, u_star, p, dt / pr.rho,
@@ -532,23 +558,53 @@ class Simulation:
               else jnp.asarray(pr.dt, g.dtype))
         codes, fcode = self._face_codes_3d()
         thermal = self.scalar is not None and istate.theta is not None
-        with jax.named_scope("predictor"):
-            u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
-                g, b, istate.u, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
-                interpret=self.pallas_interpret,
-                face_codes=codes, fluid_code=fcode,
-                forcing=self._static_forcing(),
-                theta=istate.theta if thermal else None,
-                buoyancy=self.scalar.buoyancy if thermal else None,
-                theta_ref=self.scalar.theta_ref if thermal else 0.0,
-            )
+        pred_kw = dict(
+            rho=pr.rho,
+            interpret=self.pallas_interpret,
+            face_codes=codes, fluid_code=fcode,
+            forcing=self._static_forcing(),
+            theta=istate.theta if thermal else None,
+            buoyancy=self.scalar.buoyancy if thermal else None,
+            theta_ref=self.scalar.theta_ref if thermal else 0.0,
+        )
+        beta = pr.poisson.extrapolate
+        if beta and istate.p_prev is not None:
+            p_start = istate.p + beta * (istate.p - istate.p_prev)
+        else:
+            p_start = istate.p
+        it_extra = 0
+        if pr.integrator == "rk2":
+            # midpoint rule, both stages fused: stage 1 advances half a
+            # step and projects; stage 2 streams the stage-1 field as the
+            # stencil source while anchoring u* at the step-start state
+            # (u* = u_n + dt*RHS(u_half)), matching the jnp rk2 branch.
+            with jax.named_scope("predictor_half"):
+                ush, rhsh = pallas_kernels.predictor_rhs_3d_internal(
+                    g, b, istate.u, 0.5 * dt, pr.nu, pr.upwind_gamma,
+                    **pred_kw,
+                )
+            with jax.named_scope("poisson_half"):
+                ph_, it_extra, _ = self._solve_pressure(rhsh, p_start)
+            with jax.named_scope("correction_half"):
+                iu_h, _, _ = pallas_kernels.correct_diag_3d_internal(
+                    g, b, ush, ph_, 0.5 * dt / pr.rho,
+                    interpret=self.pallas_interpret,
+                    face_codes=codes, fluid_code=fcode,
+                )
+            with jax.named_scope("predictor"):
+                u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
+                    g, b, iu_h, dt, pr.nu, pr.upwind_gamma,
+                    base=istate.u, **pred_kw,
+                )
+            p_start = ph_
+        else:
+            with jax.named_scope("predictor"):
+                u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
+                    g, b, istate.u, dt, pr.nu, pr.upwind_gamma, **pred_kw,
+                )
         with jax.named_scope("poisson"):
-            beta = pr.poisson.extrapolate
-            if beta and istate.p_prev is not None:
-                p_start = istate.p + beta * (istate.p - istate.p_prev)
-            else:
-                p_start = istate.p
             p, iters, res = self._solve_pressure(rhs, p_start)
+            iters = iters + it_extra
         with jax.named_scope("correction"):
             corr = pallas_kernels.correct_diag_3d_internal(
                 g, b, u_star, p, dt / pr.rho,

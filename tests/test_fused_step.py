@@ -546,3 +546,42 @@ def test_fused3d_sphere_obstacle_matches_reference():
     np.testing.assert_allclose(
         np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fused3d_rk2_matches_reference():
+    """RK2 (midpoint) through the fused 3D path: both stages run the
+    fused kernels (stage 2 streams the midpoint field while anchoring u*
+    at the step-start state); trajectory matches the jnp rk2 branch."""
+    from navierstokessolver_tpu.solver import SimParams, PoissonConfig, \
+        Simulation
+
+    g = GridSpec(shape=(16, 8, 8), lengths=(1.0, 0.5, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(2, 1)] = BCSpec.wall((0.6, 0.2, 0.0))
+    params = SimParams(dt=2e-3, nu=0.02, integrator="rk2",
+                       poisson=PoissonConfig(method="mg", tol=1e-6,
+                                             max_iters=400))
+    sim_ref = Simulation.build(g, bcs, params)
+    p_fused = dataclasses.replace(params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        Simulation.build(g, bcs, p_fused), pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    st = _mk_state(g, bcs, seed=5)
+    from navierstokessolver_tpu.grid import State
+
+    st = State(u=st, p=jnp.zeros(g.shape, jnp.float32))
+    a, da = sim_ref.run_scan(st, 5)
+    b, db_ = sim_fused.run_scan(st, 5)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
+    )
+    # per-step Poisson iters include BOTH stages (jnp adds them too)
+    np.testing.assert_array_equal(
+        np.asarray(db_.poisson_iters), np.asarray(da.poisson_iters)
+    )

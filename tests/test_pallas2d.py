@@ -311,3 +311,34 @@ def test_fused2d_thermal_matches_reference(name, kwargs):
     np.testing.assert_allclose(
         np.asarray(b.theta), np.asarray(a.theta), rtol=2e-5, atol=2e-6
     )
+
+
+def test_fused2d_rk2_matches_reference():
+    """RK2 through the fused 2D path (both stages fused; stage 2 anchored
+    at the step-start state via the base stream)."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cavity", shape=(32, 32), re=100.0,
+                     poisson_method="mg", integrator="rk2")
+    sim_ref = case.sim
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused2d_ok()
+
+    st = case.initial_state()
+    a, da = sim_ref.run_scan(st, 5)
+    b, db_ = sim_fused.run_scan(st, 5)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(db_.poisson_iters), np.asarray(da.poisson_iters)
+    )
