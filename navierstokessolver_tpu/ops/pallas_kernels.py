@@ -1809,8 +1809,14 @@ def predictor_rhs_3d_internal(
     thermal = theta is not None and any(buoy)
     based = base is not None
     if thermal or based:
-        assert not (halo or masked), \
-            "fused thermal/rk2 predictor: unsharded, no obstacles"
+        assert not masked, "fused thermal/rk2 predictor: no obstacles"
+    if thermal and halo:
+        # sharded thermal: theta's axis-0 ghosts are NOT streamed -- only
+        # buoyancy transverse to the sharded axis needs no axis-0 cells
+        assert buoy[0] == 0.0, \
+            "sharded fused buoyancy along the sharded axis not supported"
+    if based:
+        assert not halo, "sharded fused rk2 not supported"
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
@@ -2350,22 +2356,25 @@ def correct_diag_3d_internal(
     hi0_copy = (not halo) and own[(0, 1)][0] == "copy"
     thermal = theta is not None
     if thermal:
-        assert not (halo or masked or hi0_copy), \
-            "fused thermal: unsharded, no obstacles, no axis-0 HI outflow"
+        assert not (masked or hi0_copy), \
+            "fused thermal: no obstacles, no axis-0 HI outflow"
         thg = theta_ghost_table(scalar_cfg, 3)
         assert thg is not None
-        # refresh the axis-0 theta ghost rows in the carried layout
-        upd = jax.lax.dynamic_update_slice_in_dim
-        if thg[(0, 1)][0] == "wrap":
-            hi_row = theta[0:1]
-        else:
-            hi_row = thg[(0, 1)][1] * theta[n0 - 1:n0] + thg[(0, 1)][2]
-        if thg[(0, 0)][0] == "wrap":
-            lo_row = theta[n0 - 1:n0]
-        else:
-            lo_row = thg[(0, 0)][1] * theta[0:1] + thg[(0, 0)][2]
-        theta = upd(theta, hi_row, n0, axis=0)
-        theta = upd(theta, lo_row, RP - 1, axis=0)
+        if not halo:
+            # refresh the axis-0 theta ghost rows in the carried layout
+            # (halo mode: parallel/fused_sharded.py pre-fills them with
+            # ppermuted neighbor rows / edge-BC synthesis)
+            upd = jax.lax.dynamic_update_slice_in_dim
+            if thg[(0, 1)][0] == "wrap":
+                hi_row = theta[0:1]
+            else:
+                hi_row = thg[(0, 1)][1] * theta[n0 - 1:n0] + thg[(0, 1)][2]
+            if thg[(0, 0)][0] == "wrap":
+                lo_row = theta[n0 - 1:n0]
+            else:
+                lo_row = thg[(0, 0)][1] * theta[0:1] + thg[(0, 0)][2]
+            theta = upd(theta, hi_row, n0, axis=0)
+            theta = upd(theta, lo_row, RP - 1, axis=0)
     parts = [jnp.asarray(scale, jnp.float32)]
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]

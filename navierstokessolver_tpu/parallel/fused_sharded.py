@@ -41,7 +41,7 @@ AXIS = "sx"
 
 
 def fused_step3d_sharded_applicable(
-    grid: GridSpec, bcs: BCTable, mesh: Mesh
+    grid: GridSpec, bcs: BCTable, mesh: Mesh, scalar=None
 ) -> bool:
     if tuple(mesh.axis_names) != (AXIS,):
         return False
@@ -51,6 +51,13 @@ def fused_step3d_sharded_applicable(
     b = grid.shape[0] // n_dev
     if b < 8:
         return False  # degenerate slabs: ghost machinery dominates
+    if scalar is not None:
+        # sharded thermal: theta halos ride the same ppermute rings; the
+        # buoyancy face average must be transverse to the sharded axis
+        if pk.theta_ghost_table(scalar, 3) is None:
+            return False
+        if scalar.buoyancy and scalar.buoyancy[0] != 0.0:
+            return False
     return pk.fused_step3d_applicable(grid, bcs)
 
 
@@ -185,7 +192,29 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
             out.append(x)
         return tuple(out)
 
-    def pred_body(iu0, iu1, iu2):
+    scalar = sim.scalar
+    thg = pk.theta_ghost_table(scalar, 3) if scalar is not None else None
+
+    def _refresh_theta_ghosts(th, first, last):
+        """Theta's axis-0 ghost rows in the halo layout: ppermuted
+        neighbor cells at interior boundaries (wrap halos on a ring),
+        scalar-BC synthesis at the true edges."""
+        lo_halo = jax.lax.ppermute(
+            th[b - 1:b], AXIS, _perm_fwd(n_dev, ring)
+        )
+        hi_halo = jax.lax.ppermute(th[0:1], AXIS, _perm_bwd(n_dev, ring))
+        if ring or thg[(0, 0)][0] == "wrap":
+            lo = lo_halo
+            hi = hi_halo
+        else:
+            bc_lo = thg[(0, 0)][1] * th[0:1] + thg[(0, 0)][2]
+            bc_hi = thg[(0, 1)][1] * th[b - 1:b] + thg[(0, 1)][2]
+            lo = jnp.where(first, bc_lo, lo_halo)
+            hi = jnp.where(last, bc_hi, hi_halo)
+        th = jax.lax.dynamic_update_slice(th, hi, (b, 0, 0))
+        return jax.lax.dynamic_update_slice(th, lo, (RP - 1, 0, 0))
+
+    def pred_body(iu0, iu1, iu2, theta=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
@@ -197,6 +226,9 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
             tile=tile, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff,
             forcing=sim._static_forcing(),
+            theta=theta,
+            buoyancy=scalar.buoyancy if scalar is not None else None,
+            theta_ref=scalar.theta_ref if scalar is not None else 0.0,
         )
         # the corrector's divergence diagnostic needs the corrected SHARED
         # face: exchange the neighbor's fresh face-0 star into row b
@@ -213,7 +245,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
         us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
         return us0, us[1], us[2], rhs
 
-    def corr_body(us0, us1, us2, p_local):
+    def corr_body(us0, us1, us2, p_local, theta=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
@@ -237,33 +269,46 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
         )
         pp = jnp.pad(pp, [(0, 0), (0, S0 - n1), (0, L - n2)])
         dt = jnp.asarray(pr.dt, grid.dtype)
-        iu_new, divp, velp = pk.correct_diag_3d_internal(
+        if theta is not None:
+            theta = _refresh_theta_ghosts(theta, first, last)
+        res = pk.correct_diag_3d_internal(
             local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
             tile=tile, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff, pp=pp,
+            theta=theta,
+            scalar_cfg=scalar if theta is not None else None,
+            dt=dt if theta is not None else None,
         )
+        if theta is not None:
+            iu_new, divp, velp, theta_new = res
+            divm = jax.lax.pmax(jnp.max(divp), AXIS)
+            velm = jax.lax.pmax(jnp.max(velp), AXIS)
+            return (iu_new[0], iu_new[1], iu_new[2], theta_new,
+                    divm, velm)
+        iu_new, divp, velp = res
         divm = jax.lax.pmax(jnp.max(divp), AXIS)
         velm = jax.lax.pmax(jnp.max(velp), AXIS)
         return iu_new[0], iu_new[1], iu_new[2], divm, velm
 
+    thermal = scalar is not None
     pred = jax.shard_map(
         pred_body, mesh=mesh,
-        in_specs=(spec3, spec3, spec3),
+        in_specs=(spec3,) * (4 if thermal else 3),
         out_specs=(spec3, spec3, spec3, spec3),
         check_vma=False,
     )
     corr = jax.shard_map(
         corr_body, mesh=mesh,
-        in_specs=(spec3, spec3, spec3, spec3),
-        out_specs=(spec3, spec3, spec3, P(), P()),
+        in_specs=(spec3,) * (5 if thermal else 4),
+        out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
         check_vma=False,
     )
 
     from ..solver import StepDiagnostics
 
     def step_fn(carry):
-        iu, p, p_prev = carry
-        us0, us1, us2, rhs = pred(*iu)
+        iu, p, theta, p_prev = carry
+        us0, us1, us2, rhs = pred(*iu, *((theta,) if thermal else ()))
         beta = pr.poisson.extrapolate
         if beta and p_prev is not None:
             p_start = p + beta * (p - p_prev)
@@ -271,7 +316,13 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
             p_start = p
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
-        iu0n, iu1n, iu2n, divm, velm = corr(us0, us1, us2, p_new)
+        if thermal:
+            iu0n, iu1n, iu2n, theta_new, divm, velm = corr(
+                us0, us1, us2, p_new, theta
+            )
+        else:
+            iu0n, iu1n, iu2n, divm, velm = corr(us0, us1, us2, p_new)
+            theta_new = None
         dt = jnp.asarray(pr.dt, grid.dtype)
         diag = StepDiagnostics(
             poisson_iters=iters,
@@ -281,9 +332,27 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
             dt=dt,
         )
         p_prev_new = p if p_prev is not None else None
-        return ((iu0n, iu1n, iu2n), p_new, p_prev_new), diag
+        return ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new), diag
 
     return step_fn
+
+
+def theta_to_halo(grid: GridSpec, theta, mesh: Mesh, tile: int = 8):
+    """Cell-centered scalar -> per-shard halo layout (shard k's block =
+    rows [k*RP, (k+1)*RP); ghost slots refreshed per step)."""
+    n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
+    x = theta.reshape(n_dev, b, theta.shape[1], theta.shape[2])
+    x = jnp.pad(
+        x, [(0, 0), (0, RP - b), (0, S0 - x.shape[2]), (0, L - x.shape[3])]
+    )
+    return x.reshape(n_dev * RP, S0, L)
+
+
+def theta_from_halo(grid: GridSpec, th, mesh: Mesh, tile: int = 8):
+    n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
+    n0, n1, n2 = grid.shape
+    x = th.reshape(n_dev, RP, S0, L)[:, :b, :n1, :n2]
+    return x.reshape(n0, n1, n2)
 
 
 def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
@@ -299,9 +368,17 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
     p = jax.lax.with_sharding_constraint(state.p, spec3)
     p_prev = (None if state.p_prev is None
               else jax.lax.with_sharding_constraint(state.p_prev, spec3))
+    theta = None
+    if sim.scalar is not None and state.theta is not None:
+        theta = jax.lax.with_sharding_constraint(
+            theta_to_halo(grid, state.theta, mesh), spec3
+        )
     step_fn = make_sharded_fused_step(sim, mesh)
-    (iu, p, p_prev), diags = jax.lax.scan(
-        lambda c, _: step_fn(c), (iu, p, p_prev), xs=None, length=n_steps
+    (iu, p, theta, p_prev), diags = jax.lax.scan(
+        lambda c, _: step_fn(c), (iu, p, theta, p_prev),
+        xs=None, length=n_steps,
     )
     u0, u1, u2 = from_internal_halo(grid, bcs, iu, mesh)
-    return State(u=(u0, u1, u2), p=p, p_prev=p_prev), diags
+    theta_out = (theta_from_halo(grid, theta, mesh)
+                 if theta is not None else None)
+    return State(u=(u0, u1, u2), p=p, theta=theta_out, p_prev=p_prev), diags

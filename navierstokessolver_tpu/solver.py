@@ -330,14 +330,14 @@ class Simulation:
             return False
         if self.params.integrator != "euler" or self.params.cfl is not None:
             return False
-        if self.face_masks is not None or self.scalar is not None:
+        if self.face_masks is not None:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
         from .parallel.fused_sharded import fused_step3d_sharded_applicable
 
         return fused_step3d_sharded_applicable(
-            self.grid, self.bcs, self.shardings.p.mesh
+            self.grid, self.bcs, self.shardings.p.mesh, self.scalar
         )
 
     def _fused2d_ok(self) -> bool:

@@ -173,3 +173,30 @@ def test_sharded_fused_duct_forcing_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
         )
+
+
+@requires_8
+def test_sharded_fused_thermal_matches_unsharded():
+    """Sharded fused thermal step (heated cavity 3D on a 4-way slab mesh):
+    theta's axis-0 ghosts ride their own ppermute exchange, buoyancy is
+    transverse to the sharded axis; u, p AND theta match single-device."""
+    case = make_case("heated_cavity", shape=(32, 8, 8), ra=1e4)
+    sim = case.sim
+    assert sim.scalar is not None
+    ref, _ = sim.run_scan(case.initial_state(), 10)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, d = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 10
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4)
