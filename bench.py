@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=50)
     ap.add_argument("--pallas", action="store_true",
                     help="force use_pallas=True (e.g. the fused 2D step)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="skip the fused-2D auto-probe (jnp step)")
     ap.add_argument("--steps", type=int, default=100)
     args = ap.parse_args()
 
@@ -72,6 +74,23 @@ def main() -> None:
         sim = dataclasses.replace(
             sim, params=dataclasses.replace(sim.params, use_pallas=True)
         )
+    elif sim.grid.ndim == 2 and not args.no_pallas:
+        # 2D: the fused whole-step kernels are opt-in (use_pallas=True);
+        # try them for the headline number and fall back to the jnp step
+        # if the gate is closed or the kernels fail to compile/run here.
+        cand = dataclasses.replace(
+            sim, params=dataclasses.replace(sim.params, use_pallas=True)
+        )
+        if cand._fused2d_ok():
+            try:
+                st_probe, _ = cand.run_scan(case.initial_state(), 2)
+                jax.block_until_ready(st_probe.p)
+                sim = cand
+                print("[bench] fused 2D whole-step path engaged",
+                      file=sys.stderr)
+            except Exception as e:  # pragma: no cover - device-specific
+                print(f"[bench] fused 2D probe failed ({type(e).__name__}),"
+                      " using the jnp step", file=sys.stderr)
     sim_diag = sim
     if args.poisson == "fft":
         sim = dataclasses.replace(
