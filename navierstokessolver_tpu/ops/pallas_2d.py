@@ -73,6 +73,9 @@ def _own_face_2d(bcs: BCTable, a: int, side: int):
         return ("copy",)
     if bc.kind is BCKind.PERIODIC:
         return ("wrap",)
+    if bc.kind is BCKind.CONVECTIVE:
+        speed = float(bc.velocity[0]) if bc.velocity else 1.0
+        return ("conv", speed)
     return ("d", _scalar_bc(bcs, (a, side), a, 2))
 
 
@@ -90,7 +93,13 @@ def fused_step2d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
         for s in (0, 1):
             bc = bcs[(a, s)]
             if bc.kind is BCKind.CONVECTIVE:
-                return False
+                # supported ONLY on the axis-0 HI face (the cylinder/
+                # sphere outlet topology): both the once-per-step
+                # convective transport update (from the carried old face
+                # + the in-register inner star) and the Dirichlet-ghost
+                # pressure correction happen in-kernel
+                if (a, s) != (0, 1):
+                    return False
             if bc.kind in (BCKind.WALL, BCKind.INFLOW):
                 for c in range(2):
                     if _scalar_bc(bcs, (a, s), c, 2) is None:
@@ -483,8 +492,19 @@ def _pred2d_kernel(
             lo_u, hi_u = own[(0, 0)], own[(0, 1)]
             vle = (jnp.roll(u_star, -1, axis=0) if lo_u[0] == "copy"
                    else jnp.full_like(u_star, lo_u[1]))
-            vhe = (jnp.roll(u_star, 1, axis=0) if hi_u[0] == "copy"
-                   else jnp.full_like(u_star, hi_u[1]))
+            if hi_u[0] == "copy":
+                vhe = jnp.roll(u_star, 1, axis=0)
+            elif hi_u[0] == "conv":
+                # convective outlet: u_b^{n+1} = u_b^n - C (u_b^n -
+                # u*_inner), C = U dt / h clamped to [0, 1]; u_b^n is the
+                # carried old face (the input center), u*_inner the
+                # in-register star at row n0-1
+                cclip = jnp.clip(
+                    hi_u[1] * dt * (1.0 / hx), 0.0, 1.0
+                )
+                vhe = uc - cclip * (uc - jnp.roll(u_star, 1, axis=0))
+            else:
+                vhe = jnp.full_like(u_star, hi_u[1])
             u_star = jnp.where(
                 gi == 0, vle, jnp.where(gi == n0, vhe, u_star)
             )
@@ -832,7 +852,17 @@ def _corr2d_kernel(
             gi = _row_iota(u_n.shape) + j * T - lo_extra
             lo_u, hi_u = own[(0, 0)], own[(0, 1)]
             vle = (jnp.roll(u_n, -1, axis=0) if lo_u[0] == "copy" else u_sw)
-            vhe = (jnp.roll(u_n, 1, axis=0) if hi_u[0] == "copy" else u_sw)
+            if hi_u[0] == "copy":
+                vhe = jnp.roll(u_n, 1, axis=0)
+            elif hi_u[0] == "conv":
+                # convective face held through the projection, then
+                # corrected with the Dirichlet-ghost gradient the Poisson
+                # row assumed (-2 p_edge / h on the hi face):
+                # face += 2 scale p[n0-1] / h
+                vhe = u_sw + (2.0 * scale * (1.0 / hx)) \
+                    * pr(-1, rows_u)
+            else:
+                vhe = u_sw
             u_n = jnp.where(gi == 0, vle, jnp.where(gi == n0, vhe, u_n))
         if not per[1]:
             lv = _lane_iota(v_n.shape)

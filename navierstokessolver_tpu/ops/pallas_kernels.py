@@ -990,9 +990,15 @@ def _scalar_bcs_all_axes(bcs: BCTable, ndim: int = 3) -> bool:
     for ax in range(ndim):
         for side in (0, 1):
             if bcs[(ax, side)].kind is BCKind.CONVECTIVE:
-                return False     # handled by the jnp step path only
+                # supported ONLY at (0, 1): the once-per-step transport
+                # update + Dirichlet-ghost correction are one-plane
+                # post-kernel fixups (same shape as the outflow fixup)
+                if (ax, side) != (0, 1):
+                    return False
     for ax in range(ndim):
         for side in (0, 1):
+            if bcs[(ax, side)].kind is BCKind.CONVECTIVE:
+                continue   # velocity slot holds the phase speed, not a BC
             for c in range(ndim):
                 if _scalar_bc(bcs, (ax, side), c, ndim) is None:
                     return False
@@ -1051,6 +1057,8 @@ def _own_face_spec(bcs: BCTable, a: int, side: int):
         return ("copy",)
     if bc.kind is BCKind.PERIODIC:
         return ("wrap",)
+    if bc.kind is BCKind.CONVECTIVE:
+        return ("conv", float(bc.velocity[0]) if bc.velocity else 1.0)
     return ("d", _scalar_bc(bcs, (a, side), a, 3))
 
 
@@ -1883,15 +1891,28 @@ def predictor_rhs_3d_internal(
         interpret=interpret,
     )(*args)
     rhs = rhs[:n0, :n1, :n2]
-    if not halo and (own[(0, 1)][0] == "copy" or per[0]):
-        # axis-0 HI outflow / periodic: the face-n0 value (zero-gradient
-        # copy of face n0-1, resp. the wrap duplicate of face 0) crosses a
-        # stripe boundary, so it and the rhs plane it feeds are patched
-        # here -- one plane of work per step. For outflow, d0 at cell row
-        # n0-1 is exactly zero after the copy; for periodic it is
-        # (u*[0] - u*[n0-1]) / h0.
-        src = 0 if per[0] else n0 - 1
-        plane = jax.lax.dynamic_slice_in_dim(out0, src, 1, axis=0)
+    hi0 = own[(0, 1)][0]
+    if not halo and (hi0 in ("copy", "conv") or per[0]):
+        # axis-0 HI outflow / convective / periodic: the face-n0 value
+        # (zero-gradient copy of face n0-1, the convective transport
+        # update, resp. the wrap duplicate of face 0) crosses a stripe
+        # boundary, so it and the rhs plane it feeds are patched here --
+        # one plane of work per step. For outflow, d0 at cell row n0-1 is
+        # exactly zero after the copy; otherwise it is
+        # (face_n0 - u*[n0-1]) / h0.
+        inner = jax.lax.dynamic_slice_in_dim(out0, n0 - 1, 1, axis=0)
+        if per[0]:
+            plane = jax.lax.dynamic_slice_in_dim(out0, 0, 1, axis=0)
+        elif hi0 == "conv":
+            # u_b^{n+1} = u_b^n - C (u_b^n - u*_inner), C = U dt/h in [0,1]
+            old = jax.lax.dynamic_slice_in_dim(iu[0], n0, 1, axis=0)
+            cclip = jnp.clip(
+                own[(0, 1)][1] * jnp.asarray(dt, jnp.float32)
+                * (1.0 / h[0]), 0.0, 1.0,
+            )
+            plane = old - cclip * (old - inner)
+        else:
+            plane = inner
         out0 = jax.lax.dynamic_update_slice_in_dim(out0, plane, n0, axis=0)
         u1p = out1[n0 - 1]
         d1 = (u1p[1:n1 + 1, :n2] - u1p[:n1, :n2]) * (1.0 / h[1])
@@ -1906,9 +1927,8 @@ def predictor_rhs_3d_internal(
         d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
             * (1.0 / h[2])
         plane_rhs = (d1 + d2) * rho_over_dt
-        if per[0]:
-            d0 = (plane[0, :n1, :n2] - out0[n0 - 1, :n1, :n2]) \
-                * (1.0 / h[0])
+        if per[0] or hi0 == "conv":
+            d0 = (plane[0, :n1, :n2] - inner[0, :n1, :n2]) * (1.0 / h[0])
             plane_rhs = plane_rhs + d0 * rho_over_dt
         if masked:
             fl = ((fluid_code[n0 - 1, :n1, :n2] >> 6) & 1)
@@ -2353,7 +2373,8 @@ def correct_diag_3d_internal(
             pp = upd(pp, pp[n0:n0 + 1], 0, axis=0)
             pp = upd(pp, pp[1:2], n0 + 1, axis=0)
     _, own = _ghost_tables(grid, bcs)
-    hi0_copy = (not halo) and own[(0, 1)][0] == "copy"
+    hi0_kind = own[(0, 1)][0] if not halo else None
+    hi0_copy = hi0_kind in ("copy", "conv")
     thermal = theta is not None
     if thermal:
         assert not (masked or hi0_copy), \
@@ -2459,9 +2480,26 @@ def correct_diag_3d_internal(
     divm = jnp.max(divp)
     velm = jnp.max(velp)
     if hi0_copy:
-        # zero-gradient copy of the CORRECTED inner face onto face row n0,
-        # then the excluded divergence plane (cell row n0-1; d0 = 0 there)
-        plane = jax.lax.dynamic_slice_in_dim(out0, n0 - 1, 1, axis=0)
+        # axis-0 HI outflow: zero-gradient copy of the CORRECTED inner
+        # face onto face row n0 (d0 = 0 at cell n0-1); convective: the
+        # held face gets the Dirichlet-ghost pressure correction
+        # (+2 scale p_edge / h on the hi face) and a nonzero d0. Then the
+        # excluded divergence plane (cell row n0-1) is folded into the max.
+        inner_c = jax.lax.dynamic_slice_in_dim(out0, n0 - 1, 1, axis=0)
+        if hi0_kind == "conv":
+            held = jax.lax.dynamic_slice_in_dim(out0, n0, 1, axis=0)
+            pedge = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(p, [(0, 0), (0, S0 - n1), (0, L - n2)]),
+                n0 - 1, 1, axis=0,
+            )
+            plane = held + (2.0 * jnp.asarray(scale, jnp.float32)
+                            * (1.0 / h[0])) * pedge
+            velm = jnp.maximum(
+                velm,
+                jnp.max(jnp.abs(plane[0, :n1, :n2])) * (1.0 / h[0]),
+            )
+        else:
+            plane = inner_c
         out0 = jax.lax.dynamic_update_slice_in_dim(out0, plane, n0, axis=0)
         u1pl = out1[n0 - 1]
         d1 = (u1pl[1:n1 + 1, :n2] - u1pl[:n1, :n2]) * (1.0 / h[1])
@@ -2476,6 +2514,9 @@ def correct_diag_3d_internal(
         d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
             * (1.0 / h[2])
         dplane = d1 + d2
+        if hi0_kind == "conv":
+            dplane = dplane + (plane[0, :n1, :n2]
+                               - inner_c[0, :n1, :n2]) * (1.0 / h[0])
         if masked:
             fl = ((fluid_code[n0 - 1, :n1, :n2] >> 6) & 1)
             dplane = dplane * fl.astype(dplane.dtype)

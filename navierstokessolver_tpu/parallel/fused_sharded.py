@@ -58,6 +58,11 @@ def fused_step3d_sharded_applicable(
             return False
         if scalar.buoyancy and scalar.buoyancy[0] != 0.0:
             return False
+    from ..bcs import has_convective_outlet
+
+    if has_convective_outlet(grid, bcs):
+        # the convective fixups are single-chip wrapper patches
+        return False
     return pk.fused_step3d_applicable(grid, bcs)
 
 

@@ -296,6 +296,11 @@ class Simulation:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
+        if bcs_mod.has_convective_outlet(self.grid, self.bcs):
+            # rk2's stage-2 transport update must read the STEP-START
+            # face (the fused stage-2 window holds the midpoint field)
+            if self.params.integrator != "euler" or self.scalar is not None:
+                return False
         if self.scalar is not None:
             from .ops import pallas_kernels
 
@@ -360,6 +365,13 @@ class Simulation:
             return False
         from .ops import pallas_2d
 
+        if bcs_mod.has_convective_outlet(self.grid, self.bcs):
+            # kernel composes convective only with the plain euler step:
+            # rk2's stage-2 window holds the midpoint field, but the
+            # transport update must read the STEP-START face; the theta
+            # flux at a convective face is likewise unfused
+            if self.params.integrator != "euler" or self.scalar is not None:
+                return False
         if self.scalar is not None:
             from .ops import pallas_kernels
 

@@ -342,3 +342,45 @@ def test_fused2d_rk2_matches_reference():
     np.testing.assert_array_equal(
         np.asarray(db_.poisson_iters), np.asarray(da.poisson_iters)
     )
+
+
+def test_fused2d_convective_outlet_matches_reference():
+    """Convective outlet through the fused 2D path: the once-per-step
+    transport update of the outlet face (from the carried old face + the
+    in-register inner star) and the Dirichlet-ghost pressure correction
+    both happen in-kernel; trajectory matches the jnp path."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cylinder", shape=(64, 32), re=100.0,
+                     poisson_method="mg", outlet="convective")
+    sim_ref = case.sim
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused2d_ok()
+
+    st = case.initial_state()
+    sr, sf = st, st
+    for _ in range(5):
+        sr, dr = sim_ref.step(sr)
+        sf, df = sim_fused.step(sf)
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(sf.u[c]), np.asarray(sr.u[c]), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(sf.p), np.asarray(sr.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(df.max_div), float(dr.max_div), rtol=1e-3, atol=1e-6
+    )
+
+    a, _ = sim_ref.run_scan(st, 5)
+    b, _ = sim_fused.run_scan(st, 5)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
