@@ -929,7 +929,9 @@ def _corr2d_kernel(
             vk = v_keep[:T]
             F1 = vk * face_th(t_m1, th_c, vk)
             if per[1]:
-                F1hi = jnp.roll(F1, -1, axis=1)        # face n1 == face 0
+                # face n1 == face 0: patched roll (plain roll reads the
+                # zeroed pad lane when n1 < L)
+                F1hi = _lane_wrap(F1, +1, n1)
             else:
                 spv = own[(1, 1)]
                 vhi_arr = (_lane_shift(vk, +1, (n1 - 1, 1.0, 0.0))
@@ -1019,23 +1021,14 @@ def correct_diag_2d_internal(
         assert not masked, "obstacles + thermal not fused"
         assert own[(0, 1)][0] != "copy", \
             "thermal + axis-0 HI outflow not fused"
-        from .pallas_kernels import theta_ghost_table
+        from .pallas_kernels import (
+            refresh_theta_axis0_ghosts,
+            theta_ghost_table,
+        )
 
         thg = theta_ghost_table(scalar_cfg, 2)
         assert thg is not None
-        # refresh the axis-0 theta ghost rows in the carried layout:
-        # row n0 = hi ghost, row RP-1 = lo ghost (global cell -1)
-        upd = jax.lax.dynamic_update_slice_in_dim
-        if thg[(0, 1)][0] == "wrap":
-            hi_row = theta[0:1]
-        else:
-            hi_row = thg[(0, 1)][1] * theta[n0 - 1:n0] + thg[(0, 1)][2]
-        if thg[(0, 0)][0] == "wrap":
-            lo_row = theta[n0 - 1:n0]
-        else:
-            lo_row = thg[(0, 0)][1] * theta[0:1] + thg[(0, 0)][2]
-        theta = upd(theta, hi_row, n0, axis=0)
-        theta = upd(theta, lo_row, RP - 1, axis=0)
+        theta = refresh_theta_axis0_ghosts(theta, thg, n0, RP)
     # ONE leading pad row so p window starts can reach row -1
     pp = jnp.pad(p, [(1, RP + 2 - 1 - n0), (0, L - n1)])
     if per[0]:

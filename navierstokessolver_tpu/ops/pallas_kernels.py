@@ -1167,6 +1167,23 @@ def theta_ghost_table(scfg, ndim: int = 3):
     return out
 
 
+def refresh_theta_axis0_ghosts(theta: Array, thg, n0: int, RP: int) -> Array:
+    """Per-step axis-0 theta ghost rows in the carried internal layout
+    (2D and 3D): row n0 = hi ghost (wrap row 0, or alpha*edge + beta from
+    the scalar-BC table), row RP-1 = lo ghost (global cell -1)."""
+    upd = jax.lax.dynamic_update_slice_in_dim
+    if thg[(0, 1)][0] == "wrap":
+        hi_row = theta[0:1]
+    else:
+        hi_row = thg[(0, 1)][1] * theta[n0 - 1:n0] + thg[(0, 1)][2]
+    if thg[(0, 0)][0] == "wrap":
+        lo_row = theta[n0 - 1:n0]
+    else:
+        lo_row = thg[(0, 0)][1] * theta[0:1] + thg[(0, 0)][2]
+    theta = upd(theta, hi_row, n0, axis=0)
+    return upd(theta, lo_row, RP - 1, axis=0)
+
+
 def pad_theta_3d(grid: GridSpec, theta: Array, tile: int = 8) -> Array:
     """Cell-centered scalar -> the fused-step internal layout (rows pad to
     RP; the axis-0 ghost rows are refreshed per step by the corrector
@@ -2236,7 +2253,9 @@ def _fused_corr_kernel(
                      if thg[(2, 1)][0] == "wrap"
                      else _shift_fix(thc, 2, 1, gfix(2, 1, n2 - 1)))
             if per[2]:
-                F2hi = jnp.roll(F2, -1, axis=2)        # face n2 == face 0
+                # face n2 == face 0: patched roll (plain roll reads the
+                # zeroed pad lane when n2 < L)
+                F2hi = _shift_wrap(F2, 2, 1, n2)
             else:
                 sp2 = own[(2, 1)]
                 uhi_arr = (_shift_fix(u2n, 2, 1, (n2 - 1, 1.0, 0.0))
@@ -2382,20 +2401,9 @@ def correct_diag_3d_internal(
         thg = theta_ghost_table(scalar_cfg, 3)
         assert thg is not None
         if not halo:
-            # refresh the axis-0 theta ghost rows in the carried layout
-            # (halo mode: parallel/fused_sharded.py pre-fills them with
-            # ppermuted neighbor rows / edge-BC synthesis)
-            upd = jax.lax.dynamic_update_slice_in_dim
-            if thg[(0, 1)][0] == "wrap":
-                hi_row = theta[0:1]
-            else:
-                hi_row = thg[(0, 1)][1] * theta[n0 - 1:n0] + thg[(0, 1)][2]
-            if thg[(0, 0)][0] == "wrap":
-                lo_row = theta[n0 - 1:n0]
-            else:
-                lo_row = thg[(0, 0)][1] * theta[0:1] + thg[(0, 0)][2]
-            theta = upd(theta, hi_row, n0, axis=0)
-            theta = upd(theta, lo_row, RP - 1, axis=0)
+            # (halo mode: parallel/fused_sharded.py pre-fills the ghost
+            # rows with ppermuted neighbor rows / edge-BC synthesis)
+            theta = refresh_theta_axis0_ghosts(theta, thg, n0, RP)
     parts = [jnp.asarray(scale, jnp.float32)]
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]

@@ -143,10 +143,13 @@ def _perm_bwd(n, ring: bool = False):
             for k in range(n if ring else n - 1)]
 
 
-def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
-    """Returns (step_fn, spec) where step_fn maps
-    ((iu0, iu1, iu2), p, p_prev) -> ((iu0', iu1', iu2'), p', p_prev', diag)
-    with the iu arrays in the global halo-mode layout sharded over 'sx'."""
+def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
+                            thermal: bool = False):
+    """Returns step_fn mapping ((iu0, iu1, iu2), p, theta, p_prev) ->
+    (same structure, diag) with the iu arrays in the global halo-mode
+    layout sharded over 'sx'. ``thermal`` must reflect whether the scan
+    carry actually holds a theta (a scalar-configured sim stepped from a
+    theta-less State runs without the scalar, like the unsharded paths)."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
     n1, n2 = grid.shape[1], grid.shape[2]
@@ -197,18 +200,22 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
             out.append(x)
         return tuple(out)
 
-    scalar = sim.scalar
+    scalar = sim.scalar if thermal else None
     thg = pk.theta_ghost_table(scalar, 3) if scalar is not None else None
 
     def _refresh_theta_ghosts(th, first, last):
         """Theta's axis-0 ghost rows in the halo layout: ppermuted
-        neighbor cells at interior boundaries (wrap halos on a ring),
-        scalar-BC synthesis at the true edges."""
+        neighbor cells at interior boundaries, scalar-BC synthesis at the
+        true edges. A PERIODIC scalar BC closes theta's OWN ring even when
+        the velocity axis is wall-bounded (matching pad_scalar)."""
+        ring_th = ring or thg[(0, 0)][0] == "wrap"
         lo_halo = jax.lax.ppermute(
-            th[b - 1:b], AXIS, _perm_fwd(n_dev, ring)
+            th[b - 1:b], AXIS, _perm_fwd(n_dev, ring_th)
         )
-        hi_halo = jax.lax.ppermute(th[0:1], AXIS, _perm_bwd(n_dev, ring))
-        if ring or thg[(0, 0)][0] == "wrap":
+        hi_halo = jax.lax.ppermute(
+            th[0:1], AXIS, _perm_bwd(n_dev, ring_th)
+        )
+        if ring_th:
             lo = lo_halo
             hi = hi_halo
         else:
@@ -295,7 +302,6 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8):
         velm = jax.lax.pmax(jnp.max(velp), AXIS)
         return iu_new[0], iu_new[1], iu_new[2], divm, velm
 
-    thermal = scalar is not None
     pred = jax.shard_map(
         pred_body, mesh=mesh,
         in_specs=(spec3,) * (4 if thermal else 3),
@@ -378,7 +384,7 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
         theta = jax.lax.with_sharding_constraint(
             theta_to_halo(grid, state.theta, mesh), spec3
         )
-    step_fn = make_sharded_fused_step(sim, mesh)
+    step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None)
     (iu, p, theta, p_prev), diags = jax.lax.scan(
         lambda c, _: step_fn(c), (iu, p, theta, p_prev),
         xs=None, length=n_steps,

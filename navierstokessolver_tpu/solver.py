@@ -281,6 +281,11 @@ class Simulation:
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
+        if (self.params.integrator == "rk2"
+                and self.face_masks is not None):
+            # the 3D based-mode (stage-2) predictor doesn't stream the
+            # obstacle codes; rk2 + obstacles stays on the jnp step
+            return False
         # CFL-adaptive dt IS supported: the corrector kernel's masked
         # max|u_a|/h_a diagnostic (garbage rows excluded) is carried through
         # the scan and sets the next step's dt -- zero extra passes.

@@ -22,7 +22,7 @@ for i in $(seq 1 120); do
     echo "[phase2] TPU up at attempt $i, $(date)" | tee -a "$out"
     echo "=== taylor_green 2048^2 (jnp baseline) ===" >> "$out"
     timeout 1800 python /root/repo/bench.py --case taylor_green \
-      --nx 2048 --ny 2048 --re 1000 >> "$out" 2>&1
+      --nx 2048 --ny 2048 --re 1000 --no-pallas >> "$out" 2>&1
     echo "=== taylor_green 2048^2 --pallas (fused 2D periodic) ===" >> "$out"
     timeout 1800 python /root/repo/bench.py --case taylor_green \
       --nx 2048 --ny 2048 --re 1000 --pallas >> "$out" 2>&1

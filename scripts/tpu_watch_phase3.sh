@@ -20,7 +20,7 @@ for i in $(seq 1 120); do
     echo "[phase3] TPU up at attempt $i, $(date)" | tee -a "$out"
     echo "=== heated_cavity 1024^2 (jnp baseline) ===" >> "$out"
     timeout 1800 python /root/repo/bench.py --case heated_cavity \
-      --nx 1024 --ny 1024 --ra 1e8 >> "$out" 2>&1
+      --nx 1024 --ny 1024 --ra 1e8 --no-pallas >> "$out" 2>&1
     echo "=== heated_cavity 1024^2 --pallas (fused 2D thermal) ===" >> "$out"
     timeout 1800 python /root/repo/bench.py --case heated_cavity \
       --nx 1024 --ny 1024 --ra 1e8 --pallas >> "$out" 2>&1

@@ -200,3 +200,25 @@ def test_sharded_fused_thermal_matches_unsharded():
     )
     np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
                                atol=5e-4)
+
+
+@requires_8
+def test_sharded_fused_scalar_sim_without_theta():
+    """Review regression: a scalar-configured sim stepped from a
+    theta-less State runs the sharded fused path without the scalar."""
+    import jax.numpy as jnp
+    from navierstokessolver_tpu.grid import State
+
+    case = make_case("heated_cavity", shape=(32, 8, 8), ra=1e4)
+    sim = case.sim
+    g = sim.grid
+    st = State(
+        u=tuple(jnp.zeros(g.face_shape(a), jnp.float32) for a in range(3)),
+        p=jnp.zeros(g.shape, jnp.float32),
+    )
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, d = sim_sp.run_scan(shard_state(st, mesh, g), 3)
+    assert out.theta is None
+    assert np.isfinite(np.asarray(d.max_div)).all()

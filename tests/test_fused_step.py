@@ -628,3 +628,74 @@ def test_fused3d_convective_outlet_matches_reference():
         np.testing.assert_allclose(
             np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
         )
+
+
+def test_fused3d_thermal_periodic_lane_wrap_flux():
+    """Review regression: theta's wrap flux at lane face n2 uses the
+    patched roll when n2 % 128 != 0 (heated box with a periodic span)."""
+    from navierstokessolver_tpu.scalar import ScalarBC, ScalarConfig
+    from navierstokessolver_tpu.solver import PoissonConfig, SimParams, \
+        Simulation
+    from navierstokessolver_tpu.grid import State
+
+    g = GridSpec(shape=(16, 8, 12), lengths=(1.0, 0.5, 0.75))
+    bcs = no_slip_box(g)
+    bcs[(2, 0)] = BCSpec.periodic()
+    bcs[(2, 1)] = BCSpec.periodic()
+    scalar = ScalarConfig(
+        bcs={(0, 0): ScalarBC.dirichlet(1.0),
+             (0, 1): ScalarBC.dirichlet(0.0),
+             (1, 0): ScalarBC.adiabatic(),
+             (1, 1): ScalarBC.adiabatic(),
+             (2, 0): ScalarBC.periodic(),
+             (2, 1): ScalarBC.periodic()},
+        diffusivity=0.01,
+        buoyancy=(0.0, 1.0, 0.0),
+        upwind_gamma=0.2,
+    )
+    params = SimParams(dt=2e-3, nu=0.01, poisson=PoissonConfig(
+        method="mg", tol=1e-6, max_iters=400))
+    sim_ref = Simulation.build(g, bcs, params, scalar=scalar)
+    p_fused = dataclasses.replace(params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        Simulation.build(g, bcs, p_fused, scalar=scalar),
+        pallas_interpret=True,
+    )
+    assert sim_fused._fused3d_ok()
+
+    rng = np.random.default_rng(9)
+    st = State(
+        u=tuple(jnp.zeros(g.face_shape(a), jnp.float32) for a in range(3)),
+        p=jnp.zeros(g.shape, jnp.float32),
+        theta=jnp.asarray(
+            0.5 + 0.1 * rng.standard_normal(g.shape).astype(np.float32)),
+    )
+    a, _ = sim_ref.run_scan(st, 5)
+    b, _ = sim_fused.run_scan(st, 5)
+    np.testing.assert_allclose(
+        np.asarray(b.theta), np.asarray(a.theta), rtol=2e-5, atol=2e-6
+    )
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_fused3d_rk2_with_obstacle_gated_off():
+    """Review regression: rk2 + obstacle masks must fall back to the jnp
+    step in 3D (the based-mode predictor doesn't stream the codes)."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("sphere", shape=(16, 16, 16), lengths=(8.0, 8.0, 8.0),
+                     center=(2.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg", integrator="rk2")
+    sim = dataclasses.replace(
+        case.sim,
+        params=dataclasses.replace(case.sim.params, use_pallas=True),
+        pallas_interpret=True,
+    )
+    assert not sim._fused3d_ok()
+    # ... and the jnp fallback still steps cleanly
+    st = case.initial_state()
+    st, d = sim.step(st)
+    assert np.isfinite(float(d.max_div))

@@ -384,3 +384,83 @@ def test_fused2d_convective_outlet_matches_reference():
         np.testing.assert_allclose(
             np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
         )
+
+
+def test_fused2d_thermal_periodic_lane_wrap_flux():
+    """Review regression: the theta wrap flux at lane face n1 must use the
+    PATCHED roll when n1 % 128 != 0 (plain roll reads the zeroed pad
+    lane). Rotated Rayleigh-Benard: periodic LANES, walls on rows,
+    buoyancy along rows."""
+    import dataclasses
+
+    from navierstokessolver_tpu.bcs import no_slip_box
+    from navierstokessolver_tpu.scalar import ScalarBC, ScalarConfig
+    from navierstokessolver_tpu.solver import PoissonConfig, SimParams, \
+        Simulation
+    from navierstokessolver_tpu.grid import State
+
+    g = GridSpec(shape=(32, 48), lengths=(1.0, 1.5))
+    bcs = no_slip_box(g)
+    bcs[(1, 0)] = BCSpec.periodic()
+    bcs[(1, 1)] = BCSpec.periodic()
+    scalar = ScalarConfig(
+        bcs={(0, 0): ScalarBC.dirichlet(1.0),
+             (0, 1): ScalarBC.dirichlet(0.0),
+             (1, 0): ScalarBC.periodic(),
+             (1, 1): ScalarBC.periodic()},
+        diffusivity=0.01,
+        buoyancy=(1.0, 0.0),
+        upwind_gamma=0.3,
+    )
+    params = SimParams(dt=2e-3, nu=0.01, poisson=PoissonConfig(
+        method="mg", tol=1e-6, max_iters=400))
+    sim_ref = Simulation.build(g, bcs, params, scalar=scalar)
+    p_fused = dataclasses.replace(params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        Simulation.build(g, bcs, p_fused, scalar=scalar),
+        pallas_interpret=True,
+    )
+    assert sim_fused._fused2d_ok()
+
+    r = np.random.default_rng(7)
+    theta0 = jnp.asarray(
+        0.5 + 0.1 * r.standard_normal(g.shape).astype(np.float32))
+    st = State(
+        u=(jnp.zeros(g.face_shape(0), jnp.float32),
+           jnp.zeros(g.face_shape(1), jnp.float32)),
+        p=jnp.zeros(g.shape, jnp.float32),
+        theta=theta0,
+    )
+    a, _ = sim_ref.run_scan(st, 6)
+    b, _ = sim_fused.run_scan(st, 6)
+    np.testing.assert_allclose(
+        np.asarray(b.theta), np.asarray(a.theta), rtol=2e-5, atol=2e-6
+    )
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_fused2d_rk2_with_obstacle_matches_reference():
+    """Review follow-up: rk2 + obstacle masks compose in 2D (the base
+    stream and the uint8 code stream ride the same windows)."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cylinder", shape=(64, 32), re=100.0,
+                     poisson_method="mg", integrator="rk2")
+    sim_ref = case.sim
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused2d_ok()
+    st = case.initial_state()
+    a, _ = sim_ref.run_scan(st, 4)
+    b, _ = sim_fused.run_scan(st, 4)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
