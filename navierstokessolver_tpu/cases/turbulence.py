@@ -52,6 +52,7 @@ def build_decaying_turbulence(
     poisson_tol: float = 1e-5,
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.05,
+    les_cs: float | None = None,
     **params_kw,
 ):
     """Defaults tuned for marginally resolved runs: RK2 time integration
@@ -93,7 +94,12 @@ def build_decaying_turbulence(
         ),
         **params_kw,
     )
-    sim = Simulation.build(grid, bcs, params)
+    les = None
+    if les_cs:
+        from ..les import LESConfig
+
+        les = LESConfig(cs=les_cs)
+    sim = Simulation.build(grid, bcs, params, les=les)
     case = Case(
         name="decaying_turbulence",
         sim=sim,

@@ -64,6 +64,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="jacobi | gs | sor | cg | mg | mgcg | fft | dctcg")
     ap.add_argument("--poisson-tol", type=float, default=None)
     ap.add_argument("--upwind-gamma", type=float, default=None)
+    ap.add_argument("--les-cs", type=float, default=None,
+                    help="enable the Smagorinsky LES closure with this "
+                         "constant (0.1-0.2 typical; see les.py); any case")
     ap.add_argument("--integrator", default=None, choices=["euler", "rk2"],
                     help="time integrator (default: euler)")
     ap.add_argument("--chunk", type=int, default=200,
@@ -135,6 +138,12 @@ def main(argv=None) -> int:
 
     case = make_case(case_name, **overrides)
     sim = case.sim
+    if args.les_cs:
+        import dataclasses as _dc
+
+        from .les import LESConfig
+
+        sim = _dc.replace(sim, les=LESConfig(cs=args.les_cs))
     n_steps = (args.steps if args.steps is not None else
                file_steps if file_steps is not None else
                case.suggested_steps)
@@ -147,7 +156,7 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.devices)
         sim = sharded_simulation(sim, mesh, poisson_comm=args.poisson_comm)
 
-    cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar)
+    cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar, sim.les)
     step0 = 0
     state = case.initial_state()
     if args.resume:

@@ -218,7 +218,7 @@ def _scalar_blob(scalar) -> Optional[dict]:
     )
 
 
-def config_hash(grid: GridSpec, params, scalar=None) -> str:
+def config_hash(grid: GridSpec, params, scalar=None, les=None) -> str:
     blob = json.dumps(
         dict(
             shape=list(grid.shape),
@@ -231,6 +231,9 @@ def config_hash(grid: GridSpec, params, scalar=None) -> str:
             integrator=params.integrator,
             poisson=dataclasses.asdict(params.poisson),
             scalar=_scalar_blob(scalar),
+            # physics-affecting closure config (a checkpoint from an LES
+            # run must not resume silently as a no-model run)
+            les=None if les is None else dataclasses.asdict(les),
         ),
         sort_keys=True,
     )

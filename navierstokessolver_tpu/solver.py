@@ -98,6 +98,10 @@ class Simulation:
     pallas_interpret: bool = False
     # Optional transported scalar + Boussinesq coupling (scalar.py).
     scalar: Optional[object] = None
+    # Optional Smagorinsky LES closure (les.py): adds the subgrid stress
+    # divergence to the predictor each stage. Keeps the jnp step (the
+    # fused kernels don't stream a per-step eddy-viscosity field).
+    les: Optional[object] = None
 
     @staticmethod
     def build(
@@ -107,6 +111,7 @@ class Simulation:
         solid: Optional[np.ndarray] = None,
         forcing: Optional[tuple[Array, ...]] = None,
         scalar=None,
+        les=None,
     ) -> "Simulation":
         bcs_mod.validate_bcs(grid, bcs)
         if scalar is not None:
@@ -156,6 +161,7 @@ class Simulation:
             mg_solver=mg_solver,
             dctcg_solver=dctcg_solver,
             scalar=scalar,
+            les=les,
         )
 
     # -- single step ---------------------------------------------------------
@@ -189,7 +195,7 @@ class Simulation:
                 and self.grid.ndim == 3
                 and not self.pallas_interpret
             )
-        if not use or self.forcing is not None:
+        if not use or self.forcing is not None or self.les is not None:
             return False
         if self.grid.ndim == 2 and any(
             bcs_mod.periodic_axes(self.grid, self.bcs)
@@ -297,7 +303,7 @@ class Simulation:
         # Scalar transport + Boussinesq buoyancy fuse too (theta streams
         # with the velocity windows; its flux-form update rides the
         # corrector pass) when the scalar BC values are static scalars.
-        if self.shardings is not None:
+        if self.shardings is not None or self.les is not None:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
@@ -340,7 +346,7 @@ class Simulation:
             return False
         if self.params.integrator != "euler" or self.params.cfl is not None:
             return False
-        if self.face_masks is not None:
+        if self.face_masks is not None or self.les is not None:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
@@ -361,7 +367,7 @@ class Simulation:
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
-        if self.shardings is not None:
+        if self.shardings is not None or self.les is not None:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
@@ -689,6 +695,16 @@ class Simulation:
     def _predict(self, u, dt, forcing=None):
         """``u* = u + dt * RHS_adv_diff(u) [+ forcing]``, BC-applied."""
         g, b, pr = self.grid, self.bcs, self.params
+        if self.les is not None:
+            # Smagorinsky subgrid stress divergence of the CURRENT stage
+            # field (recomputed per rk2 stage); merging it into `forcing`
+            # routes this stage through the jnp predictor.
+            from . import les as les_mod
+
+            sgs = les_mod.sgs_forcing(g, b, u, self.les)
+            forcing = (sgs if forcing is None else tuple(
+                s if f is None else f + s for f, s in zip(forcing, sgs)
+            ))
         if forcing is None and self._pallas_ok():
             from .ops import pallas_kernels
 
