@@ -1011,13 +1011,16 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
     if grid.ndim != 3 or grid.dtype != jnp.float32:
         return False
     # VMEM budget: plane footprints up to 128K elements run double-buffered
-    # input windows; larger planes (e.g. 512-wide) single-buffer them
-    # (_db_for_plane) -- at T=8 that is ~3*(T+3)+4*T+~3*(T+2) plane-rows of
-    # scratch+outputs+temporaries, which fits 512^2 planes (~100 MB) but
-    # not much beyond. Planes past 272K elements fall back to the
-    # per-component predictor kernels (adaptive tile) + jnp step.
+    # input windows; larger planes single-buffer them (_db_for_plane).
+    # The single-buffer scratch estimate (~100 MB at 512^2 planes) was
+    # optimistic: measured on v5e, the predictor kernel at 520x512 planes
+    # needs 211.65M of vmem (114M of it register-allocator SPILL slots --
+    # the kernel body is too wide at that plane size), vs the 128M budget.
+    # So the whole-step gate stays at 128K elements; larger planes fall
+    # back to the per-component predictor kernels (adaptive tile) + jnp
+    # step (512^3: 1177 MLUPS through that path).
     n1, n2 = grid.shape[1], grid.shape[2]
-    if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 272 * 1024:
+    if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 128 * 1024:
         return False
     # Periodic axes are supported in-kernel: axes 1/2 by wrap reads
     # (_shift_wrap: plain rolls when the tile padding vanishes, patched
@@ -1104,11 +1107,14 @@ def _shift_wrap(x, axis: int, sh: int, n: int):
 
 def _db_for_plane(s: int, lanes: int) -> bool:
     """Double-buffer the fused-step input windows only while the second
-    buffer fits: at 512-wide planes the doubled windows push the predictor
-    kernel past the 128 MB VMEM (measured ~106 MB scratch + ~30 MB of body
-    temporaries at T=8), so large planes run single-buffered -- one fused
-    HBM pass without copy/compute overlap still beats the multi-pass
-    per-component fallback."""
+    buffer fits. NOTE: the single-buffer path did NOT rescue 512-wide
+    planes in the end -- measured on v5e, the predictor kernel at 520x512
+    planes needs 211.65M of vmem (114M of register-allocator spill slots
+    from the kernel body itself, independent of the window buffering), so
+    fused_step3d_applicable gates those shapes out entirely and every
+    production shape that reaches these kernels double-buffers. The
+    db=False path is kept (bit-identical, tested) in case a future Mosaic
+    register allocator shrinks the body footprint."""
     return s * lanes <= 128 * 1024
 
 

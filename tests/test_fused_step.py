@@ -410,15 +410,17 @@ def test_fused_single_buffer_matches_double():
 
 
 def test_fused_gate_plane_bound():
-    """Planes up to 272K padded elements stay on the whole-step kernels
-    (single-buffered above 128K); beyond that the gate trips."""
+    """Planes up to 128K padded elements stay on the whole-step kernels
+    (double-buffered); beyond that the gate trips -- measured on v5e,
+    520x512 planes blow the 128M vmem budget with register spill slots
+    even single-buffered (docs/KERNELS.md 'Gate lift attempt')."""
     from navierstokessolver_tpu.ops.pallas_kernels import _db_for_plane
 
-    g_ok = GridSpec(shape=(8, 512, 512), lengths=(1.0, 1.0, 1.0))
+    g_ok = GridSpec(shape=(8, 256, 256), lengths=(1.0, 1.0, 1.0))
     assert fused_step3d_applicable(g_ok, no_slip_box(g_ok))
     assert not _db_for_plane(520, 512)
     assert _db_for_plane(264, 256)
-    g_big = GridSpec(shape=(8, 1024, 512), lengths=(1.0, 1.0, 1.0))
+    g_big = GridSpec(shape=(8, 512, 512), lengths=(1.0, 1.0, 1.0))
     assert not fused_step3d_applicable(g_big, no_slip_box(g_big))
 
 
