@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--poisson", default="fft")
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--warmup", type=int, default=50)
+    ap.add_argument("--les-cs", type=float, default=0.0,
+                    help=">0 enables the Smagorinsky LES closure (jnp path)")
     ap.add_argument("--pallas", action="store_true",
                     help="force use_pallas=True (e.g. the fused 2D step)")
     ap.add_argument("--no-pallas", action="store_true",
@@ -64,6 +66,12 @@ def main() -> None:
     else:
         case = make_case(args.case, **kw)
     sim = case.sim
+    if args.les_cs > 0.0:
+        import dataclasses as _dc
+
+        from navierstokessolver_tpu.les import LESConfig
+
+        sim = _dc.replace(sim, les=LESConfig(cs=args.les_cs))
     # Time the production configuration: for the direct (fft) solve the
     # exact per-step residual report costs ~0.5 ms/step at 256^3 purely for
     # diagnostics -- skip it in the timed loop and measure the true

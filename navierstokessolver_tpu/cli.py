@@ -83,6 +83,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="2*ndim cell indices (i0,i1,j0,j1[,k0,k1]): sample "
                          "control-volume drag/lift terms each window into "
                          "forces.csv (see utils/forces.py)")
+    ap.add_argument("--tracers", type=int, default=0,
+                    help="advect N Lagrangian tracer particles in-scan and "
+                         "write their trajectories to tracers.npz")
+    ap.add_argument("--tracer-seed", type=int, default=0)
     ap.add_argument("--stats-start", type=int, default=-1,
                     help="accumulate running statistics (time-mean fields + "
                          "Reynolds stresses) from this step on, written to "
@@ -211,6 +215,18 @@ def main(argv=None) -> int:
                   "samples)", file=sys.stderr)
             stats_start = (step0 if stats_start is None
                            else min(stats_start, step0))
+    tracer_pos = None
+    tracer_traj = []
+    if args.tracers:
+        if stats_start is not None:
+            print("[cli] --tracers and --stats-start are mutually exclusive "
+                  "(one scan carry each); ignoring --tracers", file=sys.stderr)
+        else:
+            from . import tracers as tracers_mod
+
+            tracer_pos = tracers_mod.seed_tracers(
+                sim.grid, args.tracers, args.tracer_seed
+            )
     try:
         while step < step0 + n_steps:
             chunk = min(args.chunk, step0 + n_steps - step)
@@ -233,6 +249,11 @@ def main(argv=None) -> int:
                     seg = min(seg, stats_start - step)
                 if stats_start is not None and step >= stats_start:
                     state, diag, stats = sim.run_scan_stats(state, seg, stats)
+                elif tracer_pos is not None:
+                    state, tracer_pos, diag, traj = sim.run_scan_tracers(
+                        state, tracer_pos, seg
+                    )
+                    tracer_traj.append(np.asarray(traj))
                 else:
                     state, diag = sim.run_scan(state, seg)
                 diags.append(diag)
@@ -281,6 +302,15 @@ def main(argv=None) -> int:
         np.savez_compressed(path, **stats_mod.finalize(stats))
         print(f"[cli] wrote {path} ({int(np.asarray(stats.n))} samples)",
               file=sys.stderr)
+    if tracer_traj:
+        path = os.path.join(out_dir, "tracers.npz")
+        np.savez_compressed(
+            path,
+            traj=np.concatenate(tracer_traj, axis=0),
+            final=np.asarray(tracer_pos),
+        )
+        print(f"[cli] wrote {path} ({sum(t.shape[0] for t in tracer_traj)} "
+              f"steps x {args.tracers} tracers)", file=sys.stderr)
     if forces_rows:
         import csv
 

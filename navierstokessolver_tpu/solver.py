@@ -944,6 +944,16 @@ class Simulation:
         return _run_scan_stats_jit(self, self._consts(), state, stats, n_steps)
 
 
+    def run_scan_tracers(
+        self, state: State, pos: Array, n_steps: int
+    ) -> tuple[State, Array, StepDiagnostics, Array]:
+        """Advance ``n_steps`` while advecting Lagrangian tracer particles
+        (tracers.py) with the end-of-step velocity and the step's actual
+        dt (CFL-adaptive aware). Returns ``(state, pos, diags, traj)``
+        with ``traj`` shaped ``(n_steps, n, ndim)`` -- the full particle
+        trajectories, stacked on device inside the scan."""
+        return _run_scan_tracers_jit(self, self._consts(), state, pos, n_steps)
+
     def run_scan_forces(
         self, state: State, n_steps: int, box
     ) -> tuple[State, StepDiagnostics, Array, Array]:
@@ -960,6 +970,26 @@ class Simulation:
         return _run_scan_forces_jit(
             self, self._consts(), state, n_steps, tuple(int(b) for b in box)
         )
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _run_scan_tracers_jit(
+    sim: Simulation, consts, state: State, pos: Array, n_steps: int
+):
+    from . import tracers as tracers_mod
+
+    sim = sim._bind(consts)
+
+    def body(carry, _):
+        st, p = carry
+        st, diag = sim.step(st)
+        p = tracers_mod.advect_tracers(sim.grid, sim.bcs, st.u, p, diag.dt)
+        return (st, p), (diag, p)
+
+    (state, pos), (diags, traj) = jax.lax.scan(
+        body, (state, pos), xs=None, length=n_steps
+    )
+    return state, pos, diags, traj
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
