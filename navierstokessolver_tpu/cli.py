@@ -224,9 +224,17 @@ def main(argv=None) -> int:
         else:
             from . import tracers as tracers_mod
 
-            tracer_pos = tracers_mod.seed_tracers(
-                sim.grid, args.tracers, args.tracer_seed
-            )
+            if args.resume:
+                tracer_pos = io_mod.load_checkpoint_tracers(
+                    args.resume, sim.grid.dtype
+                )
+                if tracer_pos is not None:
+                    print(f"[cli] resumed {tracer_pos.shape[0]} tracers",
+                          file=sys.stderr)
+            if tracer_pos is None:
+                tracer_pos = tracers_mod.seed_tracers(
+                    sim.grid, args.tracers, args.tracer_seed
+                )
     try:
         while step < step0 + n_steps:
             chunk = min(args.chunk, step0 + n_steps - step)
@@ -285,7 +293,7 @@ def main(argv=None) -> int:
             if args.checkpoint_every and step % args.checkpoint_every < chunk:
                 io_mod.save_checkpoint(
                     os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash,
-                    stats=stats,
+                    stats=stats, tracers=tracer_pos,
                 )
     finally:
         if writer is not None:
@@ -293,7 +301,7 @@ def main(argv=None) -> int:
     if args.checkpoint_every:
         io_mod.save_checkpoint(
             os.path.join(out_dir, "ckpt.npz"), state, step, cfg_hash,
-            stats=stats,
+            stats=stats, tracers=tracer_pos,
         )
     if stats is not None:
         from . import stats as stats_mod

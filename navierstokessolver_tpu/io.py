@@ -241,11 +241,14 @@ def config_hash(grid: GridSpec, params, scalar=None, les=None) -> str:
 
 
 def save_checkpoint(
-    path: str, state: State, step: int, cfg_hash: str, stats=None
+    path: str, state: State, step: int, cfg_hash: str, stats=None,
+    tracers=None,
 ) -> None:
     """``stats`` (optional FlowStats): running statistics are part of the
     restartable state of a long averaging run; they ride along under
-    ``stats_*`` keys (see :func:`load_checkpoint_stats`)."""
+    ``stats_*`` keys (see :func:`load_checkpoint_stats`). ``tracers``
+    (optional (n, nd) positions): Lagrangian particles resume where they
+    were (see :func:`load_checkpoint_tracers`)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"u{a}": np.asarray(c) for a, c in enumerate(state.u)}
     arrays["p"] = np.asarray(state.p)
@@ -259,9 +262,19 @@ def save_checkpoint(
         arrays.update({
             f"stats_{k}": v for k, v in stats_mod.to_arrays(stats).items()
         })
+    if tracers is not None:
+        arrays["tracer_pos"] = np.asarray(tracers)
     tmp = path + ".tmp.npz"
     np.savez(tmp, step=np.int64(step), cfg=np.bytes_(cfg_hash.encode()), **arrays)
     os.replace(tmp, path)
+
+
+def load_checkpoint_tracers(path: str, dtype):
+    """Tracer positions saved alongside a checkpoint, or None."""
+    with np.load(path) as z:
+        if "tracer_pos" not in z.files:
+            return None
+        return jax.numpy.asarray(z["tracer_pos"], dtype)
 
 
 def load_checkpoint_stats(path: str, dtype):

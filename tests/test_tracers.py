@@ -153,3 +153,36 @@ def test_seed_and_confine_3d():
     u = tuple(jnp.ones(g.face_shape(a), jnp.float32) for a in range(3))
     v = np.asarray(velocity_at(g, bcs, u, pos))
     np.testing.assert_allclose(v, 1.0, atol=1e-6)
+
+
+def test_cli_tracers_checkpoint_resume(tmp_path):
+    import os
+
+    import numpy as np
+
+    from navierstokessolver_tpu.cli import main
+
+    out = str(tmp_path / "run")
+    rc = main([
+        "--case", "cavity", "--shape", "16,16", "--steps", "20",
+        "--chunk", "10", "--out", out, "--tracers", "8",
+        "--checkpoint-every", "20",
+    ])
+    assert rc == 0
+    first = np.load(os.path.join(out, "tracers.npz"))
+    assert first["traj"].shape == (20, 8, 2)
+    ck = np.load(os.path.join(out, "ckpt.npz"))
+    np.testing.assert_array_equal(ck["tracer_pos"], first["final"])
+    # resume: tracers continue from the checkpointed positions
+    rc = main([
+        "--case", "cavity", "--shape", "16,16", "--steps", "10",
+        "--chunk", "10", "--out", out, "--tracers", "8",
+        "--resume", os.path.join(out, "ckpt.npz"),
+    ])
+    assert rc == 0
+    second = np.load(os.path.join(out, "tracers.npz"))
+    assert second["traj"].shape == (10, 8, 2)
+    # first resumed step starts from the saved positions, not a re-seed:
+    # displacement from the checkpointed positions over one step is tiny
+    d0 = np.abs(second["traj"][0] - first["final"]).max()
+    assert d0 < 0.01
