@@ -633,34 +633,45 @@ class DCTPCGSolver:
 
         # Capacitance matrix C = I + W^T U^{-1} W via K batched spectral
         # solves at build time ("highest" MXU precision -- built once, used
-        # every step). Chunked so the RHS batch stays ~tens of MB.
+        # every step). Chunked so the RHS batch stays ~tens of MB. The big
+        # arrays (the (K, |box|) column images and the grid-shaped
+        # inverse-eigenvalue tensor) are jit ARGUMENTS, not closure
+        # captures: baked-in they inflate the compile payload past what the
+        # remote-compile transport accepts at sphere-at-512x256x256 scale
+        # (measured: HTTP 413 at >1 GB of embedded constants).
         wbox_j = jnp.asarray(wbox, grid.dtype)
         origin = tuple(int(x) for x in lo)
         n_cells = int(np.prod(grid.shape))
         chunk = max(1, min(16, (64 * 1024 * 1024) // (4 * n_cells)))
-
-        zero = jnp.zeros(grid.shape, grid.dtype)
-
-        def embed(wb):
-            return jax.lax.dynamic_update_slice(zero, wb, origin)
+        import dataclasses as _dc
 
         @jax.jit
-        def wtuw_chunk(wb):
+        def wtuw_chunk(wb, wflat_t, inv_eig):
+            dct = _dc.replace(self.dct, inv_eig=inv_eig)
+
+            def embed(w):
+                return jax.lax.dynamic_update_slice(
+                    jnp.zeros(grid.shape, grid.dtype), w, origin
+                )
+
             cols = jax.vmap(embed)(wb)
-            ys = jax.vmap(lambda c: self.dct._direct(c, "highest"))(cols)
+            ys = jax.vmap(lambda c: dct._direct(c, "highest"))(cols)
             ybox = jax.lax.dynamic_slice(
                 ys, (0,) + origin, (wb.shape[0],) + box_shape
             )
             return jnp.tensordot(
                 ybox.reshape(wb.shape[0], -1),
-                wbox_j.reshape(K, -1).T,
+                wflat_t,
                 axes=1,
                 precision=jax.lax.Precision.HIGHEST,
             )   # (chunk, K)
 
+        wflat_t = wbox_j.reshape(K, -1).T
         blocks = []
         for i0 in range(0, K, chunk):
-            blocks.append(np.asarray(wtuw_chunk(wbox_j[i0:i0 + chunk])))
+            blocks.append(np.asarray(wtuw_chunk(
+                wbox_j[i0:i0 + chunk], wflat_t, self.dct.inv_eig
+            )))
         wtuw = np.concatenate(blocks, axis=0)
         C = np.eye(K, dtype=np.float64) + wtuw.astype(np.float64)
         cinv = np.linalg.inv(C)
