@@ -35,7 +35,10 @@ def build_cylinder(
     diameter: float = 1.0,
     center=(4.0, 4.003),  # slight y-offset seeds the shedding instability
     dt: float | None = None,
-    poisson_method: str = "mg",
+    # dctcg (capacitance-corrected spectral preconditioner) measured 2.1x
+    # multigrid on this topology at 512x256 (0.15 vs 0.32 ms/step) and
+    # 2.6x at 2048x1024 -- docs/PARITY.md; mg/cg/sor remain available.
+    poisson_method: str = "dctcg",
     poisson_tol: float = 1e-5,
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.2,
@@ -88,7 +91,9 @@ def build_sphere(
     diameter: float = 1.0,
     center=(4.0, 4.003, 3.997),  # off-axis offsets seed the instability
     dt: float | None = None,
-    poisson_method: str = "mg",
+    # dctcg measured 2.8x multigrid here (31.7 vs 89.2 ms/step at
+    # 512x256x256, 1 iter/step) -- docs/PARITY.md
+    poisson_method: str = "dctcg",
     poisson_tol: float = 1e-5,
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.2,

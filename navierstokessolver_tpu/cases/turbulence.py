@@ -53,6 +53,7 @@ def build_decaying_turbulence(
     poisson_iters: int = 2000,
     upwind_gamma: float = 0.05,
     les_cs: float | None = None,
+    les_model: str = "smagorinsky",
     **params_kw,
 ):
     """Defaults tuned for marginally resolved runs: RK2 time integration
@@ -95,10 +96,10 @@ def build_decaying_turbulence(
         **params_kw,
     )
     les = None
-    if les_cs:
+    if les_cs or les_model != "smagorinsky":
         from ..les import LESConfig
 
-        les = LESConfig(cs=les_cs)
+        les = LESConfig(cs=les_cs or 0.17, model=les_model)
     sim = Simulation.build(grid, bcs, params, les=les)
     case = Case(
         name="decaying_turbulence",

@@ -67,6 +67,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--les-cs", type=float, default=None,
                     help="enable the Smagorinsky LES closure with this "
                          "constant (0.1-0.2 typical; see les.py); any case")
+    ap.add_argument("--les-model", default=None,
+                    choices=["smagorinsky", "dynamic"],
+                    help="LES variant: static-cs smagorinsky or the "
+                         "Germano-Lilly dynamic model (self-calibrating; "
+                         "--les-cs then unused). Enables LES by itself.")
     ap.add_argument("--integrator", default=None, choices=["euler", "rk2"],
                     help="time integrator (default: euler)")
     ap.add_argument("--chunk", type=int, default=200,
@@ -142,12 +147,15 @@ def main(argv=None) -> int:
 
     case = make_case(case_name, **overrides)
     sim = case.sim
-    if args.les_cs:
+    if args.les_cs or args.les_model:
         import dataclasses as _dc
 
         from .les import LESConfig
 
-        sim = _dc.replace(sim, les=LESConfig(cs=args.les_cs))
+        sim = _dc.replace(sim, les=LESConfig(
+            cs=args.les_cs or 0.17,
+            model=args.les_model or "smagorinsky",
+        ))
     n_steps = (args.steps if args.steps is not None else
                file_steps if file_steps is not None else
                case.suggested_steps)

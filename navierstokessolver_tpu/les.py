@@ -53,13 +53,23 @@ class LESConfig:
 
     Attributes:
       cs:    Smagorinsky constant (0.1-0.2 typical; 0.17 is the classical
-             Lilly value for homogeneous isotropic turbulence).
+             Lilly value for homogeneous isotropic turbulence). Ignored by
+             the dynamic model.
       delta: filter width. ``None`` = geometric mean of the grid spacings
              (the standard choice (dx*dy(*dz))^(1/nd) on anisotropic grids).
+      model: "smagorinsky" (static cs) or "dynamic" (Germano-Lilly: the
+             coefficient is computed each stage from the resolved field via
+             the Germano identity with a 2x test filter and a global
+             least-squares average -- it vanishes on well-resolved laminar
+             fields and needs no tuning).
+      cs2_max: stability clip for the dynamic coefficient (Cs^2; 0.09
+             corresponds to Cs = 0.3, well above any physical value).
     """
 
     cs: float = 0.17
     delta: Optional[float] = None
+    model: str = "smagorinsky"
+    cs2_max: float = 0.09
 
     def filter_width(self, grid: GridSpec) -> float:
         if self.delta is not None:
@@ -121,17 +131,111 @@ def _off_at_centers(off_ab: Array, a: int, b: int) -> Array:
     return _avg(_avg(off_ab, a), b)
 
 
+def _center_strain_tensor(
+    grid: GridSpec, bcs: BCTable, u: Sequence[Array]
+) -> tuple[dict[tuple[int, int], Array], Array]:
+    """The full strain tensor collocated at cell centers (off-diagonal
+    entries averaged from their edge points) and its magnitude
+    ``|S| = sqrt(2 S_ij S_ij)``."""
+    nd = grid.ndim
+    diag, off = strain_rates(grid, bcs, u)
+    S = {(a, a): diag[a] for a in range(nd)}
+    for (a, b), s_ab in off.items():
+        S[(a, b)] = _off_at_centers(s_ab, a, b)
+    s2 = sum(S[(a, a)] * S[(a, a)] for a in range(nd))
+    for a in range(nd):
+        for b in range(a + 1, nd):
+            s2 = s2 + 2.0 * S[(a, b)] * S[(a, b)]
+    return S, jnp.sqrt(2.0 * s2)
+
+
+def test_filter(grid: GridSpec, bcs: BCTable, f: Array) -> Array:
+    """2x top-hat test filter of a cell-centered field: the separable
+    trapezoidal kernel [1/4, 1/2, 1/4] per axis (wrap on periodic axes,
+    edge-replicate otherwise). Preserves constants exactly."""
+    nd = f.ndim
+    for ax in range(grid.ndim):
+        fp = _pad_cells(grid, bcs, f, ax)
+        f = (0.25 * fp[_sl(nd, ax, slice(0, -2))]
+             + 0.5 * fp[_sl(nd, ax, slice(1, -1))]
+             + 0.25 * fp[_sl(nd, ax, slice(2, None))])
+    return f
+
+
+def _centered_velocity(grid: GridSpec, u: Sequence[Array]) -> list[Array]:
+    """Velocity components averaged from their faces to cell centers.
+    Periodic components carry the duplicate wrap face, so the plain
+    adjacent-pair average covers every cell in both closures."""
+    return [_avg(u[a], a) for a in range(grid.ndim)]
+
+
+def dynamic_cs2(
+    grid: GridSpec, bcs: BCTable, u: Sequence[Array], cfg: LESConfig
+) -> Array:
+    """Germano-Lilly dynamic coefficient ``Cs^2`` (one scalar, computed
+    from the resolved field each stage).
+
+    Germano identity with a 2x test filter F (so alpha^2 = 4), everything
+    collocated at cell centers:
+
+        L_ij = F(u_i u_j) - F(u_i) F(u_j)           (resolved Leonard)
+        M_ij = 2 Delta^2 [ F(|S| S_ij) - 4 |S~| S~_ij ]
+        Cs^2 = < L_ij M_ij > / < M_ij M_ij >        (global least squares)
+
+    with the common structured-grid simplification S~_ij = F(S_ij) (test-
+    filtered strains instead of strains of the filtered field). The global
+    average makes the coefficient a scalar -- robust (no local negative
+    viscosity blowups) and exactly what the decaying-isotropic-turbulence
+    cases call for; clipped to [0, cs2_max]. On a well-resolved laminar
+    field the identity is satisfied by Cs ~ 0, so the model self-quenches
+    (tested against the Taylor-Green vortex). Note the 2D behavior: 2D
+    turbulence transfers energy UPSCALE (inverse cascade), <L:M> comes out
+    (slightly) negative on developed 2D fields, and the clipped
+    coefficient is zero -- the dynamic model correctly refuses to add
+    forward-scatter dissipation in 2D; use the static model there if
+    subgrid drain is wanted (e.g. as an enstrophy sink).
+    """
+    nd = grid.ndim
+    dt_ = grid.dtype
+    S, mag = _center_strain_tensor(grid, bcs, u)
+    uc = _centered_velocity(grid, u)
+    fuc = [test_filter(grid, bcs, c) for c in uc]
+    Sf = {k: test_filter(grid, bcs, v) for k, v in S.items()}
+    s2f = sum(Sf[(a, a)] * Sf[(a, a)] for a in range(nd))
+    for a in range(nd):
+        for b in range(a + 1, nd):
+            s2f = s2f + 2.0 * Sf[(a, b)] * Sf[(a, b)]
+    magf = jnp.sqrt(2.0 * s2f)
+    delta2 = jnp.asarray(cfg.filter_width(grid) ** 2, dt_)
+    num = jnp.zeros((), dt_)
+    den = jnp.zeros((), dt_)
+    for a in range(nd):
+        for b in range(a, nd):
+            mult = 1.0 if a == b else 2.0  # symmetric-tensor multiplicity
+            L = (test_filter(grid, bcs, uc[a] * uc[b]) - fuc[a] * fuc[b])
+            M = 2.0 * delta2 * (
+                test_filter(grid, bcs, mag * S[(a, b)])
+                - 4.0 * magf * Sf[(a, b)]
+            )
+            num = num + mult * jnp.sum(L * M)
+            den = den + mult * jnp.sum(M * M)
+    cs2 = num / jnp.maximum(den, jnp.asarray(1e-30, dt_))
+    return jnp.clip(cs2, 0.0, cfg.cs2_max)
+
+
 def eddy_viscosity(
     grid: GridSpec, bcs: BCTable, u: Sequence[Array], cfg: LESConfig
 ) -> Array:
-    """Cell-centered Smagorinsky eddy viscosity ``(Cs Delta)^2 |S|``."""
-    diag, off = strain_rates(grid, bcs, u)
-    s2 = sum(d * d for d in diag)
-    for (a, b), s_ab in off.items():
-        c = _off_at_centers(s_ab, a, b)
-        s2 = s2 + 2.0 * c * c
-    mag = jnp.sqrt(2.0 * s2)
-    scale = (cfg.cs * cfg.filter_width(grid)) ** 2
+    """Cell-centered Smagorinsky eddy viscosity ``Cs^2 Delta^2 |S|``
+    (static ``cs``, or the Germano-Lilly dynamic coefficient)."""
+    _, mag = _center_strain_tensor(grid, bcs, u)
+    if cfg.model == "dynamic":
+        cs2 = dynamic_cs2(grid, bcs, u, cfg)
+    elif cfg.model == "smagorinsky":
+        cs2 = jnp.asarray(cfg.cs * cfg.cs, grid.dtype)
+    else:
+        raise ValueError(f"unknown LES model {cfg.model!r}")
+    scale = cs2 * cfg.filter_width(grid) ** 2
     return (scale * mag).astype(grid.dtype)
 
 

@@ -174,3 +174,93 @@ def test_les_gates_fused_paths_and_hashes():
     # and the LES step itself runs (jnp path) and stays finite
     out, diag = sim.run_scan(sim.initial_state(), 3)
     assert np.isfinite(float(diag.max_div[-1]))
+
+
+def test_test_filter_preserves_constants_and_wraps():
+    from navierstokessolver_tpu.les import test_filter
+
+    g = GridSpec(shape=(16, 16), lengths=(1.0, 1.0))
+    const = jnp.full(g.shape, 3.25, jnp.float32)
+    for bcs in (_wall_bcs(2), _periodic_bcs(2)):
+        out = np.asarray(test_filter(g, bcs, const))
+        np.testing.assert_allclose(out, 3.25, atol=1e-6)
+    # periodic: filtering a pure Fourier mode scales it by the kernel's
+    # transfer function per axis, cos^2(k h / 2) for [1/4, 1/2, 1/4]
+    bcs = _periodic_bcs(2)
+    k = 3
+    x = (np.arange(16) + 0.5) / 16.0
+    f = np.cos(2 * np.pi * k * x)[:, None] * np.ones((1, 16))
+    out = np.asarray(test_filter(g, bcs, jnp.asarray(f, jnp.float32)))
+    gain = np.cos(np.pi * k / 16.0) ** 2
+    np.testing.assert_allclose(out, gain * f, atol=1e-5)
+
+
+def test_dynamic_cs2_self_quenches_on_resolved_field():
+    # A single-mode Taylor-Green field is fully resolved at 64^2: the
+    # Germano identity is satisfied with a tiny coefficient, so the
+    # dynamic model must return (near-)zero -- no spurious dissipation on
+    # laminar flows, which is the whole point of the dynamic procedure.
+    from navierstokessolver_tpu.les import dynamic_cs2
+
+    n = 64
+    g, u = _taylor_green_mac(n)
+    bcs = _periodic_bcs(2)
+    cs2 = float(dynamic_cs2(g, bcs, u, LESConfig(model="dynamic")))
+    assert 0.0 <= cs2 < 0.17 ** 2 / 4.0, cs2
+
+
+def test_dynamic_cs2_activates_on_rough_3d_field():
+    # In 3D, a broadband random field forward-scatters energy to the
+    # subgrid scales, so the Germano numerator <L:M> is positive and the
+    # coefficient activates.
+    from navierstokessolver_tpu.les import (
+        dynamic_cs2,
+        eddy_viscosity,
+        test_filter,
+    )
+
+    n = 24
+    g = GridSpec(shape=(n, n, n), lengths=(1.0, 1.0, 1.0))
+    bcs = _periodic_bcs(3)
+    rng = np.random.default_rng(0)
+    u = []
+    for a in range(3):
+        f = rng.normal(size=g.shape).astype(np.float32)
+        f = np.asarray(test_filter(g, bcs, jnp.asarray(f)))  # de-checkerboard
+        dup = [slice(None)] * 3
+        dup[a] = slice(0, 1)
+        arr = np.concatenate([f, f[tuple(dup)]], axis=a)  # wrap face
+        u.append(jnp.asarray(arr))
+    cfg = LESConfig(model="dynamic")
+    cs2 = float(dynamic_cs2(g, bcs, tuple(u), cfg))
+    assert 0.0 < cs2 <= cfg.cs2_max, cs2
+    nu_t = np.asarray(eddy_viscosity(g, bcs, tuple(u), cfg))
+    assert np.isfinite(nu_t).all() and (nu_t >= 0).all() and nu_t.max() > 0
+
+
+def test_dynamic_cs2_self_quenches_in_2d_inverse_cascade():
+    # 2D turbulence transfers energy UPSCALE (net backscatter), so the
+    # Germano numerator comes out (slightly) negative on a developed 2D
+    # field and the clipped dynamic coefficient is zero -- the model
+    # correctly refuses to add forward-scatter dissipation in 2D.
+    from navierstokessolver_tpu.les import dynamic_cs2
+
+    case = make_case("decaying_turbulence", shape=(64, 64), re=50_000.0,
+                     k0=12.0, seed=9)
+    st = case.initial_state()
+    g, bcs = case.sim.grid, case.sim.bcs
+    cs2 = float(dynamic_cs2(g, bcs, st.u, LESConfig(model="dynamic")))
+    assert cs2 == 0.0, cs2
+
+
+def test_dynamic_les_dissipates_and_runs():
+    base = make_case("decaying_turbulence", shape=(48, 48), re=20_000.0,
+                     seed=4)
+    dyn = make_case("decaying_turbulence", shape=(48, 48), re=20_000.0,
+                    seed=4, les_model="dynamic")
+    assert dyn.sim.les is not None and dyn.sim.les.model == "dynamic"
+    n = 30
+    s0, _ = base.sim.run_scan(base.initial_state(), n)
+    s1, d1 = dyn.sim.run_scan(dyn.initial_state(), n)
+    e0, e1 = _kinetic_energy(s0.u), _kinetic_energy(s1.u)
+    assert np.isfinite(e1) and 0.0 < e1 <= e0 * (1.0 + 1e-6)

@@ -108,3 +108,49 @@ def test_scalar_transport_sharded():
         np.asarray(out.u[1]), np.asarray(ref.u[1]), atol=5e-5
     )
     assert len(out.theta.sharding.device_set) == 8
+
+
+@requires_8
+def test_les_sharded_matches_single_device():
+    """The Smagorinsky closure is plain jnp stencil work, so it must ride
+    the GSPMD domain decomposition unchanged."""
+    case = make_case("decaying_turbulence", shape=(32, 32), re=20_000.0,
+                     seed=5, les_cs=0.17)
+    sim = case.sim
+    assert sim.les is not None
+    ref, _ = sim.run_scan(case.initial_state(), 15)
+
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    assert sim_sh.les is not None  # survives the sharded rebuild
+    st_sh = shard_state(case.initial_state(), mesh, sim.grid)
+    out, _ = sim_sh.run_scan(st_sh, 15)
+    for a in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+
+
+@requires_8
+def test_tracers_sharded_matches_single_device():
+    """Tracer advection reads the (sharded) velocity through gathers; the
+    replicated particle ensemble must trace the same paths."""
+    from navierstokessolver_tpu.tracers import seed_tracers
+
+    case = make_case("cavity", shape=(32, 32))
+    sim = case.sim
+    pos0 = seed_tracers(sim.grid, 16, seed=7)
+    _, pos_ref, _, traj_ref = sim.run_scan_tracers(
+        case.initial_state(), pos0, 10
+    )
+
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    st_sh = shard_state(case.initial_state(), mesh, sim.grid)
+    _, pos_sh, _, traj_sh = sim_sh.run_scan_tracers(st_sh, pos0, 10)
+    np.testing.assert_allclose(
+        np.asarray(traj_sh), np.asarray(traj_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pos_sh), np.asarray(pos_ref), atol=1e-5
+    )
