@@ -46,8 +46,9 @@ def main() -> None:
     import jax
 
     # Compiles go through a slow remote tunnel on this box; cache them.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from navierstokessolver_tpu.utils import jaxcache
+
+    jaxcache.setup()
 
     from navierstokessolver_tpu.cases import make_case
 

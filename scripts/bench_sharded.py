@@ -57,8 +57,8 @@ def main() -> None:
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu" and args.devices > 1:
             jax.config.update("jax_num_cpu_devices", args.devices)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from navierstokessolver_tpu.utils import jaxcache as _jc
+    _jc.setup()
 
     from navierstokessolver_tpu.cases import make_case
     from navierstokessolver_tpu.parallel import (

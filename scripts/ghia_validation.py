@@ -42,8 +42,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from navierstokessolver_tpu.utils import jaxcache as _jc
+    _jc.setup()
 
     from navierstokessolver_tpu.cases import make_case
     from navierstokessolver_tpu import interpolate_to_centers

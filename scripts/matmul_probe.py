@@ -3,8 +3,8 @@ solver at 2048x1024 (fori_loop in-jit: amortizes the ~1 ms axon dispatch)."""
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from navierstokessolver_tpu.utils import jaxcache as _jc
+_jc.setup()
 import numpy as np
 
 rng = np.random.default_rng(0)

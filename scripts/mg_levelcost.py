@@ -7,8 +7,8 @@ and k+1 is the cost of everything below level k.
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse, time
 import jax, jax.numpy as jnp
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from navierstokessolver_tpu.utils import jaxcache as _jc
+_jc.setup()
 import numpy as np
 from navierstokessolver_tpu.cases import make_case
 from navierstokessolver_tpu.ops import multigrid

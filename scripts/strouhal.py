@@ -37,7 +37,8 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from navierstokessolver_tpu.utils import jaxcache as _jc
+    _jc.setup()
 
     from navierstokessolver_tpu.cases import make_case
     from navierstokessolver_tpu.cases.cylinder import impulsive_start_state

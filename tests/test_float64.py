@@ -11,7 +11,10 @@ SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+# zstandard segfaults (and tears entries) on this box -- see conftest.py
+from jax._src import compilation_cache as _cc
+_cc.zstandard = None
 import json
 import jax.numpy as jnp
 import numpy as np
