@@ -15,6 +15,8 @@ Beyond the BASELINE set:
   decaying_turbulence -- 2D periodic turbulence, inverse-cascade oracle
   sphere              -- 3D flow past a sphere (unsteady wake at Re=300)
   duct_periodic       -- 3D body-force duct, exact series-profile oracle
+  kolmogorov          -- sinusoidally forced periodic box (2D/3D), exact
+                         laminar-balance oracle; spatially varying forcing
 
 Each builder accepts overrides so tests can shrink grids.
 """
@@ -37,6 +39,7 @@ from .channel import (
 )
 from .convection import build_heated_cavity, build_rayleigh_benard
 from .cylinder import build_cylinder, build_sphere
+from .kolmogorov import build_kolmogorov
 from .taylor_green import build_taylor_green, build_taylor_green3d
 from .turbulence import build_decaying_turbulence
 
@@ -74,6 +77,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "heated_cavity": build_heated_cavity,
     "rayleigh_benard": build_rayleigh_benard,
     "decaying_turbulence": build_decaying_turbulence,
+    "kolmogorov": build_kolmogorov,
 }
 
 

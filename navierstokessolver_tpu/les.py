@@ -132,13 +132,14 @@ def _off_at_centers(off_ab: Array, a: int, b: int) -> Array:
 
 
 def _center_strain_tensor(
-    grid: GridSpec, bcs: BCTable, u: Sequence[Array]
+    grid: GridSpec, bcs: BCTable, u: Sequence[Array], raw=None
 ) -> tuple[dict[tuple[int, int], Array], Array]:
     """The full strain tensor collocated at cell centers (off-diagonal
     entries averaged from their edge points) and its magnitude
-    ``|S| = sqrt(2 S_ij S_ij)``."""
+    ``|S| = sqrt(2 S_ij S_ij)``. ``raw`` short-circuits the staggered
+    strain computation with a precomputed :func:`strain_rates` result."""
     nd = grid.ndim
-    diag, off = strain_rates(grid, bcs, u)
+    diag, off = raw if raw is not None else strain_rates(grid, bcs, u)
     S = {(a, a): diag[a] for a in range(nd)}
     for (a, b), s_ab in off.items():
         S[(a, b)] = _off_at_centers(s_ab, a, b)
@@ -170,7 +171,8 @@ def _centered_velocity(grid: GridSpec, u: Sequence[Array]) -> list[Array]:
 
 
 def dynamic_cs2(
-    grid: GridSpec, bcs: BCTable, u: Sequence[Array], cfg: LESConfig
+    grid: GridSpec, bcs: BCTable, u: Sequence[Array], cfg: LESConfig,
+    strains=None,
 ) -> Array:
     """Germano-Lilly dynamic coefficient ``Cs^2`` (one scalar, computed
     from the resolved field each stage).
@@ -197,7 +199,8 @@ def dynamic_cs2(
     """
     nd = grid.ndim
     dt_ = grid.dtype
-    S, mag = _center_strain_tensor(grid, bcs, u)
+    S, mag = (strains if strains is not None
+              else _center_strain_tensor(grid, bcs, u))
     uc = _centered_velocity(grid, u)
     fuc = [test_filter(grid, bcs, c) for c in uc]
     Sf = {k: test_filter(grid, bcs, v) for k, v in S.items()}
@@ -224,13 +227,14 @@ def dynamic_cs2(
 
 
 def eddy_viscosity(
-    grid: GridSpec, bcs: BCTable, u: Sequence[Array], cfg: LESConfig
+    grid: GridSpec, bcs: BCTable, u: Sequence[Array], cfg: LESConfig,
+    raw_strains=None,
 ) -> Array:
     """Cell-centered Smagorinsky eddy viscosity ``Cs^2 Delta^2 |S|``
     (static ``cs``, or the Germano-Lilly dynamic coefficient)."""
-    _, mag = _center_strain_tensor(grid, bcs, u)
+    S, mag = _center_strain_tensor(grid, bcs, u, raw=raw_strains)
     if cfg.model == "dynamic":
-        cs2 = dynamic_cs2(grid, bcs, u, cfg)
+        cs2 = dynamic_cs2(grid, bcs, u, cfg, strains=(S, mag))
     elif cfg.model == "smagorinsky":
         cs2 = jnp.asarray(cfg.cs * cfg.cs, grid.dtype)
     else:
@@ -275,7 +279,7 @@ def sgs_forcing(
     per = periodic_axes(grid, bcs)
     diag, off = strain_rates(grid, bcs, u)
     if nu_t is None:
-        nu_t = eddy_viscosity(grid, bcs, u, cfg)
+        nu_t = eddy_viscosity(grid, bcs, u, cfg, raw_strains=(diag, off))
 
     # nu_t at the (a,b) edge points: pad one ghost cell along a and b, then
     # average the 4 surrounding centers.

@@ -196,22 +196,36 @@ def _lane_shift(x, sh: int, fix):
 
 
 def _predictor3d_kernel(
-    dt_ref, a_hbm, b1_hbm, b2_hbm, out_ref, a_scr, b1_scr, b2_scr, sems,
-    *, T: int, OS: int, OL: int, comp: int, t1: int, t2: int,
+    dt_ref, a_hbm, b1_hbm, b2_hbm, *rest,
+    T: int, OS: int, OL: int, comp: int, t1: int, t2: int,
     h: tuple, nu: float, gamma: float,
     a_fix_lo, a_fix_hi, b_fix: dict,
+    les: bool = False, b_lo_fix: dict = None,
+    nt_fix_lo=None, nt_fix_hi=None,
 ):
     """One axis-0 stripe of the fused predictor for one velocity component.
 
     Canonical operand layout: value for output idx lives at
     [idx0 + 1, idx1 + 1, idx2] of each window (aprons on axes 0/1 only).
+
+    ``les=True`` streams a fourth canonical operand -- the cell-centered
+    eddy viscosity -- and adds the Smagorinsky subgrid-stress divergence
+    ``d/dx_b (2 nu_t S_comp,b)`` to the update in-register (every strain/
+    viscosity read stays within the standard +-1 apron/roll reach because
+    nu_t arrives precomputed; see les.py for the model and the jnp
+    reference semantics this must match).
     """
+    if les:
+        (nt_hbm, out_ref, a_scr, b1_scr, b2_scr, nt_scr, sems) = rest
+        pairs = [(a_hbm, a_scr), (b1_hbm, b1_scr), (b2_hbm, b2_scr),
+                 (nt_hbm, nt_scr)]
+    else:
+        (out_ref, a_scr, b1_scr, b2_scr, sems) = rest
+        pairs = [(a_hbm, a_scr), (b1_hbm, b1_scr), (b2_hbm, b2_scr)]
     i = pl.program_id(0)
     cps = [
         pltpu.make_async_copy(ref.at[pl.ds(i * T, T + 2)], scr, sems.at[k])
-        for k, (ref, scr) in enumerate(
-            [(a_hbm, a_scr), (b1_hbm, b1_scr), (b2_hbm, b2_scr)]
-        )
+        for k, (ref, scr) in enumerate(pairs)
     ]
     for cp in cps:
         cp.start()
@@ -276,7 +290,52 @@ def _predictor3d_kernel(
         lp = (p - 2.0 * c0 + m) * invh2
         lap = lp if lap is None else lap + lp
     dt = dt_ref[0]
-    out_ref[...] = c0 + dt * (nu * lap - adv)
+    rhs = nu * lap - adv
+
+    if les:
+        # Subgrid stress divergence F_comp = sum_b d/dx_b (2 nu_t S_comp,b)
+        # at comp's faces. Window reads by per-GRID-AXIS offsets: axes 0/1
+        # land in the aprons, axis 2 is a roll with the window's own lane
+        # fixes (lo for negative shifts, hi for positive).
+        def rd(scr, offs: dict, lo_fix, hi_fix):
+            x = scr[...]
+            o = [offs.get(ax, 0) for ax in range(3)]
+            if o[2]:
+                x = _lane_shift(x, o[2], lo_fix if o[2] < 0 else hi_fix)
+            return x[1 + o[0]:1 + o[0] + T, 1 + o[1]:1 + o[1] + OS, :OL]
+
+        def rd_a(offs):
+            return rd(a_scr, offs, a_fix_lo, a_fix_hi)
+
+        def rd_nt(offs):
+            return rd(nt_scr, offs, nt_fix_lo, nt_fix_hi)
+
+        inv = tuple(1.0 / h[ax] for ax in range(3))
+        # own-axis term: (tau_cc(cell 0) - tau_cc(cell -1)) / h_c with
+        # tau_cc(cell d) = 2 nu_t(d) * (u_c(face d+1) - u_c(face d)) / h_c
+        f = None
+        for dc, sgn in ((0, 1.0), (-1, -1.0)):
+            s_cc = (rd_a({comp: dc + 1}) - rd_a({comp: dc})) * inv[comp]
+            term = (sgn * 2.0 * inv[comp]) * rd_nt({comp: dc}) * s_cc
+            f = term if f is None else f + term
+        # transverse terms: (tau_ct(edge 1) - tau_ct(edge 0)) / h_t where
+        # edge d sits at t-node (cell index + d) and comp-node 0 (the face)
+        for t, scr in ((t1, b1_scr), (t2, b2_scr)):
+            blo = b_lo_fix[t]
+            bhi = b_fix[t]
+            for d, sgn in ((1, 1.0), (0, -1.0)):
+                du_c = (rd_a({t: d}) - rd_a({t: d - 1})) * inv[t]
+                du_t = (rd(scr, {t: d, comp: 0}, blo, bhi)
+                        - rd(scr, {t: d, comp: -1}, blo, bhi)) * inv[comp]
+                s_ct = 0.5 * (du_c + du_t)
+                nt_e = 0.25 * (
+                    rd_nt({comp: -1, t: d - 1}) + rd_nt({comp: 0, t: d - 1})
+                    + rd_nt({comp: -1, t: d}) + rd_nt({comp: 0, t: d})
+                )
+                f = f + (sgn * 2.0 * inv[t]) * nt_e * s_ct
+        rhs = rhs + f
+
+    out_ref[...] = c0 + dt * rhs
 
 
 def _scalar_bc(bcs: BCTable, face, comp: int, ndim: int):
@@ -388,17 +447,32 @@ def predictor_3d_from_canon(
     upwind_gamma: float = 0.0,
     tile: int = None,
     interpret: bool = False,
+    nt_canon: Array = None,
 ) -> tuple[Array, Array, Array]:
     """Kernel invocations over pre-built canonical operands (see
     :func:`predictor_3d` for the canonical layout). Split out so the
     sharded wrapper (parallel/pallas_sharded.py) can splice ppermute halo
     planes into the canon instead of BC ghosts and reuse the kernels
-    verbatim on its local block."""
+    verbatim on its local block. ``nt_canon`` (canonical cell-centered
+    eddy viscosity; replicate/wrap aprons) switches on the in-kernel LES
+    subgrid-stress term."""
+    from ..bcs import periodic_axes
+
     h = grid.spacing
     n = grid.shape
     T, NP0, S1, L2, shape_pad = _canon_dims_3d(grid, tile)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
     fixes = [_lane_fixes(grid, bcs, c) for c in range(3)]
+    les = nt_canon is not None
+    if les:
+        n2 = n[2]
+        if periodic_axes(grid, bcs)[2]:
+            nt_fix_lo = nt_fix_hi = None       # lane roll IS the wrap
+        else:
+            nt_fix_lo = (0, 1.0, 0.0)          # edge-replicate ghosts,
+            nt_fix_hi = (n2 - 1, 1.0, 0.0)     # matching les._pad_cells
+    else:
+        nt_fix_lo = nt_fix_hi = None
 
     out = []
     for a in range(3):
@@ -409,36 +483,37 @@ def predictor_3d_from_canon(
         OS = _round_up(e[1], 8)
         OL = L2
         b_fix = {t: fixes[t][2] for t in (t1, t2)}
+        b_lo_fix = {t: fixes[t][0] for t in (t1, t2)}
         kern = functools.partial(
             _predictor3d_kernel,
             T=T, OS=OS, OL=OL, comp=a, t1=t1, t2=t2,
             h=tuple(float(x) for x in h), nu=nu, gamma=upwind_gamma,
             a_fix_lo=fixes[a][0], a_fix_hi=fixes[a][1], b_fix=b_fix,
+            les=les, b_lo_fix=b_lo_fix,
+            nt_fix_lo=nt_fix_lo, nt_fix_hi=nt_fix_hi,
         )
+        n_in = 4 if les else 3
+        scratch = [pltpu.VMEM((T + 2, S1, L2), jnp.float32)
+                   for _ in range(n_in)]
+        scratch.append(pltpu.SemaphoreType.DMA((n_in,)))
+        args = [dt_arr, canon[a], canon[t1], canon[t2]]
+        if les:
+            args.append(nt_canon)
         res = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((NP0, OS, OL), jnp.float32),
             grid=(NP0 // T,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
             out_specs=pl.BlockSpec(
                 (T, OS, OL), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[
-                pltpu.VMEM((T + 2, S1, L2), jnp.float32),
-                pltpu.VMEM((T + 2, S1, L2), jnp.float32),
-                pltpu.VMEM((T + 2, S1, L2), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(dt_arr, canon[a], canon[t1], canon[t2])
+        )(*args)
         res = res[: e[0], : e[1], : e[2]]
         if a == 2:
             # re-append the elided boundary face (BC-pass territory)
@@ -447,24 +522,15 @@ def predictor_3d_from_canon(
     return tuple(out)
 
 
-def predictor_3d(
-    grid: GridSpec,
-    bcs: BCTable,
-    u: Sequence[Array],
-    dt,
-    nu: float,
-    upwind_gamma: float = 0.0,
-    tile: int = None,
-    interpret: bool = False,
-) -> tuple[Array, Array, Array]:
-    """Fused Pallas 3D predictor; same contract as the 2D kernel (boundary
-    faces carry garbage for the caller's BC pass to overwrite)."""
-    T, NP0, S1, L2, shape_pad = _canon_dims_3d(grid, tile)
-    # canonical padded components (built once, shared by all three kernels):
-    # aprons on axes 0 and 1 only (pad_transverse would also pad axis 2,
-    # whose ghosts are synthesized in-kernel), lanes exact.
+def build_canon_3d(
+    grid: GridSpec, bcs: BCTable, u: Sequence[Array], tile: int = None
+) -> list:
+    """The canonical padded components shared by all per-component 3D
+    kernels: aprons on axes 0 and 1 only (pad_transverse would also pad
+    axis 2, whose ghosts are synthesized in-kernel), lanes exact."""
     from ..bcs import _face_slice, periodic_axes
 
+    _, _, _, _, shape_pad = _canon_dims_3d(grid, tile)
     per = periodic_axes(grid, bcs)
     canon = []
     for c in range(3):
@@ -492,9 +558,163 @@ def predictor_3d(
                 )
         x = jnp.pad(x, [(0, shape_pad[d] - x.shape[d]) for d in range(3)])
         canon.append(x)
+    return canon
+
+
+def nt_canon_3d(
+    grid: GridSpec, bcs: BCTable, nu_t: Array, tile: int = None
+) -> Array:
+    """Cell-centered viscosity canon: replicate (zero-normal-gradient) or
+    wrap ghosts on axes 0/1 -- the same closure as les._pad_cells, so the
+    in-kernel edge averages match the jnp stress exactly."""
+    from ..bcs import _face_slice, periodic_axes
+
+    _, _, _, _, shape_pad = _canon_dims_3d(grid, tile)
+    per = periodic_axes(grid, bcs)
+    x = nu_t
+    for ax in (0, 1):
+        if per[ax]:
+            lo = _face_slice(x, ax, slice(-1, None))
+            hi = _face_slice(x, ax, slice(0, 1))
+        else:
+            lo = _face_slice(x, ax, slice(0, 1))
+            hi = _face_slice(x, ax, slice(-1, None))
+        x = jnp.concatenate([lo, x, hi], axis=ax)
+    return jnp.pad(x, [(0, shape_pad[d] - x.shape[d]) for d in range(3)])
+
+
+def predictor_3d(
+    grid: GridSpec,
+    bcs: BCTable,
+    u: Sequence[Array],
+    dt,
+    nu: float,
+    upwind_gamma: float = 0.0,
+    tile: int = None,
+    interpret: bool = False,
+    nu_t: Array = None,
+) -> tuple[Array, Array, Array]:
+    """Fused Pallas 3D predictor; same contract as the 2D kernel (boundary
+    faces carry garbage for the caller's BC pass to overwrite). ``nu_t``
+    (cell-centered eddy viscosity, e.g. les.eddy_viscosity) adds the LES
+    subgrid-stress divergence in-kernel -- bit-compatible with the jnp
+    path ``stencils.predictor(..., forcing=les.sgs_forcing(...))``."""
+    T, NP0, S1, L2, shape_pad = _canon_dims_3d(grid, tile)
+    canon = build_canon_3d(grid, bcs, u, tile)
+    nt_canon = (nt_canon_3d(grid, bcs, nu_t, tile)
+                if nu_t is not None else None)
     return predictor_3d_from_canon(
-        grid, bcs, canon, dt, nu, upwind_gamma, T, interpret
+        grid, bcs, canon, dt, nu, upwind_gamma, T, interpret,
+        nt_canon=nt_canon,
     )
+
+
+def _nu_t3d_kernel(
+    scale_ref, u0_hbm, u1_hbm, u2_hbm, out_ref, s0, s1, s2, sems,
+    *, T: int, OS: int, OL: int, h: tuple, fix_lo: tuple, fix_hi: tuple,
+):
+    """Cell-centered Smagorinsky eddy viscosity for one axis-0 stripe.
+
+    Reads the three canonical velocity windows once and evaluates
+    ``nu_t = scale * sqrt(2 S_ij S_ij)`` with the strain tensor collocated
+    at cell centers. The 4-edge average of each off-diagonal S_ab
+    telescopes into central differences,
+
+        <du_a/dx_b>_center = [ (u_a|_{d_a=0} + u_a|_{d_a=1})(b+1)
+                             - (... )(b-1) ] / (4 h_b),
+
+    algebraically identical to les._center_strain_tensor's
+    average-of-edges over the same ghost values (pad_transverse aprons on
+    axes 0/1; lane roll + linear edge fixes on axis 2), so the output
+    matches the jnp eddy_viscosity to f32 roundoff.
+    """
+    i = pl.program_id(0)
+    cps = [
+        pltpu.make_async_copy(ref.at[pl.ds(i * T, T + 2)], scr, sems.at[k])
+        for k, (ref, scr) in enumerate(
+            [(u0_hbm, s0), (u1_hbm, s1), (u2_hbm, s2)]
+        )
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    scrs = (s0, s1, s2)
+
+    def rd(c, offs: dict):
+        x = scrs[c][...]
+        o = [offs.get(ax, 0) for ax in range(3)]
+        if o[2]:
+            x = _lane_shift(x, o[2], fix_lo[c] if o[2] < 0 else fix_hi[c])
+        return x[1 + o[0]:1 + o[0] + T, 1 + o[1]:1 + o[1] + OS, :OL]
+
+    inv = tuple(1.0 / h[ax] for ax in range(3))
+    s2sum = None
+    for a in range(3):
+        saa = (rd(a, {a: 1}) - rd(a, {a: 0})) * inv[a]
+        term = saa * saa
+        s2sum = term if s2sum is None else s2sum + term
+    for a in range(3):
+        for b in range(a + 1, 3):
+            d_ab = (0.25 * inv[b]) * (
+                (rd(a, {a: 0, b: 1}) - rd(a, {a: 0, b: -1}))
+                + (rd(a, {a: 1, b: 1}) - rd(a, {a: 1, b: -1}))
+            )
+            d_ba = (0.25 * inv[a]) * (
+                (rd(b, {b: 0, a: 1}) - rd(b, {b: 0, a: -1}))
+                + (rd(b, {b: 1, a: 1}) - rd(b, {b: 1, a: -1}))
+            )
+            s_ab = 0.5 * (d_ab + d_ba)
+            s2sum = s2sum + 2.0 * (s_ab * s_ab)
+    out_ref[...] = scale_ref[0] * jnp.sqrt(2.0 * s2sum)
+
+
+def nu_t_3d_from_canon(
+    grid: GridSpec,
+    bcs: BCTable,
+    canon: Sequence[Array],
+    cs2_delta2: float,
+    tile: int = None,
+    interpret: bool = False,
+) -> Array:
+    """Pallas cell-centered Smagorinsky ``nu_t = cs^2 Delta^2 |S|`` from
+    the canonical velocity operands (build_canon_3d). Static-coefficient
+    only (the Germano-dynamic model's test filter needs wider support and
+    stays jnp). Returns the exact (n0, n1, n2) field."""
+    n = grid.shape
+    T, NP0, S1, L2, shape_pad = _canon_dims_3d(grid, tile)
+    fixes = [_lane_fixes(grid, bcs, c) for c in range(3)]
+    # comp 0/1: axis 2 transverse (reflection fixes both sides); comp 2:
+    # own-axis reads are 0/+1 only -- +1 at lane n2-1 is the elided
+    # boundary face, reconstructed by the face_hi fix
+    fix_lo = (fixes[0][0], fixes[1][0], None)
+    fix_hi = (fixes[0][1], fixes[1][1], fixes[2][2])
+    NPC = _round_up(n[0], T)
+    OS = _round_up(n[1], 8)
+    kern = functools.partial(
+        _nu_t3d_kernel,
+        T=T, OS=OS, OL=L2, h=tuple(float(x) for x in grid.spacing),
+        fix_lo=fix_lo, fix_hi=fix_hi,
+    )
+    scale = jnp.asarray(cs2_delta2, jnp.float32).reshape(1)
+    res = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((NPC, OS, L2), jnp.float32),
+        grid=(NPC // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (T, OS, L2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2, S1, L2), jnp.float32) for _ in range(3)
+        ] + [pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scale, canon[0], canon[1], canon[2])
+    return res[: n[0], : n[1], : n[2]]
 
 
 # ---------------------------------------------------------------------------
@@ -1216,6 +1436,36 @@ def to_internal_3d(grid: GridSpec, u, tile: int = 8):
     )
 
 
+def forcing_to_internal_3d(grid: GridSpec, bcs: BCTable, fields,
+                           tile: int = 8):
+    """Per-face forcing volumes in the jnp predictor's convention (interior
+    faces along each component's own axis; all n distinct faces when that
+    axis is periodic -- see stencils.predictor / les.sgs_forcing) -> the
+    fused-step internal layout. Boundary faces get zeros (the kernel's BC
+    writes overwrite them anyway); a periodic own axis keeps face 0's value
+    and lets the kernel's duplicate-face mirroring handle face n. ``None``
+    components (unforced) become zero volumes."""
+    from ..bcs import periodic_axes
+
+    per = periodic_axes(grid, bcs)
+    full = []
+    for a, f in enumerate(fields):
+        if f is None:
+            shp = list(grid.shape)
+            if not per[a]:
+                shp[a] -= 1
+            f = jnp.zeros(tuple(shp), grid.dtype)
+        if per[a]:
+            idx = [slice(None)] * 3
+            idx[a] = slice(0, 1)
+            full.append(jnp.concatenate([f, f[tuple(idx)]], axis=a))
+        else:
+            pad = [(0, 0)] * 3
+            pad[a] = (1, 1)
+            full.append(jnp.pad(f, pad))
+    return to_internal_3d(grid, tuple(full), tile)
+
+
 # Obstacle face-code bits (3D port of ops/pallas_2d's uint8 codes): one
 # byte per staggered face, streamed alongside the velocity windows.
 FACE_OPEN_3D = 1    # face not blocked by a solid cell
@@ -1302,7 +1552,7 @@ def _fused_pred_kernel(
     masked: bool = False, per: tuple = (False, False, False),
     force: tuple = (0.0, 0.0, 0.0),
     buoy: tuple = (0.0, 0.0, 0.0), tref: float = 0.0,
-    thermal: bool = False, based: bool = False,
+    thermal: bool = False, based: bool = False, forced: bool = False,
 ):
     """One axis-0 stripe: u* for all three components (BCs applied) + the
     scaled divergence rhs, in the INTERNAL layout (v3).
@@ -1327,23 +1577,34 @@ def _fused_pred_kernel(
     averages M_t. Rows beyond n0(+1) hold finite garbage that never reaches
     a kept output; the margin stripe (i == G) zero-fills.
     """
+    # Positional layout (pallas: inputs..., outputs..., scratch...), with
+    # each optional volume set gated by its flag -- any combination works:
+    #   inputs:  [theta] [base x3] [forcing-field x3] [code x4]
+    #   outputs: out0 out1 out2 rhs
+    #   scratch: s0 s1 s2 [s_th] [sb x3] [sf x3] sems sg0 sg1 sg2 gsems
+    #            [code scratch x4 + csems]
+    rest = list(rest)
+
+    def _take(k):
+        vals = tuple(rest[:k])
+        del rest[:k]
+        return vals
+
+    th_hbm = _take(1)[0] if thermal else None
+    b0_hbm, b1_hbm, b2_hbm = _take(3) if based else (None,) * 3
+    f0_hbm, f1_hbm, f2_hbm = _take(3) if forced else (None,) * 3
+    c0_hbm, c1_hbm, c2_hbm, fc_hbm = _take(4) if masked else (None,) * 4
+    out0, out1, out2, rhs_ref = _take(4)
+    s0, s1, s2 = _take(3)
+    s_th = _take(1)[0] if thermal else None
+    sb0, sb1, sb2 = _take(3) if based else (None,) * 3
+    sf0, sf1, sf2 = _take(3) if forced else (None,) * 3
+    (sems,) = _take(1)
+    sg0, sg1, sg2 = _take(3)
+    (gsems,) = _take(1)
     if masked:
-        (c0_hbm, c1_hbm, c2_hbm, fc_hbm, out0, out1, out2, rhs_ref,
-         s0, s1, s2, sems, sg0, sg1, sg2, gsems,
-         cs0, cs1, cs2, cfs, csems) = rest
-    elif thermal and based:
-        (th_hbm, b0_hbm, b1_hbm, b2_hbm, out0, out1, out2, rhs_ref,
-         s0, s1, s2, s_th, sb0, sb1, sb2, sems,
-         sg0, sg1, sg2, gsems) = rest
-    elif thermal:
-        (th_hbm, out0, out1, out2, rhs_ref,
-         s0, s1, s2, s_th, sems, sg0, sg1, sg2, gsems) = rest
-    elif based:
-        (b0_hbm, b1_hbm, b2_hbm, out0, out1, out2, rhs_ref,
-         s0, s1, s2, sb0, sb1, sb2, sems, sg0, sg1, sg2, gsems) = rest
-    else:
-        (out0, out1, out2, rhs_ref,
-         s0, s1, s2, sems, sg0, sg1, sg2, gsems) = rest
+        cs0, cs1, cs2, cfs, csems = _take(5)
+    assert not rest
     i = pl.program_id(0)
     n0, n1, n2 = n
     # halo mode (sharded whole-step; parallel/fused_sharded.py): n0 is the
@@ -1375,6 +1636,9 @@ def _fused_pred_kernel(
     if based:
         refs += (b0_hbm, b1_hbm, b2_hbm)
         scrs += [sb0, sb1, sb2]
+    if forced:
+        refs += (f0_hbm, f1_hbm, f2_hbm)
+        scrs += [sf0, sf1, sf2]
     scrs = tuple(scrs)
 
     def _dma(j, ph):
@@ -1627,6 +1891,13 @@ def _fused_pred_kernel(
                     th_c = thw[ro:ro + rows, :S]
                     th_m = _shift_fix(th_c, a, -1, None)
                 rhs_a = rhs_a + buoy[a] * (0.5 * (th_m + th_c) - tref)
+            if forced:
+                # per-face forcing VOLUME (e.g. the LES subgrid-stress
+                # divergence): streamed in internal layout, read at the
+                # same rows as `center` -- boundary faces are overwritten
+                # by the BC writes below, matching the jnp interior add
+                fw = (sf0, sf1, sf2)[a][pl.ds(off, R3)]
+                rhs_a = rhs_a + fw[ro:ro + rows, :SOUT[a]]
             if based:
                 # rk2 stage 2: u* = u_base + dt*RHS(u_mid) -- the window
                 # holds the midpoint field, the base streams separately
@@ -1766,9 +2037,15 @@ def predictor_rhs_3d_internal(
     buoyancy=None,
     theta_ref: float = 0.0,
     base=None,
+    forcing_fields=None,
 ):
     """Fused u* + Poisson-RHS kernel over internal-layout inputs; returns
     internal-layout u* and the exact-shaped rhs.
+
+    ``forcing_fields``: optional per-FACE forcing volumes (one internal-
+    layout array per component -- e.g. the LES subgrid-stress divergence,
+    or any spatially varying body force), streamed alongside the velocity
+    windows and added to the predictor RHS at every kept face.
 
     ``base``: rk2 stage-2 mode -- ``iu`` is the MIDPOINT field whose
     advection-diffusion RHS advances the separately streamed ``base``
@@ -1839,8 +2116,11 @@ def predictor_rhs_3d_internal(
         buoy = tuple(float(b) for b in buoyancy)
     thermal = theta is not None and any(buoy)
     based = base is not None
+    forced = forcing_fields is not None
     if thermal or based:
         assert not masked, "fused thermal/rk2 predictor: no obstacles"
+    if forced:
+        assert not halo, "sharded fused forcing fields not supported"
     if thermal and halo:
         # sharded thermal: theta's axis-0 ghosts are NOT streamed -- only
         # buoyancy transverse to the sharded axis needs no axis-0 cells
@@ -1853,7 +2133,7 @@ def predictor_rhs_3d_internal(
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
         tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked, per=per,
         force=force, buoy=buoy, tref=float(theta_ref), thermal=thermal,
-        based=based,
+        based=based, forced=forced,
     )
     win = [
         pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32),
@@ -1865,7 +2145,10 @@ def predictor_rhs_3d_internal(
         scratch.append(pltpu.VMEM((nb * (T + 3), S0, L), jnp.float32))
     if based:
         scratch += list(win)
-    n_vols = 3 + (1 if thermal else 0) + (3 if based else 0)
+    if forced:
+        scratch += list(win)
+    n_vols = 3 + (1 if thermal else 0) + (3 if based else 0) \
+        + (3 if forced else 0)
     scratch += [
         pltpu.SemaphoreType.DMA((2, n_vols)),
         pltpu.VMEM((1, S0, L), jnp.float32),
@@ -1878,6 +2161,8 @@ def predictor_rhs_3d_internal(
         args += (theta,)
     if based:
         args += (base[0], base[1], base[2])
+    if forced:
+        args += tuple(forcing_fields)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
         [pl.BlockSpec(memory_space=pl.ANY)] * n_vols
     if masked:
@@ -1972,14 +2257,20 @@ def predictor_rhs_3d(
     interpret: bool = False,
     db: Optional[bool] = None,
     forcing=None,
+    forcing_fields=None,
 ) -> tuple[tuple[Array, Array, Array], Array]:
     """Exact-layout entry point: pads to the internal layout, runs the
     fused kernel. ``u_star`` comes back internal (row r <-> global face/cell
-    row r; comp 2 lane-elided) for :func:`correct_diag_3d`."""
+    row r; comp 2 lane-elided) for :func:`correct_diag_3d`.
+    ``forcing_fields``: per-face forcing volumes in the jnp predictor's
+    convention (interior faces along the own axis; n distinct faces when
+    that axis is periodic -- the shapes les.sgs_forcing returns)."""
     iu = to_internal_3d(grid, u, tile)
+    ifld = (forcing_to_internal_3d(grid, bcs, forcing_fields, tile)
+            if forcing_fields is not None else None)
     return predictor_rhs_3d_internal(
         grid, bcs, iu, dt, nu, upwind_gamma, rho, tile, interpret, db=db,
-        forcing=forcing,
+        forcing=forcing, forcing_fields=ifld,
     )
 
 

@@ -102,6 +102,10 @@ class Simulation:
     # divergence to the predictor each stage. Keeps the jnp step (the
     # fused kernels don't stream a per-step eddy-viscosity field).
     les: Optional[object] = None
+    # Optional sharp-interface immersed boundary (ibm.py): direct forcing
+    # on the first fluid face ring before each projection. Layers on top
+    # of the staircase masks (which stay as the pressure treatment).
+    ibm: Optional[object] = None
 
     @staticmethod
     def build(
@@ -112,8 +116,23 @@ class Simulation:
         forcing: Optional[tuple[Array, ...]] = None,
         scalar=None,
         les=None,
+        sdf=None,
+        surface_velocity=None,
     ) -> "Simulation":
+        """``sdf``: optional signed-distance function of the obstacle
+        surface (negative inside). When given (and ``solid`` is None) the
+        staircase cell mask derives from it AND the velocity boundary
+        treatment upgrades to sharp-interface direct forcing (ibm.py).
+        ``surface_velocity(*coords) -> nd components``: optional body
+        surface velocity for moving boundaries (e.g. a rotating
+        cylinder); requires ``sdf``."""
         bcs_mod.validate_bcs(grid, bcs)
+        ibm_op = None
+        if sdf is not None:
+            from . import ibm as ibm_mod
+
+            if solid is None:
+                solid = ibm_mod.solid_from_sdf(grid, sdf)
         if scalar is not None:
             scalar.validate(grid)
             per = bcs_mod.periodic_axes(grid, bcs)
@@ -149,12 +168,18 @@ class Simulation:
 
             mg_solver = multigrid.MGPoissonSolver.build(grid, bcs, solid)
         per = bcs_mod.periodic_axes(grid, bcs)
+        face_masks = bcs_mod.face_masks_from_solid(grid, solid, per)
+        if sdf is not None and face_masks is not None:
+            from . import ibm as ibm_mod
+
+            ibm_op = ibm_mod.build_ibm(grid, bcs, sdf, face_masks,
+                                       velocity=surface_velocity)
         return Simulation(
             grid=grid,
             bcs=bcs,
             params=params,
             op=poisson_mod.build_poisson_op(grid, bcs, solid),
-            face_masks=bcs_mod.face_masks_from_solid(grid, solid, per),
+            face_masks=face_masks,
             corr_masks=bcs_mod.correction_face_masks(grid, solid, per),
             forcing=forcing,
             dct_solver=dct_solver,
@@ -162,6 +187,7 @@ class Simulation:
             dctcg_solver=dctcg_solver,
             scalar=scalar,
             les=les,
+            ibm=ibm_op,
         )
 
     # -- single step ---------------------------------------------------------
@@ -303,9 +329,22 @@ class Simulation:
         # Scalar transport + Boussinesq buoyancy fuse too (theta streams
         # with the velocity windows; its flux-form update rides the
         # corrector pass) when the scalar BC values are static scalars.
+        # LES stays OFF this path by measurement: streaming the jnp
+        # subgrid-stress divergence through per-stage internal<->exact
+        # conversions ran 1.76 ms/step at 128^3 Taylor-Green vs 1.60 on
+        # the per-component predictor route (_pallas_les_ok), which keeps
+        # the in-kernel stress divergence and pays only one nu_t
+        # precompute -- see docs/KERNELS.md "LES through the fused
+        # predictor". Spatially-varying body forces ARE supported: the
+        # static per-face forcing volumes stream alongside the velocity
+        # windows (predictor_rhs_3d_internal forcing_fields; converted
+        # once, hoisted out of the scan by XLA since they are
+        # loop-invariant jit arguments).
         if self.shardings is not None or self.les is not None:
             return False
-        if self.forcing is not None and self._static_forcing() is None:
+        if self.ibm is not None:
+            # the IBM direct forcing must hit u* between the predictor and
+            # the Poisson RHS -- the whole-step kernels fuse those
             return False
         if bcs_mod.has_convective_outlet(self.grid, self.bcs):
             # rk2's stage-2 transport update must read the STEP-START
@@ -368,6 +407,8 @@ class Simulation:
         if self.params.integrator not in ("euler", "rk2"):
             return False
         if self.shardings is not None or self.les is not None:
+            return False
+        if self.ibm is not None:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
@@ -590,6 +631,11 @@ class Simulation:
             buoyancy=self.scalar.buoyancy if thermal else None,
             theta_ref=self.scalar.theta_ref if thermal else 0.0,
         )
+        if self.forcing is not None and pred_kw["forcing"] is None:
+            # spatially-varying body force: stream the per-face volumes
+            # through the predictor kernel (internal layout; the convert
+            # is loop-invariant so XLA hoists it out of the scan)
+            pred_kw["forcing_fields"] = self._forcing_fields_internal()
         beta = pr.poisson.extrapolate
         if beta and istate.p_prev is not None:
             p_start = istate.p + beta * (istate.p - istate.p_prev)
@@ -653,6 +699,29 @@ class Simulation:
         return (State(u=iu_new, p=p, theta=theta_new, p_prev=p_prev_new),
                 diag, max_vel)
 
+    def _forcing_fields_internal(self):
+        """Spatially-varying self.forcing as internal-layout per-face
+        volumes for the fused 3D predictor kernel. Components broadcast
+        to the jnp predictor's interior-face shapes (all n distinct faces
+        on a periodic own axis), None components become zeros."""
+        from .ops import pallas_kernels
+
+        g, b = self.grid, self.bcs
+        per = bcs_mod.periodic_axes(g, b)
+        fields = []
+        for a in range(3):
+            shp = list(g.shape)
+            if not per[a]:
+                shp[a] -= 1
+            f = self.forcing[a]
+            if f is None:
+                fields.append(jnp.zeros(tuple(shp), g.dtype))
+            else:
+                fields.append(jnp.broadcast_to(
+                    jnp.asarray(f, g.dtype), tuple(shp)
+                ))
+        return pallas_kernels.forcing_to_internal_3d(g, b, tuple(fields))
+
     def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
         """Whole-step fused path on exact-layout state: convert to the
         internal layout, run one internal step, convert back."""
@@ -692,15 +761,62 @@ class Simulation:
             for f, b in zip(self.forcing, buoy)
         )
 
+    def _pallas_les_ok(self) -> bool:
+        """LES-through-the-kernel gate: the per-component 3D predictor
+        streams the precomputed cell-centered nu_t as a fourth canonical
+        operand (ops/pallas_kernels._predictor3d_kernel les=True). Unsharded
+        3D only; _pallas_ok itself refuses LES, so this is a separate
+        check."""
+        use = self.params.use_pallas
+        if use is None:
+            use = (
+                jax.default_backend() == "tpu"
+                and self.grid.ndim == 3
+                and not self.pallas_interpret
+            )
+        if not use or self.grid.ndim != 3 or self.shardings is not None:
+            return False
+        from .ops import pallas_kernels
+
+        return pallas_kernels.predictor_3d_applicable(self.grid, self.bcs)
+
     def _predict(self, u, dt, forcing=None):
         """``u* = u + dt * RHS_adv_diff(u) [+ forcing]``, BC-applied."""
         g, b, pr = self.grid, self.bcs, self.params
         if self.les is not None:
-            # Smagorinsky subgrid stress divergence of the CURRENT stage
-            # field (recomputed per rk2 stage); merging it into `forcing`
-            # routes this stage through the jnp predictor.
+            # Smagorinsky subgrid stress of the CURRENT stage field
+            # (recomputed per rk2 stage). 3D unsharded runs keep the fused
+            # predictor: nu_t streams into the kernel and the stress
+            # divergence is computed in-register; everything else merges
+            # the jnp stress into `forcing` (jnp predictor path).
             from . import les as les_mod
 
+            if forcing is None and self._pallas_les_ok():
+                from .ops import pallas_kernels
+
+                canon = pallas_kernels.build_canon_3d(g, b, u)
+                if self.les.model == "smagorinsky":
+                    # static coefficient: nu_t comes from its own Pallas
+                    # kernel over the SAME canonical windows (one strain
+                    # pass in-register instead of ~10 jnp stencil fields)
+                    cfg = self.les
+                    nu_t = pallas_kernels.nu_t_3d_from_canon(
+                        g, b, canon,
+                        cfg.cs * cfg.cs * cfg.filter_width(g) ** 2,
+                        interpret=self.pallas_interpret,
+                    )
+                else:
+                    # dynamic (Germano) coefficient: the test filter needs
+                    # wider support; keep the jnp nu_t
+                    nu_t = les_mod.eddy_viscosity(g, b, u, self.les)
+                u_star = pallas_kernels.predictor_3d_from_canon(
+                    g, b, canon, dt, pr.nu, pr.upwind_gamma,
+                    interpret=self.pallas_interpret,
+                    nt_canon=pallas_kernels.nt_canon_3d(g, b, nu_t),
+                )
+                return bcs_mod.apply_velocity_bcs(
+                    g, b, u_star, self.face_masks
+                )
             sgs = les_mod.sgs_forcing(g, b, u, self.les)
             forcing = (sgs if forcing is None else tuple(
                 s if f is None else f + s for f, s in zip(forcing, sgs)
@@ -732,6 +848,11 @@ class Simulation:
         """Pressure-project ``u*`` to divergence-free: solve the Poisson
         equation and apply the correction. Returns (u_new, p, iters, res)."""
         g, b, pr = self.grid, self.bcs, self.params
+        if self.ibm is not None:
+            # sharp-interface direct forcing on the first fluid ring
+            # (every projection stage sees the interpolated wall values)
+            with jax.named_scope("ibm"):
+                u_star = self.ibm.apply(u_star)
         with jax.named_scope("poisson"):
             rhs = stencils.divergence(g, u_star) * (pr.rho / dt) * self.op.fluid
             p, iters, res = self._solve_pressure(rhs, p0)
@@ -755,6 +876,12 @@ class Simulation:
                 u_new = bcs_mod.apply_velocity_bcs(
                     g, b, u_new, self.face_masks
                 )
+                if self.ibm is not None:
+                    # the face-mask zeroing above just erased the moving
+                    # body's wet-face velocities; restore them so the
+                    # post-step state (and its divergence diagnostic at
+                    # interface cells) stays consistent
+                    u_new = self.ibm.apply_wet(u_new)
         return u_new, p, iters, res
 
     def step(self, state: State) -> tuple[State, StepDiagnostics]:
@@ -766,6 +893,11 @@ class Simulation:
         state = self._constrain(state)
         with jax.named_scope("bcs"):
             u = bcs_mod.apply_velocity_bcs(g, b, state.u, self.face_masks)
+            if self.ibm is not None:
+                # re-impose the interpolated surface values the correction
+                # perturbed (and the wet-solid body velocity for moving
+                # boundaries, which the face-mask zeroing just erased)
+                u = self.ibm.apply(u)
         dt = self._step_dt(u)
         forcing = self._combined_forcing(state.theta)
         # Warm start for the iterative pressure solve: linear extrapolation
@@ -878,6 +1010,9 @@ class Simulation:
             )
         if self.mg_solver is not None:
             c["mg_ops"] = self.mg_solver.ops
+        if self.ibm is not None:
+            c["ibm"] = (self.ibm.masks, self.ibm.w, self.ibm.band,
+                        self.ibm.ub, self.ibm.wet, self.ibm.ub_wet)
         return c
 
     def _bind(self, c) -> "Simulation":
@@ -898,6 +1033,11 @@ class Simulation:
         mg = self.mg_solver
         if mg is not None:
             mg = dataclasses.replace(mg, ops=c["mg_ops"])
+        ibm = self.ibm
+        if ibm is not None:
+            masks, w, band, ub, wet, ub_wet = c["ibm"]
+            ibm = dataclasses.replace(ibm, masks=masks, w=w, band=band,
+                                      ub=ub, wet=wet, ub_wet=ub_wet)
         bound = dataclasses.replace(
             self,
             op=c["op"],
@@ -907,6 +1047,7 @@ class Simulation:
             dct_solver=dct,
             dctcg_solver=dctcg,
             mg_solver=mg,
+            ibm=ibm,
         )
         if "fc2d" in c:
             object.__setattr__(bound, "_fc2d_cache", c["fc2d"])

@@ -701,3 +701,161 @@ def test_fused3d_rk2_with_obstacle_gated_off():
     st = case.initial_state()
     st, d = sim.step(st)
     assert np.isfinite(float(d.max_div))
+
+
+# ---------------------------------------------------------------------------
+# Spatially-varying body forces through the fused path (forcing_fields)
+# ---------------------------------------------------------------------------
+
+def _field_forcing(g, bcs, seed=3, components=(0, 1, 2)):
+    """Random per-face forcing volumes in the jnp predictor's convention
+    (interior faces along the own axis; all n faces when periodic)."""
+    per = periodic_axes(g, bcs)
+    rng = np.random.default_rng(seed)
+    fields = []
+    for a in range(3):
+        if a not in components:
+            fields.append(None)
+            continue
+        shp = list(g.shape)
+        if not per[a]:
+            shp[a] -= 1
+        fields.append(jnp.asarray(
+            rng.normal(size=tuple(shp)).astype(np.float32)
+        ))
+    return tuple(fields)
+
+
+def _check_field_forcing(g, bcs, seed=3, components=(0, 1, 2), gamma=0.0):
+    u = _mk_state(g, bcs)
+    dt, nu, rho = 1e-3, 0.02, 1.1
+    fields = _field_forcing(g, bcs, seed=seed, components=components)
+    (o0, o1, o2), rhs = predictor_rhs_3d(
+        g, bcs, u, dt, nu, gamma, rho=rho, tile=8, interpret=True,
+        forcing_fields=fields,
+    )
+    ustar_ref = stencils.predictor(g, bcs, u, dt, nu, gamma, forcing=fields)
+    ustar_ref = apply_velocity_bcs(g, bcs, ustar_ref)
+    rhs_ref = stencils.divergence(g, ustar_ref) * (rho / dt)
+    n0, n1, n2 = g.shape
+    np.testing.assert_allclose(
+        np.asarray(o0[: n0 + 1, :n1, :n2]), np.asarray(ustar_ref[0]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1[:n0, : n1 + 1, :n2]), np.asarray(ustar_ref[1]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o2[:n0, :n1, :n2]), np.asarray(ustar_ref[2][:, :, :n2]),
+        rtol=1e-5, atol=1e-5,
+    )
+    rhs_atol = 3e-7 * float(jnp.max(jnp.abs(rhs_ref))) + 1e-7
+    np.testing.assert_allclose(
+        np.asarray(rhs), np.asarray(rhs_ref), rtol=1e-4, atol=rhs_atol
+    )
+
+
+def test_fused_field_forcing_walls():
+    g = GridSpec(shape=(16, 12, 16), lengths=(1.0, 0.8, 1.0))
+    bcs = no_slip_box(g)
+    _check_field_forcing(g, bcs, gamma=0.4)
+
+
+def test_fused_field_forcing_partial_components():
+    g = GridSpec(shape=(16, 8, 8), lengths=(1.0, 0.5, 0.5))
+    bcs = no_slip_box(g)
+    _check_field_forcing(g, bcs, components=(0, 2))
+
+
+def test_fused_field_forcing_periodic():
+    """Periodic own axis: the forcing covers all n distinct faces."""
+    g = GridSpec(shape=(16, 8, 12), lengths=(2.0, 1.0, 1.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.periodic()
+    bcs[(0, 1)] = BCSpec.periodic()
+    _check_field_forcing(g, bcs)
+
+
+def test_fused_sim_field_forcing_matches_jnp():
+    """Solver-level: run_scan with a spatially-varying body force takes the
+    fused path (use_pallas, interpret) and matches the jnp step."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("cavity3d", shape=(16, 16, 16), re=200.0,
+                     poisson_method="fft")
+    g = case.sim.grid
+    y = g.cell_centers(1)[None, :, None]
+    fx = jnp.broadcast_to(
+        0.4 * jnp.sin(2.0 * jnp.pi * y),
+        (g.shape[0] - 1, g.shape[1], g.shape[2]),
+    ).astype(g.dtype)
+    sim_ref = dataclasses.replace(case.sim, forcing=(fx, None, None))
+    sim_fused = dataclasses.replace(
+        sim_ref,
+        params=dataclasses.replace(sim_ref.params, use_pallas=True),
+        pallas_interpret=True,
+    )
+    assert sim_ref._static_forcing() is None
+    assert sim_fused._fused3d_ok()
+    ref, dr = sim_ref.run_scan(case.initial_state(), 5)
+    got, dg = sim_fused.run_scan(case.initial_state(), 5)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got.u[c]), np.asarray(ref.u[c]), atol=5e-5
+        )
+    np.testing.assert_allclose(
+        float(dg.max_div[-1]), float(dr.max_div[-1]), atol=1e-5
+    )
+
+
+def test_kolmogorov_laminar_balance_2d():
+    """Low-Re Kolmogorov flow relaxes to the exact laminar profile
+    u = A/(nu k^2) sin(k y) (the spatially-varying-forcing oracle)."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("kolmogorov", shape=(32, 32), re=1.0, k_forcing=2)
+    sim = case.sim
+    nu, kf, amp = sim.params.nu, 2, 1.0
+    st = case.initial_state()
+    # many viscous times of the forcing scale: e^-8 of the transient left
+    n = int(8.0 / (nu * kf * kf) / sim.params.dt)
+    st, diag = sim.run_scan(st, n)
+    yc = np.asarray(sim.grid.cell_centers(1))
+    # steady amplitude of the DISCRETE operator: A / (nu * lap_h-eigenvalue
+    # of sin(k y)); the continuum A/(nu k^2) differs by (kh)^2/12 ~ 1.3%
+    h = sim.grid.spacing[1]
+    lam_h = (2.0 - 2.0 * np.cos(kf * h)) / (h * h)
+    u_disc = amp / (nu * lam_h)
+    exact = u_disc * np.sin(kf * yc)
+    u = np.asarray(st.u[0])[: sim.grid.shape[0], :]
+    err = np.max(np.abs(u - exact[None, :])) / u_disc
+    assert err < 2e-3, err
+    # ... and the continuum profile to its second-order error
+    u_lam = amp / (nu * kf * kf)
+    err_c = np.max(np.abs(u - (u_lam * np.sin(kf * yc))[None, :])) / u_lam
+    assert err_c < 0.02, err_c
+    assert np.isfinite(float(diag.max_div[-1]))
+
+
+def test_kolmogorov_3d_fused_matches_jnp():
+    """3D Kolmogorov steps through the fused whole-step kernels (the
+    streamed forcing volumes) and matches the jnp step."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("kolmogorov", shape=(16, 16, 16), re=5.0, k_forcing=2,
+                     integrator="euler")
+    sim_ref = case.sim
+    sim_fused = dataclasses.replace(
+        sim_ref,
+        params=dataclasses.replace(sim_ref.params, use_pallas=True),
+        pallas_interpret=True,
+    )
+    assert sim_ref._static_forcing() is None
+    assert sim_fused._fused3d_ok()
+    ref, dr = sim_ref.run_scan(case.initial_state(), 5)
+    got, dg = sim_fused.run_scan(case.initial_state(), 5)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got.u[c]), np.asarray(ref.u[c]), atol=5e-5
+        )
