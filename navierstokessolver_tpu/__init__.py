@@ -10,6 +10,8 @@ solvers, jit-scanned step loop, domain-decomposed multi-chip sharding.
 
 from .grid import GridSpec, State, zero_state, interpolate_to_centers
 from .bcs import BCKind, BCSpec, BCTable, no_slip_box
+from .ibm import IBMForcing, build_ibm, solid_from_sdf
+from .les import LESConfig
 from .ops.poisson import PoissonConfig, PoissonOp, build_poisson_op, solve_poisson
 from .solver import SimParams, Simulation, StepDiagnostics
 
@@ -24,6 +26,10 @@ __all__ = [
     "BCSpec",
     "BCTable",
     "no_slip_box",
+    "IBMForcing",
+    "build_ibm",
+    "solid_from_sdf",
+    "LESConfig",
     "PoissonConfig",
     "PoissonOp",
     "build_poisson_op",

@@ -45,8 +45,16 @@ def build_cylinder(
     dtype=None,
     outlet: str = "outflow",
     poisson_extrapolate: float = 0.8,
+    ibm: bool = False,
+    spin: float = 0.0,
     **params_kw,
 ):
+    """``ibm=True`` replaces the staircase velocity treatment with the
+    sharp-interface direct forcing built from the circle's exact signed
+    distance (ibm.py) -- the pressure treatment (masked Poisson) stays
+    staircase either way. ``spin`` (requires ibm): rotation rate alpha =
+    omega*R/u_in of the cylinder surface -- the Magnus configuration
+    (rotating cylinder deflects the wake and carries a mean lift)."""
     from . import Case
 
     grid = GridSpec(shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32)
@@ -74,7 +82,20 @@ def build_cylinder(
                          if poisson_method != "fft" else 0.0),
         ),
     )
-    sim = Simulation.build(grid, bcs, params, solid=solid)
+    radius = diameter / 2.0
+    sdf = (lambda *cs: np.sqrt(
+        sum((c - c0) ** 2 for c, c0 in zip(cs, center))) - radius
+    ) if ibm else None
+    vel = None
+    if spin:
+        if not ibm:
+            raise ValueError("spin (rotating cylinder) requires ibm=True")
+        omega = spin * u_in / radius
+
+        def vel(x, y):  # rigid rotation about the center
+            return (-omega * (y - center[1]), omega * (x - center[0]))
+    sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf,
+                           surface_velocity=vel)
     return Case(
         name="cylinder",
         sim=sim,
@@ -100,6 +121,7 @@ def build_sphere(
     dtype=None,
     outlet: str = "outflow",
     poisson_extrapolate: float = 0.8,
+    ibm: bool = False,
     **params_kw,
 ):
     """Flow past a sphere (the 3D analog of the cylinder case).
@@ -136,7 +158,11 @@ def build_sphere(
                          if poisson_method != "fft" else 0.0),
         ),
     )
-    sim = Simulation.build(grid, bcs, params, solid=solid)
+    radius = diameter / 2.0
+    sdf = (lambda *cs: np.sqrt(
+        sum((c - c0) ** 2 for c, c0 in zip(cs, center))) - radius
+    ) if ibm else None
+    sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf)
     return Case(
         name="sphere",
         sim=sim,

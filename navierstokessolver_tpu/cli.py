@@ -64,6 +64,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="jacobi | gs | sor | cg | mg | mgcg | fft | dctcg")
     ap.add_argument("--poisson-tol", type=float, default=None)
     ap.add_argument("--upwind-gamma", type=float, default=None)
+    ap.add_argument("--ibm", action="store_true",
+                    help="sharp-interface immersed boundary for obstacle "
+                         "cases (direct forcing; cylinder/sphere)")
     ap.add_argument("--les-cs", type=float, default=None,
                     help="enable the Smagorinsky LES closure with this "
                          "constant (0.1-0.2 typical; see les.py); any case")
@@ -144,6 +147,8 @@ def main(argv=None) -> int:
         overrides["integrator"] = args.integrator
     if args.upwind_gamma is not None:
         overrides["upwind_gamma"] = args.upwind_gamma
+    if args.ibm:
+        overrides["ibm"] = True
 
     case = make_case(case_name, **overrides)
     sim = case.sim
@@ -168,7 +173,8 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.devices)
         sim = sharded_simulation(sim, mesh, poisson_comm=args.poisson_comm)
 
-    cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar, sim.les)
+    cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar, sim.les,
+                                  ibm=sim.ibm is not None)
     step0 = 0
     state = case.initial_state()
     if args.resume:

@@ -218,7 +218,8 @@ def _scalar_blob(scalar) -> Optional[dict]:
     )
 
 
-def config_hash(grid: GridSpec, params, scalar=None, les=None) -> str:
+def config_hash(grid: GridSpec, params, scalar=None, les=None,
+                ibm=False) -> str:
     blob = json.dumps(
         dict(
             shape=list(grid.shape),
@@ -234,6 +235,8 @@ def config_hash(grid: GridSpec, params, scalar=None, les=None) -> str:
             # physics-affecting closure config (a checkpoint from an LES
             # run must not resume silently as a no-model run)
             les=None if les is None else dataclasses.asdict(les),
+            # sharp-interface IBM changes the boundary physics too
+            ibm=bool(ibm),
         ),
         sort_keys=True,
     )

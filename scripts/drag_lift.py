@@ -27,13 +27,19 @@ def main() -> None:
     ap.add_argument("--t-end", type=float, default=150.0)
     ap.add_argument("--poisson", default="mg")
     ap.add_argument("--chunk", type=int, default=25)
+    ap.add_argument("--ibm", action="store_true",
+                    help="sharp-interface immersed boundary (ibm.py)")
+    ap.add_argument("--spin", type=float, default=0.0,
+                    help="rotation rate alpha = omega R / U (requires "
+                         "--ibm); Magnus oracle: mean Cl ~ -2.5 at "
+                         "Re=200, alpha=1 (Mittal & Kumar 2003)")
     args = ap.parse_args()
     shape = tuple(int(x) for x in args.shape.split(","))
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from navierstokessolver_tpu.utils import jaxcache as _jc
+    _jc.setup()
 
     from navierstokessolver_tpu.cases import make_case
     from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
@@ -43,7 +49,8 @@ def main() -> None:
     )
 
     case = make_case("cylinder", shape=shape, re=args.re,
-                     poisson_method=args.poisson)
+                     poisson_method=args.poisson, ibm=args.ibm,
+                     spin=args.spin)
     sim = case.sim
     g = sim.grid
     dt = sim.params.dt
@@ -76,7 +83,10 @@ def main() -> None:
         "cl_amp": round(float((cl[half:].max() - cl[half:].min()) / 2), 4),
         # shedding frequency straight off the per-step lift series (D=U=1)
         "st_from_cl": round(dominant_frequency(cl[half:], dt), 4),
-        "re": args.re, "shape": list(shape), "t_end": done * dt,
+        "cl_mean": round(float(np.mean(cl[half:])), 4),
+        "re": args.re, "shape": list(shape), "ibm": args.ibm,
+        "spin": args.spin,
+        "t_end": done * dt,
         "wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(out))
