@@ -116,6 +116,29 @@ Face = tuple[int, int]
 BCTable = Mapping[Face, BCSpec]
 
 
+def bcs_time_dependent(bcs: BCTable) -> bool:
+    """True when any BC velocity entry is a callable of time."""
+    return any(
+        callable(v) for spec in bcs.values() for v in spec.velocity
+    )
+
+
+def resolve_bcs(bcs: BCTable, t) -> dict:
+    """Evaluate callable BC velocity entries at (traced) time ``t``.
+
+    Pulsatile inlets / oscillating lids: a velocity entry may be a
+    function ``v(t) -> scalar or face-broadcastable array``; the step
+    resolves it against the carried ``State.t`` each step, so the whole
+    time-dependent run still lives inside one jitted ``lax.scan``."""
+    out = {}
+    for face, spec in bcs.items():
+        if any(callable(v) for v in spec.velocity):
+            vel = tuple(v(t) if callable(v) else v for v in spec.velocity)
+            spec = dataclasses.replace(spec, velocity=vel)
+        out[face] = spec
+    return out
+
+
 def validate_bcs(grid: GridSpec, bcs: BCTable) -> None:
     for a in range(grid.ndim):
         for side in (0, 1):

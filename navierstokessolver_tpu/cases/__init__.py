@@ -17,6 +17,8 @@ Beyond the BASELINE set:
   duct_periodic       -- 3D body-force duct, exact series-profile oracle
   kolmogorov          -- sinusoidally forced periodic box (2D/3D), exact
                          laminar-balance oracle; spatially varying forcing
+  pulsatile_channel   -- Womersley flow (oscillating body force); exact
+                         semi-discrete oracle; time-dependent forcing
 
 Each builder accepts overrides so tests can shrink grids.
 """
@@ -35,6 +37,7 @@ from .cavity import build_cavity, build_cavity3d
 from .channel import (
     build_channel,
     build_channel_periodic,
+    build_pulsatile_channel,
     build_duct_periodic,
 )
 from .convection import build_heated_cavity, build_rayleigh_benard
@@ -78,6 +81,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "rayleigh_benard": build_rayleigh_benard,
     "decaying_turbulence": build_decaying_turbulence,
     "kolmogorov": build_kolmogorov,
+    "pulsatile_channel": build_pulsatile_channel,
 }
 
 

@@ -7,6 +7,7 @@ solution of the discrete system and must persist.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..bcs import BCSpec
@@ -233,4 +234,69 @@ def build_duct_periodic(
         sim=sim,
         suggested_steps=4000,
         description="body-force-driven periodic duct (exact series profile)",
+    )
+
+
+def build_pulsatile_channel(
+    shape=(64, 64),
+    lengths=(2.0, 1.0),
+    womersley: float = 5.0,
+    amp: float = 1.0,
+    omega: float = 2.0 * np.pi,
+    dt: float | None = None,
+    poisson_method: str = "fft",
+    poisson_tol: float = 1e-5,
+    poisson_iters: int = 2000,
+    dtype=None,
+    **params_kw,
+):
+    """Pulsatile (Womersley) channel: oscillating body force, no-slip walls.
+
+    The classic unsteady exact solution: ``f_x(t) = amp cos(omega t)`` in a
+    streamwise-periodic channel. The velocity profile is the Womersley
+    solution -- parabolic at low Womersley number ``Wo = (Ly/2)
+    sqrt(omega/nu)``, plug-like with near-wall Stokes layers at high Wo.
+    Exercises the time-dependent-forcing path (State.t carried through the
+    scan; tests/test_timedep.py checks the solver against the EXACT
+    semi-discrete response mode by mode)."""
+    from . import Case
+
+    grid = GridSpec(
+        shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32
+    )
+    ly = grid.lengths[1]
+    nu = omega * (0.5 * ly) ** 2 / (womersley * womersley)
+    bcs = {
+        (0, 0): BCSpec.periodic(),
+        (0, 1): BCSpec.periodic(),
+        (1, 0): BCSpec.wall((0.0, 0.0)),
+        (1, 1): BCSpec.wall((0.0, 0.0)),
+    }
+    u_scale = amp / omega  # inviscid-core velocity amplitude
+    dt = dt if dt is not None else min(
+        _stable_dt(grid, nu, max(u_scale, 1e-6), 0.0),
+        2.0 * np.pi / omega / 200.0,   # >= 200 steps per period
+    )
+
+    def fx(t):
+        return amp * jnp.cos(omega * t)
+
+    params = SimParams(
+        dt=dt,
+        nu=nu,
+        **params_kw,
+        poisson=PoissonConfig(
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters,
+        ),
+    )
+    sim = Simulation.build(grid, bcs, params, forcing=(fx, None))
+    period = 2.0 * np.pi / omega
+    return Case(
+        name="pulsatile_channel",
+        sim=sim,
+        suggested_steps=int(4 * period / dt),
+        description=(
+            f"pulsatile channel Wo={womersley} {shape} "
+            f"(omega={omega:.3g}, nu={nu:.3g})"
+        ),
     )

@@ -105,14 +105,19 @@ class State:
     # Previous step's pressure, carried when PoissonConfig.extrapolate is on
     # (iterative-solve warm start p_guess = 2 p - p_prev); None otherwise.
     p_prev: Array | None = None
+    # Physical time, carried (scalar array) ONLY for runs with
+    # time-dependent boundary values or forcing (solver.py resolves the
+    # callables against it each step); None keeps static runs' pytree
+    # structure, checkpoints, and compiled programs unchanged.
+    t: Array | None = None
 
     def tree_flatten(self):
-        return (self.u, self.p, self.theta, self.p_prev), None
+        return (self.u, self.p, self.theta, self.p_prev, self.t), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        u, p, theta, p_prev = children
-        return cls(u=tuple(u), p=p, theta=theta, p_prev=p_prev)
+        u, p, theta, p_prev, t = children
+        return cls(u=tuple(u), p=p, theta=theta, p_prev=p_prev, t=t)
 
     @property
     def ndim(self) -> int:
@@ -124,6 +129,7 @@ class State:
             p=self.p.astype(dtype),
             theta=None if self.theta is None else self.theta.astype(dtype),
             p_prev=None if self.p_prev is None else self.p_prev.astype(dtype),
+            t=None if self.t is None else self.t.astype(dtype),
         )
 
 

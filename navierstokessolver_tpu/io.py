@@ -259,6 +259,8 @@ def save_checkpoint(
         arrays["theta"] = np.asarray(state.theta)
     if state.p_prev is not None:
         arrays["p_prev"] = np.asarray(state.p_prev)
+    if state.t is not None:
+        arrays["t"] = np.asarray(state.t)
     if stats is not None:
         from . import stats as stats_mod
 
@@ -325,5 +327,7 @@ def load_checkpoint(
                  if "theta" in z.files else None)
         p_prev = (jax.numpy.asarray(z["p_prev"], grid.dtype)
                   if "p_prev" in z.files else None)
+        t = (jax.numpy.asarray(z["t"], grid.dtype)
+             if "t" in z.files else None)
         step = int(z["step"])
-    return State(u=u, p=p, theta=theta, p_prev=p_prev), step
+    return State(u=u, p=p, theta=theta, p_prev=p_prev, t=t), step

@@ -340,7 +340,14 @@ def _predictor3d_kernel(
 
 def _scalar_bc(bcs: BCTable, face, comp: int, ndim: int):
     v = bcs[face].component(comp, ndim)
-    return float(v) if np.isscalar(v) or getattr(v, "ndim", 1) == 0 else None
+    if not (np.isscalar(v) or getattr(v, "ndim", 1) == 0):
+        return None
+    try:
+        return float(v)
+    except Exception:
+        # traced value (time-dependent BC resolved inside jit) or other
+        # non-concretizable scalar: not bake-able into a kernel
+        return None
 
 
 def predictor_3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:

@@ -94,6 +94,7 @@ def shard_state(state: State, mesh: Mesh, grid: GridSpec) -> State:
                else _divisible_spec(mesh, grid, state.theta.shape)),
         p_prev=(None if state.p_prev is None
                 else _divisible_spec(mesh, grid, state.p_prev.shape)),
+        t=(None if state.t is None else NamedSharding(mesh, P())),
     )
     return jax.device_put(state, shardings)
 

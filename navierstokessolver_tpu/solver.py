@@ -203,7 +203,9 @@ class Simulation:
         # extrapolating warm start carries p_prev through the scan (pytree
         # structure must be static, so it is populated from step 0)
         p_prev = st.p if self.params.poisson.extrapolate else None
-        return State(u=u, p=st.p, theta=theta, p_prev=p_prev)
+        t = (jnp.zeros((), self.grid.dtype)
+             if self._time_dependent() else None)
+        return State(u=u, p=st.p, theta=theta, p_prev=p_prev, t=t)
 
     def _pallas_ok(self) -> bool:
         """Fused predictor applies to 2D/3D float32 runs w/o forcing.
@@ -258,15 +260,22 @@ class Simulation:
         if self.shardings is None:
             return state
         sh = self.shardings
-        if (state.theta is not None and sh.theta is None) or (
-            state.p_prev is not None and sh.p_prev is None
+        if (
+            (state.theta is not None and sh.theta is None)
+            or (state.p_prev is not None and sh.p_prev is None)
+            or (state.t is not None and sh.t is None)
         ):
-            # theta and p_prev are cell-centered: they share p's decomposition
+            # theta and p_prev are cell-centered: they share p's
+            # decomposition; the scalar time is replicated
+            from jax.sharding import NamedSharding, PartitionSpec
+
             sh = State(
                 u=sh.u,
                 p=sh.p,
                 theta=None if state.theta is None else sh.p,
                 p_prev=None if state.p_prev is None else sh.p,
+                t=(None if state.t is None
+                   else NamedSharding(sh.p.mesh, PartitionSpec())),
             )
         return jax.lax.with_sharding_constraint(state, sh)
 
@@ -346,6 +355,10 @@ class Simulation:
             # the IBM direct forcing must hit u* between the predictor and
             # the Poisson RHS -- the whole-step kernels fuse those
             return False
+        if self._time_dependent():
+            # BC values / forcing resolved per step from carried t are
+            # traced scalars; the kernels bake BC values as static floats
+            return False
         if bcs_mod.has_convective_outlet(self.grid, self.bcs):
             # rk2's stage-2 transport update must read the STEP-START
             # face (the fused stage-2 window holds the midpoint field)
@@ -387,6 +400,8 @@ class Simulation:
             return False
         if self.face_masks is not None or self.les is not None:
             return False
+        if self._time_dependent():
+            return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
         from .parallel.fused_sharded import fused_step3d_sharded_applicable
@@ -409,6 +424,8 @@ class Simulation:
         if self.shardings is not None or self.les is not None:
             return False
         if self.ibm is not None:
+            return False
+        if self._time_dependent():
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
@@ -884,7 +901,39 @@ class Simulation:
                     u_new = self.ibm.apply_wet(u_new)
         return u_new, p, iters, res
 
+    def _time_dependent(self) -> bool:
+        """Any BC velocity entry or forcing component a callable of time."""
+        if bcs_mod.bcs_time_dependent(self.bcs):
+            return True
+        return self.forcing is not None and any(
+            callable(f) for f in self.forcing
+        )
+
+    def _step_timedep(self, state: State) -> tuple[State, StepDiagnostics]:
+        """One step of a time-dependent run: resolve the BC/forcing
+        callables against the carried ``state.t``, delegate to the static
+        step on a resolved copy of the Simulation, advance t by the dt
+        actually used (CFL-adaptive runs included). BC KINDS must not
+        change in time (the Poisson operator/masks were built from them);
+        only the values may. Resolved values are traced scalars/arrays, so
+        the fused kernels (which bake BC values as compile-time floats)
+        are forced off -- time-dependent runs take the jnp step."""
+        t = state.t
+        b = bcs_mod.resolve_bcs(self.bcs, t)
+        forcing = self.forcing
+        if forcing is not None and any(callable(f) for f in forcing):
+            forcing = tuple(f(t) if callable(f) else f for f in forcing)
+        sim = dataclasses.replace(
+            self, bcs=b, forcing=forcing,
+            params=dataclasses.replace(self.params, use_pallas=False),
+        )
+        inner = dataclasses.replace(state, t=None)
+        new_state, diag = sim.step(inner)
+        return dataclasses.replace(new_state, t=t + diag.dt), diag
+
     def step(self, state: State) -> tuple[State, StepDiagnostics]:
+        if state.t is not None:
+            return self._step_timedep(state)
         g, b, pr = self.grid, self.bcs, self.params
         if self._fused3d_ok():
             return self._step_fused3d(state)
@@ -993,6 +1042,14 @@ class Simulation:
             "corr_masks": self.corr_masks,
             "forcing": self.forcing,
         }
+        if self.forcing is not None and any(
+            callable(f) for f in self.forcing
+        ):
+            # time-dependent forcing callables cannot ride a jit pytree;
+            # they stay static on the sim (_bind keeps self.forcing), and
+            # any concrete arrays mixed into the tuple become program
+            # constants for that run
+            c["forcing"] = None
         if self._fused2d_ok():
             # build the uint8 face codes EAGERLY (from concrete masks) and
             # thread them as traced args like every other per-cell array
@@ -1043,7 +1100,7 @@ class Simulation:
             op=c["op"],
             face_masks=c["face_masks"],
             corr_masks=c["corr_masks"],
-            forcing=c["forcing"],
+            forcing=self.forcing if c["forcing"] is None else c["forcing"],
             dct_solver=dct,
             dctcg_solver=dctcg,
             mg_solver=mg,
