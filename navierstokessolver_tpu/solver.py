@@ -106,6 +106,12 @@ class Simulation:
     # on the first fluid face ring before each projection. Layers on top
     # of the staircase masks (which stay as the pressure treatment).
     ibm: Optional[object] = None
+    # Reverse-mode differentiable pressure solve (adjoint.py): wrap
+    # _solve_pressure in an implicit-function-theorem custom VJP so
+    # jax.grad flows through the projection without unrolling the
+    # iterative solver's while_loop (which is not reverse-differentiable).
+    # Set via adjoint.differentiable(sim); forces the jnp step.
+    diff_solve: bool = False
 
     @staticmethod
     def build(
@@ -598,6 +604,12 @@ class Simulation:
 
     def _solve_pressure(self, rhs: Array, p0: Array):
         """Dispatch to the configured pressure solver; returns (p, iters, res)."""
+        if self.diff_solve:
+            from . import adjoint
+
+            return adjoint.implicit_solve(
+                dataclasses.replace(self, diff_solve=False), rhs, p0
+            )
         pr = self.params
         if self.halo_solver is not None:
             # op passed explicitly: its arrays are threaded as traced jit
