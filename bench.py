@@ -84,19 +84,45 @@ def main() -> None:
             sim, params=dataclasses.replace(sim.params, use_pallas=True)
         )
     elif sim.grid.ndim == 2 and not args.no_pallas:
-        # 2D: the fused whole-step kernels are opt-in (use_pallas=True);
-        # try them for the headline number and fall back to the jnp step
-        # if the gate is closed or the kernels fail to compile/run here.
+        # 2D: the fused whole-step kernels are opt-in (use_pallas=True).
+        # Production auto-gating keeps 2D on the jnp step because the fused
+        # path only TIES on the direct-solve cavity and loses on iterative
+        # topologies (docs/PARITY.md). The round-2 probe engaged the fused
+        # path whenever it merely *ran*, which regressed the headline
+        # (BENCH_r02 2434.0 vs BENCH_r01 2596.8 MLUPS). Now: time BOTH
+        # candidates post-compile on a short chunk and keep the faster.
         cand = dataclasses.replace(
             sim, params=dataclasses.replace(sim.params, use_pallas=True)
         )
         if cand._fused2d_ok():
+
+            def _time_chunk(s, probe=20, reps=2):
+                st0 = case.initial_state()
+                st, _ = s.run_scan(st0, probe)     # compile + warm
+                jax.block_until_ready(st.p)
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    st, _ = s.run_scan(st0, probe)
+                    jax.block_until_ready(st.p)
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
             try:
-                st_probe, _ = cand.run_scan(case.initial_state(), 2)
-                jax.block_until_ready(st_probe.p)
-                sim = cand
-                print("[bench] fused 2D whole-step path engaged",
-                      file=sys.stderr)
+                t_fused = _time_chunk(cand)
+                t_jnp = _time_chunk(sim)
+                print(
+                    f"[bench] 2D path probe: jnp {t_jnp*1e3:.1f} ms vs "
+                    f"fused {t_fused*1e3:.1f} ms per 20 steps",
+                    file=sys.stderr,
+                )
+                if t_fused < t_jnp:
+                    sim = cand
+                    print("[bench] fused 2D whole-step path engaged "
+                          "(measured faster)", file=sys.stderr)
+                else:
+                    print("[bench] jnp step kept (measured faster)",
+                          file=sys.stderr)
             except Exception as e:  # pragma: no cover - device-specific
                 print(f"[bench] fused 2D probe failed ({type(e).__name__}),"
                       " using the jnp step", file=sys.stderr)
