@@ -8,6 +8,7 @@ obstacle BCs, Chorin projection with Jacobi/Gauss-Seidel/SOR/CG pressure
 solvers, jit-scanned step loop, domain-decomposed multi-chip sharding.
 """
 
+from . import adjoint
 from .grid import GridSpec, State, zero_state, interpolate_to_centers
 from .bcs import BCKind, BCSpec, BCTable, no_slip_box
 from .ibm import IBMForcing, build_ibm, solid_from_sdf
@@ -18,6 +19,7 @@ from .solver import SimParams, Simulation, StepDiagnostics
 __version__ = "0.1.0"
 
 __all__ = [
+    "adjoint",
     "GridSpec",
     "State",
     "zero_state",

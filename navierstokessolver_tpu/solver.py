@@ -99,8 +99,10 @@ class Simulation:
     # Optional transported scalar + Boussinesq coupling (scalar.py).
     scalar: Optional[object] = None
     # Optional Smagorinsky LES closure (les.py): adds the subgrid stress
-    # divergence to the predictor each stage. Keeps the jnp step (the
-    # fused kernels don't stream a per-step eddy-viscosity field).
+    # divergence to the predictor each stage. Unsharded 3D runs stream the
+    # per-step eddy viscosity into the per-component fused predictor as a
+    # fourth operand (_pallas_les_ok); the whole-step fused paths stay off
+    # by measurement (docs/KERNELS.md "LES through the fused predictor").
     les: Optional[object] = None
     # Optional sharp-interface immersed boundary (ibm.py): direct forcing
     # on the first fluid face ring before each projection. Layers on top
@@ -231,6 +233,8 @@ class Simulation:
             )
         if not use or self.forcing is not None or self.les is not None:
             return False
+        if self.diff_solve:
+            return False  # Pallas kernels have no VJP rules (adjoint.py)
         if self.grid.ndim == 2 and any(
             bcs_mod.periodic_axes(self.grid, self.bcs)
         ):
@@ -324,7 +328,7 @@ class Simulation:
                 and self.grid.ndim == 3
                 and not self.pallas_interpret
             )
-        if not use or self.grid.ndim != 3:
+        if not use or self.grid.ndim != 3 or self.diff_solve:
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
@@ -400,7 +404,7 @@ class Simulation:
                 jax.default_backend() == "tpu"
                 and not self.pallas_interpret
             )
-        if not use:
+        if not use or self.diff_solve:
             return False
         if self.params.integrator != "euler" or self.params.cfl is not None:
             return False
@@ -423,7 +427,7 @@ class Simulation:
         Gated to explicit use_pallas=True until the TPU win is measured;
         flip the auto default then."""
         use = self.params.use_pallas
-        if not use or self.grid.ndim != 2:
+        if not use or self.grid.ndim != 2 or self.diff_solve:
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
@@ -607,9 +611,7 @@ class Simulation:
         if self.diff_solve:
             from . import adjoint
 
-            return adjoint.implicit_solve(
-                dataclasses.replace(self, diff_solve=False), rhs, p0
-            )
+            return adjoint.implicit_solve(adjoint.base_of(self), rhs, p0)
         pr = self.params
         if self.halo_solver is not None:
             # op passed explicitly: its arrays are threaded as traced jit
@@ -803,7 +805,8 @@ class Simulation:
                 and self.grid.ndim == 3
                 and not self.pallas_interpret
             )
-        if not use or self.grid.ndim != 3 or self.shardings is not None:
+        if (not use or self.grid.ndim != 3 or self.shardings is not None
+                or self.diff_solve):
             return False
         from .ops import pallas_kernels
 
@@ -1084,6 +1087,36 @@ class Simulation:
                         self.ibm.ub, self.ibm.wet, self.ibm.ub_wet)
         return c
 
+    def _solver_consts(self):
+        """The per-cell arrays the PRESSURE-SOLVE dispatch reads, as a
+        pytree -- the subset of ``_consts()`` that adjoint.py must hoist
+        across its custom-VJP boundary explicitly (closure_convert would
+        bake integer-dtype tracers like the uint8 stencil code, leaking
+        them into the lowered program). Shaped so ``_bind`` accepts it."""
+        c = {
+            "op": self.op,
+            "face_masks": self.face_masks,
+            "corr_masks": self.corr_masks,
+            # never read by _solve_pressure; None makes _bind keep self's
+            "forcing": None,
+        }
+        if self.dct_solver is not None:
+            c["inv_eig"] = self.dct_solver.inv_eig
+        if self.dctcg_solver is not None:
+            d = self.dctcg_solver
+            c["dctcg_inv_eig"] = d.dct.inv_eig
+            c["dctcg_cap"] = (
+                d.cap_wbox, d.cap_cinv, d.cap_vx, d.cap_vy,
+                d.cap_fx, d.cap_fy, d.cap_va, d.cap_vb,
+            )
+        if self.mg_solver is not None:
+            c["mg_ops"] = self.mg_solver.ops
+        if self.ibm is not None:
+            # not read by the solve either, but _bind unpacks it when set
+            c["ibm"] = (self.ibm.masks, self.ibm.w, self.ibm.band,
+                        self.ibm.ub, self.ibm.wet, self.ibm.ub_wet)
+        return c
+
     def _bind(self, c) -> "Simulation":
         """A copy of this Simulation whose big arrays are the (traced)
         pytree ``c`` -- used inside jit so they arrive as arguments."""
@@ -1122,6 +1155,9 @@ class Simulation:
             object.__setattr__(bound, "_fc2d_cache", c["fc2d"])
         if "fc3d" in c:
             object.__setattr__(bound, "_fc3d_cache", c["fc3d"])
+        # the unbound (concrete-array) template: adjoint.py needs a
+        # tracer-free static to carry across its custom-VJP boundary
+        object.__setattr__(bound, "_shell", self)
         return bound
 
     def run_scan(self, state: State, n_steps: int) -> tuple[State, StepDiagnostics]:

