@@ -68,7 +68,53 @@ def _restrict(r: Array) -> Array:
     return out
 
 
-def _prolong(e: Array, periodic: tuple[bool, ...] = ()) -> Array:
+def shard_split(shapes: list[tuple[int, ...]], ctx) -> int:
+    """Number of leading hierarchy levels that run SHARDED under ``ctx``
+    (parallel/halo.py explicit-comm multigrid). Level l stays sharded while
+    every ctx-sharded grid axis (a) divides evenly over its devices and (b)
+    keeps an even local size, so the 2x restriction into l+1 is purely
+    local (children pairs never straddle a shard boundary). Levels past the
+    split run REPLICATED: their global extent is at most
+    2*min_size*max(devices) cells per axis -- all_gather'ing that is a few
+    KB over ICI, and every device then smooths the tiny coarse problem
+    redundantly (identical inputs -> lockstep results, no divergence)."""
+    split = 0
+    for shp in shapes:
+        nd = len(shp)
+        if not all(
+            shp[a] % ctx.sizes[a] == 0
+            for a in range(nd) if ctx.sharded(a)
+        ):
+            break
+        split += 1
+        if not all(
+            (shp[a] // ctx.sizes[a]) % 2 == 0
+            for a in range(nd) if ctx.sharded(a)
+        ):
+            break
+    return split
+
+
+def _gather_full(x: Array, ctx) -> Array:
+    """all_gather a block-local array to the full global array (in grid
+    order) along every ctx-sharded axis."""
+    for a in range(x.ndim):
+        if ctx.sharded(a):
+            x = jax.lax.all_gather(x, ctx.axes[a], axis=a, tiled=True)
+    return x
+
+
+def _slice_local(x: Array, ctx) -> Array:
+    """The local block of a replicated full array (inverse of _gather_full)."""
+    for a in range(x.ndim):
+        if ctx.sharded(a):
+            n_local = x.shape[a] // ctx.sizes[a]
+            start = jax.lax.axis_index(ctx.axes[a]) * n_local
+            x = jax.lax.dynamic_slice_in_dim(x, start, n_local, axis=a)
+    return x
+
+
+def _prolong(e: Array, periodic: tuple[bool, ...] = (), ctx=None) -> Array:
     """Tensor-product (bi/tri)linear prolongation for cell-centered grids.
 
     Along each axis, fine cells 2i / 2i+1 get 0.75*c[i] + 0.25*c[i -/+ 1]
@@ -82,6 +128,34 @@ def _prolong(e: Array, periodic: tuple[bool, ...] = ()) -> Array:
     per = periodic or (False,) * nd
     out = e
     for a in range(nd):
+        if ctx is not None and ctx.sharded(a):
+            # neighbor coarse cells along a sharded axis live on the ring
+            # neighbors: ppermute ghost slabs (wraparound on periodic
+            # axes); open ring ends replicate the edge cell -- the same
+            # homogeneous-Neumann-consistent choice as the local branch.
+            gl, gr = ctx.ghosts(out, a, per[a])
+            sl_first = [slice(None)] * nd
+            sl_first[a] = slice(0, 1)
+            sl_last = [slice(None)] * nd
+            sl_last[a] = slice(-1, None)
+            if not per[a]:
+                idx = jax.lax.axis_index(ctx.axes[a])
+                gl = jnp.where(idx == 0, out[tuple(sl_first)], gl)
+                gr = jnp.where(idx == ctx.sizes[a] - 1,
+                               out[tuple(sl_last)], gr)
+            sl_m = [slice(None)] * nd
+            sl_m[a] = slice(0, -1)
+            sl_p = [slice(None)] * nd
+            sl_p[a] = slice(1, None)
+            cm = jnp.concatenate([gl, out[tuple(sl_m)]], axis=a)
+            cp = jnp.concatenate([out[tuple(sl_p)], gr], axis=a)
+            lo = 0.75 * out + 0.25 * cm
+            hi = 0.75 * out + 0.25 * cp
+            st = jnp.stack([lo, hi], axis=a + 1)
+            shape = list(out.shape)
+            shape[a] *= 2
+            out = st.reshape(shape)
+            continue
         if per[a]:
             cm = jnp.roll(out, 1, axis=a)
             cp = jnp.roll(out, -1, axis=a)
@@ -196,7 +270,8 @@ class MGPoissonSolver:
     # -- one V-cycle (statically unrolled over levels) ----------------------
 
     def _smooth(
-        self, level: int, x: Array, b: Array, n: int, omega: float = None
+        self, level: int, x: Array, b: Array, n: int, omega: float = None,
+        ctx=None,
     ) -> Array:
         # fori_loop, NOT a Python loop: unrolled sweeps (esp. the coarse
         # solve) blow the XLA graph up enough that CPU compiles of the
@@ -204,7 +279,7 @@ class MGPoissonSolver:
         # and runs identically.
         op = self.ops[level]
         omega = self.omega if omega is None else omega
-        if self.use_pallas and n <= 8:
+        if self.use_pallas and n <= 8 and ctx is None:
             from . import pallas_kernels
 
             if pallas_kernels.rb_sweeps_applicable(
@@ -212,7 +287,7 @@ class MGPoissonSolver:
             ):
                 return pallas_kernels.rb_sweeps(op, x, b, omega, n)
         return jax.lax.fori_loop(
-            0, n, lambda i, p: _rb_sweep(op, p, b, omega), x
+            0, n, lambda i, p: _rb_sweep(op, p, b, omega, ctx=ctx), x
         )
 
     def _fused_ok(self, level: int) -> bool:
@@ -225,22 +300,34 @@ class MGPoissonSolver:
         return pallas_kernels.mg_fused_applicable(self.ops[level])
 
     def _v_cycle(
-        self, level: int, x: Array, b: Array, want_rsq: bool = False
+        self, level: int, x: Array, b: Array, want_rsq: bool = False,
+        ctx=None, split: int = 0,
     ):
         """One V-cycle at ``level``. With ``want_rsq`` also returns
         sum(((b - A x')*fluid)^2) of the RETURNED iterate -- the solve
         loop's convergence quantity (free on the fused path: K2 emits it
-        as per-stripe partials)."""
+        as per-stripe partials).
+
+        Under a ShardCtx (explicit-comm distributed mode, parallel/halo.py)
+        levels < ``split`` run on block-local arrays with ppermute ghost
+        exchanges inside the smoother/operator and psum'd norms; deeper
+        levels run replicated (all_gather'd at the split boundary,
+        identical redundant compute on every device, local re-slice on the
+        way back up). ONE implementation either way (ctx=None is exactly
+        the single-device math) -- VERDICT r1 item 4's no-forked-semantics
+        rule, extended to the V-cycle."""
         op = self.ops[level]
+        sharded = ctx is not None and level < split
+        lctx = ctx if sharded else None
         if level == len(self.ops) - 1:
             x = self._smooth(
-                level, x, b, self.coarse_iters, self.coarse_omega
+                level, x, b, self.coarse_iters, self.coarse_omega, ctx=lctx
             )
             if want_rsq:
-                rn = residual_norm(op, x, b)
+                rn = residual_norm(op, x, b, lctx)
                 return x, rn * rn
             return x
-        if self._fused_ok(level):
+        if self._fused_ok(level) and ctx is None:
             from . import pallas_kernels
 
             x, r = pallas_kernels.mg_pre_sweeps_residual(
@@ -253,29 +340,52 @@ class MGPoissonSolver:
                 op, x, b, e, self.post, self.omega, interpret=self.interpret
             )
             return (x, rsq) if want_rsq else x
-        x = self._smooth(level, x, b, self.pre)
-        r = (b - apply_A(op, x)) * op.fluid
-        rc = _restrict(r) * self.ops[level + 1].fluid
+        x = self._smooth(level, x, b, self.pre, ctx=lctx)
+        r = (b - apply_A(op, x, lctx)) * op.fluid
+        if sharded and level + 1 == split:
+            # split boundary: assemble the full residual on every device;
+            # the subtree below runs replicated. Restrict locally first
+            # when the local block is even (half the gathered bytes);
+            # gather the fine residual when it is odd (children pairs
+            # straddle the shard boundary -- the reason the split is here).
+            loc_even = all(
+                r.shape[a] % 2 == 0
+                for a in range(r.ndim) if ctx.sharded(a)
+            )
+            rc = (_gather_full(_restrict(r), ctx) if loc_even
+                  else _restrict(_gather_full(r, ctx)))
+        else:
+            rc = _restrict(r)
+        rc = rc * self.ops[level + 1].fluid
         ec = jnp.zeros_like(rc)
-        ec = self._v_cycle(level + 1, ec, rc)
-        x = (x + _prolong(ec, op.periodic)) * op.fluid
-        x = self._smooth(level, x, b, self.post)
+        ec = self._v_cycle(level + 1, ec, rc, ctx=ctx, split=split)
+        if sharded and level + 1 == split:
+            e = _slice_local(_prolong(ec, op.periodic), ctx)
+        else:
+            e = _prolong(ec, op.periodic, ctx=lctx)
+        x = (x + e) * op.fluid
+        x = self._smooth(level, x, b, self.post, ctx=lctx)
         if want_rsq:
-            rn = residual_norm(op, x, b)
+            rn = residual_norm(op, x, b, lctx)
             return x, rn * rn
         return x
 
     def solve(
-        self, b: Array, p0: Array, tol: float, max_cycles: int
+        self, b: Array, p0: Array, tol: float, max_cycles: int,
+        ctx=None, split: int = 0,
     ) -> tuple[Array, Array, Array]:
         """Returns (p, cycles, relative residual) -- same semantics as
-        ops/poisson.solve_poisson."""
+        ops/poisson.solve_poisson. ``ctx``/``split``: explicit-comm
+        distributed mode (see _v_cycle)."""
         op = self.ops[0]
         dt = b.dtype
         b = b * op.fluid
-        b = deflate(op, b) if op.singular else b
+        b = deflate(op, b, ctx) if op.singular else b
         p0 = p0 * op.fluid
-        bnorm = jnp.sqrt(jnp.sum(b * b))
+        bsq = jnp.sum(b * b)
+        if ctx is not None:
+            bsq = ctx.psum(bsq)
+        bnorm = jnp.sqrt(bsq)
         tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
         inv_bnorm = 1.0 / jnp.maximum(bnorm, tiny)
         tol = jnp.asarray(tol, dt)
@@ -299,13 +409,14 @@ class MGPoissonSolver:
             # extra HBM pass. Deflation does not perturb it: A maps
             # constants to zero on the singular (all-Neumann) operator,
             # so the residual of the deflated iterate is identical.
-            p, rsq = self._v_cycle(0, p, b, want_rsq=True)
+            p, rsq = self._v_cycle(0, p, b, want_rsq=True,
+                                   ctx=ctx, split=split)
             if op.singular:
-                p = deflate(op, p)
+                p = deflate(op, p, ctx)
             new_res = jnp.sqrt(rsq) * inv_bnorm
             return p, k + 1, new_res, res
 
-        res0 = residual_norm(op, p0, b) * inv_bnorm
+        res0 = residual_norm(op, p0, b, ctx) * inv_bnorm
         inf = jnp.asarray(np.inf, res0.dtype)
         p, cycles, res, _ = jax.lax.while_loop(
             cond, body, (p0, jnp.int32(0), res0, inf)
@@ -315,7 +426,8 @@ class MGPoissonSolver:
     # -- multigrid-preconditioned flexible CG --------------------------------
 
     def solve_pcg(
-        self, b: Array, p0: Array, tol: float, max_iters: int
+        self, b: Array, p0: Array, tol: float, max_iters: int,
+        ctx=None, split: int = 0,
     ) -> tuple[Array, Array, Array]:
         """Flexible CG with one V-cycle as the preconditioner per iteration.
 
@@ -341,7 +453,7 @@ class MGPoissonSolver:
         def precond(r):
             # A is negative (semi-)definite and the V-cycle approximates
             # A^{-1}; for the negated system z ~ (-A)^{-1} r = -(A^{-1} r).
-            z = -self._v_cycle(0, jnp.zeros_like(r), r)
-            return deflate(op, z) if op.singular else z * op.fluid
+            z = -self._v_cycle(0, jnp.zeros_like(r), r, ctx=ctx, split=split)
+            return deflate(op, z, ctx) if op.singular else z * op.fluid
 
-        return flexible_pcg(op, b, p0, tol, max_iters, precond)
+        return flexible_pcg(op, b, p0, tol, max_iters, precond, ctx=ctx)

@@ -52,11 +52,19 @@ class ShardedPoissonSolver:
     op: PoissonOp
     cfg: PoissonConfig
     _mapped: object = None
+    _mg: object = None   # MGPoissonSolver for cfg.method mg/mgcg
 
     @staticmethod
     def build(
-        grid: GridSpec, op: PoissonOp, mesh: Mesh, cfg: PoissonConfig
+        grid: GridSpec, op: PoissonOp, mesh: Mesh, cfg: PoissonConfig,
+        mg=None,
     ) -> "ShardedPoissonSolver":
+        """``mg``: the Simulation's MGPoissonSolver, required for
+        cfg.method "mg"/"mgcg" -- the V-cycle then runs inside the same
+        shard_map block: fine levels on block-local arrays with ppermute
+        ghost exchange in the smoother/operator/prolongation, coarse
+        levels (below ops/multigrid.shard_split) replicated via one
+        all_gather per cycle (they are tiny)."""
         nd = grid.ndim
         names = tuple(mesh.axis_names)
         if len(names) > nd or names != SPATIAL_AXES[: len(names)]:
@@ -65,11 +73,13 @@ class ShardedPoissonSolver:
                 f"names are a prefix of {SPATIAL_AXES} (grid axis i shards "
                 f"over mesh axis i); got {names}"
             )
-        if cfg.method not in ("jacobi", "gs", "sor", "cg"):
+        if cfg.method not in ("jacobi", "gs", "sor", "cg", "mg", "mgcg"):
             raise ValueError(
-                f"explicit halo-exchange path supports jacobi/gs/sor/cg, "
-                f"not {cfg.method!r}"
+                f"explicit halo-exchange path supports "
+                f"jacobi/gs/sor/cg/mg/mgcg, not {cfg.method!r}"
             )
+        if cfg.method in ("mg", "mgcg") and mg is None:
+            raise ValueError(f"method {cfg.method!r} needs the mg solver")
         sizes = dict(zip(names, mesh.devices.shape))
         for a, name in enumerate(names):
             if grid.shape[a] % sizes[name]:
@@ -89,29 +99,70 @@ class ShardedPoissonSolver:
         )
         spec = P(*names, *([None] * (nd - len(names))))
 
-        def body(b, p0, diag, code):
-            # diag/code arrive as the local blocks; rebuild a block-local
-            # view of the operator (w/singular/inv_fluid_count are global
-            # statics -- deflation psums local sums against the GLOBAL
-            # reciprocal fluid count).
-            op_local = dataclasses.replace(op, diag=diag, code=code)
-            return solve_poisson(op_local, b, p0, grid, cfg, ctx=ctx)
+        if cfg.method in ("mg", "mgcg"):
+            from ..ops import multigrid
 
-        mapped = jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(spec, spec, spec, spec),
-            out_specs=(spec, P(), P()),
-        )
+            split = multigrid.shard_split(
+                [tuple(o.diag.shape) for o in mg.ops], ctx
+            )
+            # sharded levels get block-local operator arrays; replicated
+            # (coarse) levels see the full arrays on every device
+            level_specs = [
+                (spec if l < split else P())
+                for l in range(len(mg.ops))
+            ]
+            mg_local = dataclasses.replace(
+                mg, fused=False, use_pallas=False
+            )
+
+            def body(b, p0, diag, code, levels):
+                ops_local = [
+                    dataclasses.replace(o, diag=d, code=c)
+                    for o, (d, c) in zip(mg_local.ops, levels)
+                ]
+                solver = dataclasses.replace(mg_local, ops=ops_local)
+                mg_solve = (solver.solve_pcg if cfg.method == "mgcg"
+                            else solver.solve)
+                return mg_solve(b, p0, cfg.tol, cfg.max_iters,
+                                ctx=ctx, split=split)
+
+            mapped = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(spec, spec, spec, spec,
+                          tuple((s, s) for s in level_specs)),
+                out_specs=(spec, P(), P()),
+            )
+        else:
+            def body(b, p0, diag, code, levels):
+                # diag/code arrive as the local blocks; rebuild a
+                # block-local view of the operator (w/singular/
+                # inv_fluid_count are global statics -- deflation psums
+                # local sums against the GLOBAL reciprocal fluid count).
+                op_local = dataclasses.replace(op, diag=diag, code=code)
+                return solve_poisson(op_local, b, p0, grid, cfg, ctx=ctx)
+
+            mapped = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(spec, spec, spec, spec, P()),
+                out_specs=(spec, P(), P()),
+            )
         return ShardedPoissonSolver(
-            grid=grid, mesh=mesh, op=op, cfg=cfg, _mapped=mapped
+            grid=grid, mesh=mesh, op=op, cfg=cfg, _mapped=mapped, _mg=mg
         )
 
-    def solve(self, b: Array, p0: Array, op: PoissonOp = None):
+    def solve(self, b: Array, p0: Array, op: PoissonOp = None, mg_ops=None):
         """Returns (p, iters, relative residual), p sharded over the mesh.
 
-        Pass ``op`` explicitly when its arrays are threaded as traced jit
-        arguments (Simulation._consts) rather than baked constants.
+        Pass ``op`` (and ``mg_ops`` for mg/mgcg) explicitly when their
+        arrays are threaded as traced jit arguments (Simulation._consts)
+        rather than baked constants.
         """
         op = op if op is not None else self.op
-        return self._mapped(b, p0, op.diag, op.code)
+        if self.cfg.method in ("mg", "mgcg"):
+            ops = mg_ops if mg_ops is not None else self._mg.ops
+            levels = tuple((o.diag, o.code) for o in ops)
+        else:
+            levels = ()
+        return self._mapped(b, p0, op.diag, op.code, levels)

@@ -108,7 +108,9 @@ def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
       * ``"halo"``: the explicit shard_map + ppermute solver
         (parallel/halo.py) -- hand-written ring halos over ICI + psum
         reductions, same convergence semantics (one shared implementation).
-        Requires an iterative method (jacobi/gs/sor/cg).
+        Requires an iterative method (jacobi/gs/sor/cg/mg/mgcg; the
+        multigrid V-cycle runs fine levels block-local with ppermute
+        ghosts and gathers the tiny coarse levels).
     """
     import dataclasses
 
@@ -117,7 +119,7 @@ def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
         from .halo import ShardedPoissonSolver
 
         halo_solver = ShardedPoissonSolver.build(
-            sim.grid, sim.op, mesh, sim.params.poisson
+            sim.grid, sim.op, mesh, sim.params.poisson, mg=sim.mg_solver
         )
     elif poisson_comm != "gspmd":
         raise ValueError(f"unknown poisson_comm {poisson_comm!r}")

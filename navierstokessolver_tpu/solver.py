@@ -614,9 +614,14 @@ class Simulation:
             return adjoint.implicit_solve(adjoint.base_of(self), rhs, p0)
         pr = self.params
         if self.halo_solver is not None:
-            # op passed explicitly: its arrays are threaded as traced jit
-            # arguments (run_scan consts), not baked program constants.
-            return self.halo_solver.solve(rhs, p0, op=self.op)
+            # op (+ mg level ops) passed explicitly: their arrays are
+            # threaded as traced jit arguments (run_scan consts), not
+            # baked program constants.
+            return self.halo_solver.solve(
+                rhs, p0, op=self.op,
+                mg_ops=(self.mg_solver.ops
+                        if self.mg_solver is not None else None),
+            )
         if self.dct_solver is not None:
             from .ops import fft_poisson
 
