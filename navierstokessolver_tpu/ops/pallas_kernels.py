@@ -2133,8 +2133,11 @@ def predictor_rhs_3d_internal(
         # buoyancy transverse to the sharded axis needs no axis-0 cells
         assert buoy[0] == 0.0, \
             "sharded fused buoyancy along the sharded axis not supported"
-    if based:
-        assert not halo, "sharded fused rk2 not supported"
+    # based + halo composes: the base volumes stream through the same
+    # stripe windows as ``iu``, so as long as the caller refreshes base's
+    # ghost slots with the SAME ppermute/BC exchange as the midpoint field
+    # (parallel/fused_sharded._refresh_ghosts), the in-register shared-face
+    # star (window row B) anchors at the true neighbor base face.
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,

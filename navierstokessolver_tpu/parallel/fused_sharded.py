@@ -226,17 +226,21 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         th = jax.lax.dynamic_update_slice(th, hi, (b, 0, 0))
         return jax.lax.dynamic_update_slice(th, lo, (RP - 1, 0, 0))
 
-    def pred_body(iu0, iu1, iu2, theta=None):
+    def pred_body(dt, iu0, iu1, iu2, theta=None, base=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
         iu = _refresh_ghosts((iu0, iu1, iu2), first, last)
+        if base is not None:
+            # rk2 stage 2: the base (step-start) field streams through the
+            # same stripe windows -- its ghost slots need the same refresh
+            # so the in-register shared-face star anchors correctly
+            base = _refresh_ghosts(base, first, last)
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
-        dt = jnp.asarray(pr.dt, grid.dtype)
         us, rhs = pk.predictor_rhs_3d_internal(
             local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
             tile=tile, interpret=sim.pallas_interpret,
-            halo=True, edge_flags=ff,
+            halo=True, edge_flags=ff, base=base,
             forcing=sim._static_forcing(),
             theta=theta,
             buoyancy=scalar.buoyancy if scalar is not None else None,
@@ -257,7 +261,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
         return us0, us[1], us[2], rhs
 
-    def corr_body(us0, us1, us2, p_local, theta=None):
+    def corr_body(dt, us0, us1, us2, p_local, theta=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
@@ -280,7 +284,6 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             axis=0,
         )
         pp = jnp.pad(pp, [(0, 0), (0, S0 - n1), (0, L - n2)])
-        dt = jnp.asarray(pr.dt, grid.dtype)
         if theta is not None:
             theta = _refresh_theta_ghosts(theta, first, last)
         res = pk.correct_diag_3d_internal(
@@ -302,39 +305,83 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         velm = jax.lax.pmax(jnp.max(velp), AXIS)
         return iu_new[0], iu_new[1], iu_new[2], divm, velm
 
+    rk2 = pr.integrator == "rk2"
+    sc = P()   # replicated per-step dt scalar
     pred = jax.shard_map(
         pred_body, mesh=mesh,
-        in_specs=(spec3,) * (4 if thermal else 3),
+        in_specs=(sc,) + (spec3,) * (4 if thermal else 3),
         out_specs=(spec3, spec3, spec3, spec3),
         check_vma=False,
     )
+    pred_based = None
+    if rk2:
+        def pred_based_body(dt, iu0, iu1, iu2, b0, b1, b2, theta=None):
+            return pred_body(dt, iu0, iu1, iu2, theta=theta,
+                             base=(b0, b1, b2))
+
+        pred_based = jax.shard_map(
+            pred_based_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * (7 if thermal else 6),
+            out_specs=(spec3, spec3, spec3, spec3),
+            check_vma=False,
+        )
     corr = jax.shard_map(
         corr_body, mesh=mesh,
-        in_specs=(spec3,) * (5 if thermal else 4),
+        in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
         out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
         check_vma=False,
     )
+    corr_half = corr
+    if rk2 and thermal:
+        # the scalar advances once per STEP (full corrector); the half-
+        # step correction is velocity-only, like the unsharded rk2 path
+        corr_half = jax.shard_map(
+            corr_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * 4,
+            out_specs=(spec3,) * 3 + (P(), P()),
+            check_vma=False,
+        )
 
     from ..solver import StepDiagnostics
 
+    dt_cap = jnp.asarray(pr.dt, grid.dtype)
+
     def step_fn(carry):
-        iu, p, theta, p_prev = carry
-        us0, us1, us2, rhs = pred(*iu, *((theta,) if thermal else ()))
+        iu, p, theta, p_prev, vel = carry
+        if pr.cfl is None:
+            dt = dt_cap
+        else:
+            floor = jnp.asarray(1e-12, grid.dtype)
+            dt = jnp.minimum(dt_cap, pr.cfl / jnp.maximum(vel, floor))
         beta = pr.poisson.extrapolate
         if beta and p_prev is not None:
             p_start = p + beta * (p - p_prev)
         else:
             p_start = p
+        th_args = (theta,) if thermal else ()
+        it_extra = 0
+        if rk2:
+            # midpoint rule, both stages fused+sharded: stage 1 advances
+            # half a step and projects; stage 2 streams the midpoint field
+            # as the stencil source anchored at the step-start state
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args)
+            ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
+            ph = jax.lax.with_sharding_constraint(ph, pspec)
+            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph)[:3]
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *th_args)
+            p_start = ph
+        else:
+            us0, us1, us2, rhs = pred(dt, *iu, *th_args)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
+        iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
         if thermal:
             iu0n, iu1n, iu2n, theta_new, divm, velm = corr(
-                us0, us1, us2, p_new, theta
+                dt, us0, us1, us2, p_new, theta
             )
         else:
-            iu0n, iu1n, iu2n, divm, velm = corr(us0, us1, us2, p_new)
+            iu0n, iu1n, iu2n, divm, velm = corr(dt, us0, us1, us2, p_new)
             theta_new = None
-        dt = jnp.asarray(pr.dt, grid.dtype)
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,
@@ -343,7 +390,8 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             dt=dt,
         )
         p_prev_new = p if p_prev is not None else None
-        return ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new), diag
+        return ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new,
+                velm), diag
 
     return step_fn
 
@@ -385,8 +433,12 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
             theta_to_halo(grid, state.theta, mesh), spec3
         )
     step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None)
-    (iu, p, theta, p_prev), diags = jax.lax.scan(
-        lambda c, _: step_fn(c), (iu, p, theta, p_prev),
+    # CFL-adaptive runs carry the corrector's global max|u_a|/h_a pmax
+    # through the scan (entry value from one jnp reduction outside it)
+    vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
+            else jnp.zeros((), grid.dtype))
+    (iu, p, theta, p_prev, _), diags = jax.lax.scan(
+        lambda c, _: step_fn(c), (iu, p, theta, p_prev, vel0),
         xs=None, length=n_steps,
     )
     u0, u1, u2 = from_internal_halo(grid, bcs, iu, mesh)

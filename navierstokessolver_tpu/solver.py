@@ -394,8 +394,9 @@ class Simulation:
 
     def _fused3d_sharded_ok(self) -> bool:
         """Sharded whole-step fused path (parallel/fused_sharded.py): 1D
-        'sx' slab mesh, same gating as _fused3d_ok otherwise. Used from
-        run_scan only (the internal layout is carried across the scan)."""
+        'sx' slab mesh, same gating as _fused3d_ok otherwise (euler + rk2,
+        fixed or CFL-adaptive dt). Used from run_scan only (the internal
+        layout is carried across the scan)."""
         if self.shardings is None or self.grid.ndim != 3:
             return False
         use = self.params.use_pallas
@@ -406,7 +407,7 @@ class Simulation:
             )
         if not use or self.diff_solve:
             return False
-        if self.params.integrator != "euler" or self.params.cfl is not None:
+        if self.params.integrator not in ("euler", "rk2"):
             return False
         if self.face_masks is not None or self.les is not None:
             return False

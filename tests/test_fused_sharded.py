@@ -222,3 +222,53 @@ def test_sharded_fused_scalar_sim_without_theta():
     out, d = sim_sp.run_scan(shard_state(st, mesh, g), 3)
     assert out.theta is None
     assert np.isfinite(np.asarray(d.max_div)).all()
+
+
+@requires_8
+def test_sharded_fused_rk2_matches_unsharded():
+    """VERDICT r2 item 3: rk2 through the SHARDED fused whole-step -- both
+    stages fused, the stage-2 base (step-start) field streams through the
+    same ppermute ghost refresh as the midpoint field."""
+    case = make_case("cavity3d", shape=(32, 16, 16), re=100.0,
+                     integrator="rk2")
+    sim = case.sim
+    ref, dref = sim.run_scan(case.initial_state(), 8)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 8)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4)
+    np.testing.assert_array_equal(
+        np.asarray(d.poisson_iters), np.asarray(dref.poisson_iters)
+    )
+    assert len(out.p.sharding.device_set) == 4
+
+
+@requires_8
+def test_sharded_fused_cfl_adaptive_matches_unsharded():
+    """CFL-adaptive dt through the sharded fused path: the corrector's
+    global velocity pmax rides the scan carry and sets the next dt."""
+    case = make_case("cavity3d", shape=(32, 16, 16), re=100.0, cfl=0.3)
+    sim = case.sim
+    assert sim.params.cfl is not None
+    ref, dref = sim.run_scan(case.initial_state(), 8)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 8)
+    # per-step dt sequences must agree (the CFL carry is the new machinery)
+    np.testing.assert_allclose(np.asarray(d.dt), np.asarray(dref.dt),
+                               rtol=1e-6)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
