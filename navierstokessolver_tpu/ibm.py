@@ -66,6 +66,11 @@ class IBMForcing:
     ub: Optional[tuple[Array, ...]] = None     # [comp] surface velocity
     wet: Optional[tuple[Array, ...]] = None    # [comp] wet-solid masks
     ub_wet: Optional[tuple[Array, ...]] = None
+    # Computed at BUILD time (static): the band and every interpolation
+    # neighbor sit >= 2 faces from all domain boundaries, so the fused-3D
+    # internal-layout apply (internal_forcing) never reads an elided or
+    # padded face. Gates solver._fused3d_ok for IBM runs.
+    fused_ok: bool = False
 
     def apply(self, u: Sequence[Array]) -> tuple[Array, ...]:
         """Impose the interpolated boundary values on the forcing band.
@@ -279,6 +284,17 @@ def build_ibm(
 
     if not any_band:
         return None
+    # fused-path gate: band strictly interior (2-face margin along every
+    # axis) -- computed here on the concrete numpy masks because the gate
+    # is consulted inside jit where the arrays are tracers
+    fused_ok = True
+    for a in range(nd):
+        band_np = np.asarray(band_all[a]) > 0
+        for ax in range(nd):
+            sl = [slice(None)] * nd
+            sl[ax] = [0, 1, -2, -1]
+            if band_np[tuple(sl)].any():
+                fused_ok = False
     return IBMForcing(
         ndim=nd,
         dirs=dirs,
@@ -288,4 +304,64 @@ def build_ibm(
         ub=tuple(ub_all) if velocity is not None else None,
         wet=tuple(wet_all) if velocity is not None else None,
         ub_wet=tuple(ubwet_all) if velocity is not None else None,
+        fused_ok=fused_ok,
     )
+
+
+def internal_forcing(grid: GridSpec, ibm: IBMForcing,
+                     tile: int = 8) -> IBMForcing:
+    """The operator's operands re-padded to the fused-3D internal layout
+    (ops/pallas_kernels.to_internal_3d conventions), so ``apply`` runs
+    directly on the scan-carried internal velocity arrays. Valid only for
+    ``ibm.fused_ok`` bands (strictly interior): rolls then never read the
+    lane-elided comp-2 face or a pad slot at a masked position. All-append
+    pads of loop-invariant jit arguments -- XLA hoists the conversion out
+    of the scan."""
+    import jax.numpy as jnp
+
+    from .ops import pallas_kernels as pk
+
+    n0, n1, n2 = grid.shape
+    T, G, RP, S0, S1, L = pk._fused_dims(grid, tile)
+
+    def pad_comp(a, x):
+        if a == 0:
+            return jnp.pad(x, [(0, RP - (n0 + 1)), (0, S0 - n1),
+                               (0, L - n2)])
+        if a == 1:
+            return jnp.pad(x, [(0, RP - n0), (0, S1 - (n1 + 1)),
+                               (0, L - n2)])
+        return jnp.pad(x[:, :, :n2], [(0, RP - n0), (0, S0 - n1),
+                                      (0, L - n2)])
+
+    return IBMForcing(
+        ndim=3,
+        dirs=ibm.dirs,
+        masks=tuple(
+            tuple(pad_comp(a, m) for m in ibm.masks[a]) for a in range(3)
+        ),
+        w=tuple(pad_comp(a, ibm.w[a]) for a in range(3)),
+        band=tuple(pad_comp(a, ibm.band[a]) for a in range(3)),
+        fused_ok=ibm.fused_ok,
+    )
+
+
+def fused_rhs_patch(grid: GridSpec, rhs: Array, iu_star, iu_forced,
+                    rho_over_dt, fluid: Array) -> Array:
+    """Patch the fused predictor's Poisson RHS for the IBM velocity delta:
+    rhs += (rho/dt) * div(u_forced - u*) * fluid. The delta is supported
+    on the forcing band only (dense-stored); comp 2's elided hi face
+    carries zero delta by the fused_ok gate."""
+    import jax.numpy as jnp
+
+    n0, n1, n2 = grid.shape
+    h = grid.spacing
+    d0 = iu_forced[0] - iu_star[0]
+    d1 = iu_forced[1] - iu_star[1]
+    d2 = (iu_forced[2] - iu_star[2])[:n0, :n1, :n2]
+    dd = (d0[1:n0 + 1, :n1, :n2] - d0[:n0, :n1, :n2]) / h[0]
+    dd = dd + (d1[:n0, 1:n1 + 1, :n2] - d1[:n0, :n1, :n2]) / h[1]
+    zlast = jnp.zeros((n0, n1, 1), d2.dtype)
+    d2s = jnp.concatenate([d2[:, :, 1:], zlast], axis=2)
+    dd = dd + (d2s - d2) / h[2]
+    return rhs + rho_over_dt * dd * fluid

@@ -362,9 +362,16 @@ class Simulation:
         if self.shardings is not None or self.les is not None:
             return False
         if self.ibm is not None:
-            # the IBM direct forcing must hit u* between the predictor and
-            # the Poisson RHS -- the whole-step kernels fuse those
-            return False
+            # Stationary sharp-interface IBM composes with the fused step:
+            # the direct forcing hits u* BETWEEN the two kernels at the
+            # internal-layout level and the Poisson RHS is patched with the
+            # band delta's divergence (ibm.fused_rhs_patch) -- the band
+            # must be strictly interior (fused_ok, build-time check) so
+            # the internal-layout rolls never read elided/pad faces.
+            # Moving bodies (wet) keep the jnp step: the post-outflow
+            # apply_wet dance isn't replicated in the fused wrapper.
+            if not self.ibm.fused_ok or self.ibm.wet is not None:
+                return False
         if self._time_dependent():
             # BC values / forcing resolved per step from carried t are
             # traced scalars; the kernels bake BC values as static floats
@@ -658,6 +665,16 @@ class Simulation:
         dt = (self._dt_from_vel(vel) if pr.cfl is not None
               else jnp.asarray(pr.dt, g.dtype))
         codes, fcode = self._face_codes_3d()
+        ibm_i = None
+        if self.ibm is not None:
+            from . import ibm as ibm_mod
+
+            # internal-layout clone of the direct-forcing operator (pads
+            # of loop-invariant args; XLA hoists them out of the scan).
+            # Entry apply mirrors the jnp step's bcs+ibm entry pass: the
+            # previous correction perturbed the band faces.
+            ibm_i = ibm_mod.internal_forcing(g, self.ibm)
+            istate = dataclasses.replace(istate, u=ibm_i.apply(istate.u))
         thermal = self.scalar is not None and istate.theta is not None
         pred_kw = dict(
             rho=pr.rho,
@@ -708,6 +725,16 @@ class Simulation:
                 u_star, rhs = pallas_kernels.predictor_rhs_3d_internal(
                     g, b, istate.u, dt, pr.nu, pr.upwind_gamma, **pred_kw,
                 )
+        if ibm_i is not None:
+            # sharp-interface direct forcing on u* between the kernels,
+            # with the RHS divergence patched for the band delta (the
+            # fused predictor computed it from the unforced u*)
+            with jax.named_scope("ibm"):
+                u_forced = ibm_i.apply(u_star)
+                rhs = ibm_mod.fused_rhs_patch(
+                    g, rhs, u_star, u_forced, pr.rho / dt, self.op.fluid
+                )
+                u_star = u_forced
         with jax.named_scope("poisson"):
             p, iters, res = self._solve_pressure(rhs, p_start)
             iters = iters + it_extra

@@ -247,3 +247,58 @@ def test_rotating_cylinder_magnus_lift():
     # projection must absorb each step; a small residual interface
     # divergence (vs the solve tolerance) is inherent to direct forcing
     assert float(diag.max_div[-1]) < 5e-3
+
+
+def test_ibm_through_fused_3d_matches_jnp():
+    """VERDICT r2 item 7: sharp-interface IBM composes with the fused 3D
+    whole-step -- direct forcing applied between the kernels at the
+    internal-layout level, Poisson RHS patched with the band delta's
+    divergence. Interpret-mode trajectory parity vs the jnp step."""
+    import dataclasses
+
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case(
+        "sphere", shape=(32, 16, 16), lengths=(8.0, 4.0, 4.0),
+        center=(2.0, 2.03, 1.97), re=100.0, poisson_method="mg",
+        poisson_extrapolate=0.0, ibm=True,
+    )
+    sim = case.sim
+    assert sim.ibm is not None and sim.ibm.fused_ok
+    st0 = case.initial_state()
+    ref, dref = sim.run_scan(st0, 8)
+
+    simp = dataclasses.replace(
+        sim, params=dataclasses.replace(sim.params, use_pallas=True),
+        pallas_interpret=True,
+    )
+    assert simp._fused3d_ok()
+    out, d = simp.run_scan(st0, 8)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=2e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(d.poisson_iters), np.asarray(dref.poisson_iters)
+    )
+    assert float(d.max_div[-1]) < 5e-4
+
+
+def test_ibm_fused_gate_rejects_near_boundary_band():
+    """A body whose forcing band touches the outer two face layers keeps
+    the jnp step (the internal-layout rolls would read elided faces)."""
+    g3 = GridSpec(shape=(16, 16, 16), lengths=(1.0,) * 3)
+    bcs = no_slip_box(g3)
+    sdf = lambda x, y, z: np.sqrt(            # noqa: E731
+        (x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.08) ** 2) - 0.15
+    solid = ibm_mod.solid_from_sdf(g3, sdf)
+    from navierstokessolver_tpu.bcs import (
+        face_masks_from_solid,
+        periodic_axes,
+    )
+
+    fm = face_masks_from_solid(g3, solid, periodic_axes(g3, bcs))
+    op = ibm_mod.build_ibm(g3, bcs, sdf, fm)
+    assert op is not None and not op.fused_ok
