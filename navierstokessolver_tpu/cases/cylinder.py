@@ -47,14 +47,17 @@ def build_cylinder(
     poisson_extrapolate: float = 0.8,
     ibm: bool = False,
     spin: float = 0.0,
+    sharp_pressure: bool = False,
     **params_kw,
 ):
     """``ibm=True`` replaces the staircase velocity treatment with the
     sharp-interface direct forcing built from the circle's exact signed
-    distance (ibm.py) -- the pressure treatment (masked Poisson) stays
-    staircase either way. ``spin`` (requires ibm): rotation rate alpha =
-    omega*R/u_in of the cylinder surface -- the Magnus configuration
-    (rotating cylinder deflects the wake and carries a mean lift)."""
+    distance (ibm.py). ``sharp_pressure=True`` (requires ibm and an
+    iterative/mg poisson method) additionally upgrades the PRESSURE side
+    to the cut-cell apertured Poisson (cutcell.py) -- both sides sharp.
+    ``spin`` (requires ibm): rotation rate alpha = omega*R/u_in of the
+    cylinder surface -- the Magnus configuration (rotating cylinder
+    deflects the wake and carries a mean lift)."""
     from . import Case
 
     grid = GridSpec(shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32)
@@ -94,8 +97,11 @@ def build_cylinder(
 
         def vel(x, y):  # rigid rotation about the center
             return (-omega * (y - center[1]), omega * (x - center[0]))
+    if sharp_pressure and not ibm:
+        raise ValueError("sharp_pressure requires ibm=True (needs the sdf)")
     sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf,
-                           surface_velocity=vel)
+                           surface_velocity=vel,
+                           sharp_pressure=sharp_pressure)
     return Case(
         name="cylinder",
         sim=sim,

@@ -218,18 +218,31 @@ class MGPoissonSolver:
         max_levels: int = 8,
         use_pallas: Optional[bool] = None,
         fused: Optional[bool] = None,
+        sdf=None,
     ) -> "MGPoissonSolver":
         """``max_levels`` bounds the hierarchy depth: each level statically
         unrolls into the jitted program, and on very large grids (2048^2 is
         10 levels at min_size=4) the full-step XLA compile blows past the
         remote-compiler budget on this sandbox. The bottom level compensates
         with an SOR coarse solve at the textbook-optimal omega, so the
-        truncated hierarchy keeps the V-cycle contraction."""
+        truncated hierarchy keeps the V-cycle contraction.
+
+        ``sdf``: cut-cell sharp-pressure mode (cutcell.py) -- every level
+        REDISCRETIZES the apertured operator from the exact signed
+        distance at that level's resolution (more accurate than
+        coarsening apertures)."""
         ops = []
         g = grid
         s = None if solid is None else np.asarray(solid, bool)
         while True:
-            op = build_poisson_op(g, bcs, s)
+            if sdf is not None:
+                from .. import cutcell
+                from .poisson import build_poisson_op_cut
+
+                ap, fl, _ = cutcell.cut_geometry(g, sdf)
+                op = build_poisson_op_cut(g, bcs, ap, fl)
+            else:
+                op = build_poisson_op(g, bcs, s)
             ops.append(op)
             if len(ops) >= max_levels or not _can_coarsen(g.shape, min_size):
                 break
@@ -279,7 +292,7 @@ class MGPoissonSolver:
         # and runs identically.
         op = self.ops[level]
         omega = self.omega if omega is None else omega
-        if self.use_pallas and n <= 8 and ctx is None:
+        if self.use_pallas and n <= 8 and ctx is None and op.ap is None:
             from . import pallas_kernels
 
             if pallas_kernels.rb_sweeps_applicable(
@@ -293,6 +306,8 @@ class MGPoissonSolver:
     def _fused_ok(self, level: int) -> bool:
         if not self.fused or level == len(self.ops) - 1:
             return False
+        if self.ops[level].ap is not None:
+            return False  # apertured couplings: jnp sweeps only
         if not (1 <= self.pre <= 8 and 1 <= self.post <= 8):
             return False
         from . import pallas_kernels

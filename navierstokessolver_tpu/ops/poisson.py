@@ -72,17 +72,23 @@ class PoissonOp:
     # Wrap-around neighbor topology per axis (periodic BCs): the neighbor
     # shifts in _neighbor_sum become rolls there.
     periodic: tuple[bool, ...] = ()
+    # Cut-cell face apertures (cutcell.py sharp-interface pressure): per
+    # axis, the FULL face array of fluid-open fractions in [0, 1]. When
+    # set, couplings become w[a] * alpha_f (still symmetric -- the face is
+    # shared) and the divergence/RHS must use the same apertured fluxes
+    # (stencils.divergence with ap). None = staircase presence bits.
+    ap: Optional[tuple[Array, ...]] = None
 
     def tree_flatten(self):
         return (
-            (self.diag, self.code),
+            (self.diag, self.code, self.ap),
             (self.w, self.singular, self.inv_fluid_count, self.periodic),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        diag, code = children
-        return cls(diag, code, aux[0], aux[1], aux[2], aux[3])
+        diag, code, ap = children
+        return cls(diag, code, aux[0], aux[1], aux[2], aux[3], ap)
 
     # -- decoded views (fused into consumers under jit; never HBM-resident) --
 
@@ -179,6 +185,68 @@ def build_poisson_op(
     )
 
 
+def build_poisson_op_cut(
+    grid: GridSpec, bcs: BCTable, ap, fluid: np.ndarray
+) -> PoissonOp:
+    """Cut-cell (apertured) pressure Poisson operator (cutcell.py).
+
+    ``ap``: per-axis full face-aperture arrays from cutcell.cut_geometry
+    (faces across/into solid cells already closed there). Couplings are
+    ``w[a] * alpha_f`` on interior faces -- symmetric, since the two cells
+    share the face; domain faces are Neumann (no coupling) except
+    OUTFLOW/CONVECTIVE, whose Dirichlet-ghost term scales with the face
+    aperture. Solid cells keep identity rows.
+    """
+    nd = grid.ndim
+    h = grid.spacing
+    if any(bcs[(a, 0)].kind is BCKind.PERIODIC for a in range(nd)):
+        raise ValueError("cut-cell pressure + periodic axes not supported")
+    fluid = np.asarray(fluid, bool)
+    diag = np.zeros(grid.shape, dtype=np.float64)
+    code = np.zeros(grid.shape, dtype=np.uint8)
+    code |= fluid.astype(np.uint8) << FLUID_BIT
+    w = []
+    for a in range(nd):
+        wa = 1.0 / (h[a] * h[a])
+        w.append(float(wa))
+        al = np.asarray(ap[a], np.float64)
+        lo_c = np.zeros(grid.shape)   # coupling to the low neighbor
+        hi_c = np.zeros(grid.shape)
+        lo_sl = [slice(None)] * nd
+        lo_sl[a] = slice(1, None)     # cells 1..n-1 couple through face i
+        in_f = [slice(None)] * nd
+        in_f[a] = slice(1, -1)        # interior faces 1..n-1
+        lo_c[tuple(lo_sl)] = al[tuple(in_f)]
+        hi_sl = [slice(None)] * nd
+        hi_sl[a] = slice(0, -1)
+        hi_c[tuple(hi_sl)] = al[tuple(in_f)]
+        code |= (lo_c > 0).astype(np.uint8) << (2 * a)
+        code |= (hi_c > 0).astype(np.uint8) << (2 * a + 1)
+        diag -= wa * (lo_c + hi_c)
+        for side in (0, 1):
+            if bcs[(a, side)].kind in (BCKind.OUTFLOW, BCKind.CONVECTIVE):
+                face = [slice(None)] * nd
+                face[a] = 0 if side == 0 else -1
+                bf = [slice(None)] * nd
+                bf[a] = 0 if side == 0 else -1
+                diag[tuple(face)] -= 2.0 * wa * al[tuple(bf)]
+    diag[~fluid] = 1.0
+    singular = not any(
+        bcs[(a, s)].kind in (BCKind.OUTFLOW, BCKind.CONVECTIVE)
+        for a in range(nd) for s in (0, 1)
+    )
+    dt = grid.dtype
+    return PoissonOp(
+        diag=jnp.asarray(diag, dt),
+        code=jnp.asarray(code),
+        w=tuple(w),
+        singular=singular,
+        inv_fluid_count=float(1.0 / fluid.sum()),
+        periodic=(False,) * nd,
+        ap=tuple(jnp.asarray(np.asarray(x, np.float64), dt) for x in ap),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class ShardCtx:
     """Distribution context: run the SAME solver bodies inside a shard_map
@@ -251,6 +319,41 @@ def _neighbor_sum(op: PoissonOp, p: Array, ctx: Optional[ShardCtx] = None) -> Ar
     code = op.code
     periodic = op.periodic or (False,) * nd
     out = jnp.zeros_like(p)
+    if op.ap is not None:
+        # cut-cell couplings: w[a] * alpha on interior faces. The presence
+        # bits already encode alpha > 0 AND both-cells-fluid (build), so
+        # the zero-pad ghosts/boundary faces die through the where; the
+        # aperture slices scale what survives. No ctx/periodic support
+        # (build_poisson_op_cut rejects periodic; halo tier gates ap out).
+        if ctx is not None and any(ctx.sharded(a) for a in range(nd)):
+            raise NotImplementedError(
+                "cut-cell apertures under the explicit-halo tier"
+            )
+        for a in range(nd):
+            al = op.ap[a]
+            sl = [slice(None)] * nd
+            sl[a] = slice(0, -1)
+            ap_lo = al[tuple(sl)]          # cell i's low face i
+            sl[a] = slice(1, None)
+            ap_hi = al[tuple(sl)]          # cell i's high face i+1
+            pad_lo = [(0, 0)] * nd
+            pad_lo[a] = (1, 0)
+            pad_hi = [(0, 0)] * nd
+            pad_hi[a] = (0, 1)
+            sl_lo = [slice(None)] * nd
+            sl_lo[a] = slice(0, -1)
+            sl_hi = [slice(None)] * nd
+            sl_hi[a] = slice(1, None)
+            p_lo = jnp.pad(p, pad_lo)[tuple(sl_lo)]
+            p_hi = jnp.pad(p, pad_hi)[tuple(sl_hi)]
+            has_lo = (code & (1 << (2 * a))) > 0
+            has_hi = (code & (1 << (2 * a + 1))) > 0
+            zero = jnp.zeros((), p.dtype)
+            out = out + op.w[a] * (
+                jnp.where(has_lo, ap_lo * p_lo, zero)
+                + jnp.where(has_hi, ap_hi * p_hi, zero)
+            )
+        return out
     for a in range(nd):
         if ctx is not None and ctx.sharded(a):
             gl, gr = ctx.ghosts(p, a, periodic[a])

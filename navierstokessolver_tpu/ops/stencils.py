@@ -76,6 +76,23 @@ def divergence(grid: GridSpec, u: Sequence[Array]) -> Array:
     return out
 
 
+def divergence_ap(grid: GridSpec, u: Sequence[Array], ap) -> Array:
+    """Cut-cell (apertured) divergence: ``sum_a (a_hi u_hi - a_lo u_lo)/h_a``
+    with ``ap`` the per-axis full face-aperture arrays (cutcell.py). The
+    matching Poisson operator is ops/poisson.build_poisson_op_cut; using
+    the pair keeps the projection exact on cut cells."""
+    h = grid.spacing
+    nd = grid.ndim
+    out = None
+    for a, comp in enumerate(u):
+        au = ap[a] * comp
+        d = (
+            au[_sl(nd, a, slice(1, None))] - au[_sl(nd, a, slice(0, -1))]
+        ) / h[a]
+        out = d if out is None else out + d
+    return out
+
+
 def pressure_gradient(grid: GridSpec, p: Array, axis: int) -> Array:
     """dp/dx_axis at the *interior* faces along ``axis`` (shape - e_axis)."""
     nd = grid.ndim

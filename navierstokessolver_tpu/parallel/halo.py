@@ -80,6 +80,11 @@ class ShardedPoissonSolver:
             )
         if cfg.method in ("mg", "mgcg") and mg is None:
             raise ValueError(f"method {cfg.method!r} needs the mg solver")
+        if op.ap is not None:
+            raise ValueError(
+                "cut-cell (sharp_pressure) operators are not supported on "
+                "the explicit-halo tier yet; use poisson_comm='gspmd'"
+            )
         sizes = dict(zip(names, mesh.devices.shape))
         for a, name in enumerate(names):
             if grid.shape[a] % sizes[name]:

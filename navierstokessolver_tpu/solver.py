@@ -126,6 +126,7 @@ class Simulation:
         les=None,
         sdf=None,
         surface_velocity=None,
+        sharp_pressure: bool = False,
     ) -> "Simulation":
         """``sdf``: optional signed-distance function of the obstacle
         surface (negative inside). When given (and ``solid`` is None) the
@@ -133,9 +134,26 @@ class Simulation:
         treatment upgrades to sharp-interface direct forcing (ibm.py).
         ``surface_velocity(*coords) -> nd components``: optional body
         surface velocity for moving boundaries (e.g. a rotating
-        cylinder); requires ``sdf``."""
+        cylinder); requires ``sdf``. ``sharp_pressure`` (requires sdf):
+        cut-cell apertured Poisson/divergence/correction (cutcell.py) --
+        the pressure side of the sharp-interface story; iterative
+        solvers only (jacobi/gs/sor/cg/mg/mgcg)."""
         bcs_mod.validate_bcs(grid, bcs)
         ibm_op = None
+        cut = None
+        if sharp_pressure:
+            if sdf is None:
+                raise ValueError("sharp_pressure requires an sdf")
+            if params.poisson.method in ("fft", "dctcg"):
+                raise ValueError(
+                    "sharp_pressure needs an iterative/mg Poisson method "
+                    f"(the {params.poisson.method!r} spectral machinery "
+                    "assumes binary masks)"
+                )
+            from . import cutcell
+
+            cut = cutcell.cut_geometry(grid, sdf)
+            solid = np.asarray(cut[2])
         if sdf is not None:
             from . import ibm as ibm_mod
 
@@ -174,9 +192,37 @@ class Simulation:
         if params.poisson.method in ("mg", "mgcg"):
             from .ops import multigrid
 
-            mg_solver = multigrid.MGPoissonSolver.build(grid, bcs, solid)
+            mg_solver = multigrid.MGPoissonSolver.build(
+                grid, bcs, solid,
+                sdf=sdf if sharp_pressure else None,
+            )
         per = bcs_mod.periodic_axes(grid, bcs)
-        face_masks = bcs_mod.face_masks_from_solid(grid, solid, per)
+        if cut is not None:
+            # cut-cell masks: a face is a velocity DOF iff its aperture is
+            # open; corrections apply on every open interior face -- the
+            # exact consistency triple with divergence_ap + the cut op
+            ap_np = cut[0]
+            face_masks = tuple(
+                jnp.asarray((np.asarray(a) > 0).astype(np.float64),
+                            grid.dtype)
+                for a in ap_np
+            )
+            nd = grid.ndim
+            corr_masks = tuple(
+                jnp.asarray(
+                    (np.asarray(ap_np[a])[tuple(
+                        slice(1, -1) if d == a else slice(None)
+                        for d in range(nd)
+                    )] > 0).astype(np.float64),
+                    grid.dtype,
+                )
+                for a in range(nd)
+            )
+            op = poisson_mod.build_poisson_op_cut(grid, bcs, ap_np, cut[1])
+        else:
+            face_masks = bcs_mod.face_masks_from_solid(grid, solid, per)
+            corr_masks = bcs_mod.correction_face_masks(grid, solid, per)
+            op = poisson_mod.build_poisson_op(grid, bcs, solid)
         if sdf is not None and face_masks is not None:
             from . import ibm as ibm_mod
 
@@ -186,9 +232,9 @@ class Simulation:
             grid=grid,
             bcs=bcs,
             params=params,
-            op=poisson_mod.build_poisson_op(grid, bcs, solid),
+            op=op,
             face_masks=face_masks,
-            corr_masks=bcs_mod.correction_face_masks(grid, solid, per),
+            corr_masks=corr_masks,
             forcing=forcing,
             dct_solver=dct_solver,
             mg_solver=mg_solver,
@@ -330,6 +376,8 @@ class Simulation:
             )
         if not use or self.grid.ndim != 3 or self.diff_solve:
             return False
+        if self.op.ap is not None:
+            return False  # cut-cell rhs/divergence is jnp-only (apertures)
         if self.params.integrator not in ("euler", "rk2"):
             return False
         if (self.params.integrator == "rk2"
@@ -437,6 +485,8 @@ class Simulation:
         use = self.params.use_pallas
         if not use or self.grid.ndim != 2 or self.diff_solve:
             return False
+        if self.op.ap is not None:
+            return False  # cut-cell rhs/divergence is jnp-only (apertures)
         if self.params.integrator not in ("euler", "rk2"):
             return False
         if self.shardings is not None or self.les is not None:
@@ -909,6 +959,14 @@ class Simulation:
             )
         return bcs_mod.apply_velocity_bcs(g, b, u_star, self.face_masks)
 
+    def _div(self, u):
+        """Divergence consistent with the Poisson operator: apertured
+        (cut-cell) fluxes when the op carries face apertures, the plain
+        staggered divergence otherwise."""
+        if self.op.ap is not None:
+            return stencils.divergence_ap(self.grid, u, self.op.ap)
+        return stencils.divergence(self.grid, u)
+
     def _project(self, u_star, p0, dt):
         """Pressure-project ``u*`` to divergence-free: solve the Poisson
         equation and apply the correction. Returns (u_new, p, iters, res)."""
@@ -919,7 +977,7 @@ class Simulation:
             with jax.named_scope("ibm"):
                 u_star = self.ibm.apply(u_star)
         with jax.named_scope("poisson"):
-            rhs = stencils.divergence(g, u_star) * (pr.rho / dt) * self.op.fluid
+            rhs = self._div(u_star) * (pr.rho / dt) * self.op.fluid
             p, iters, res = self._solve_pressure(rhs, p0)
         with jax.named_scope("correction"):
             u_new = stencils.correct_velocity(
@@ -1057,7 +1115,7 @@ class Simulation:
             State(u=u_new, p=p, theta=theta_new, p_prev=p_prev_new)
         )
         with jax.named_scope("diagnostics"):
-            div = stencils.divergence(g, new_state.u) * self.op.fluid
+            div = self._div(new_state.u) * self.op.fluid
             diag = StepDiagnostics(
                 poisson_iters=iters,
                 poisson_res=res,

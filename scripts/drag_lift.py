@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=25)
     ap.add_argument("--ibm", action="store_true",
                     help="sharp-interface immersed boundary (ibm.py)")
+    ap.add_argument("--sharp-pressure", action="store_true",
+                    help="cut-cell apertured Poisson (cutcell.py; "
+                         "requires --ibm and an iterative/mg --poisson)")
     ap.add_argument("--spin", type=float, default=0.0,
                     help="rotation rate alpha = omega R / U (requires "
                          "--ibm); Magnus oracle: mean Cl ~ -2.5 at "
@@ -50,7 +53,7 @@ def main() -> None:
 
     case = make_case("cylinder", shape=shape, re=args.re,
                      poisson_method=args.poisson, ibm=args.ibm,
-                     spin=args.spin)
+                     spin=args.spin, sharp_pressure=args.sharp_pressure)
     sim = case.sim
     g = sim.grid
     dt = sim.params.dt
@@ -85,6 +88,7 @@ def main() -> None:
         "st_from_cl": round(dominant_frequency(cl[half:], dt), 4),
         "cl_mean": round(float(np.mean(cl[half:])), 4),
         "re": args.re, "shape": list(shape), "ibm": args.ibm,
+        "sharp_pressure": args.sharp_pressure,
         "spin": args.spin,
         "t_end": done * dt,
         "wall_s": round(time.time() - t0, 1),
