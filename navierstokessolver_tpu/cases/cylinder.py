@@ -128,6 +128,7 @@ def build_sphere(
     outlet: str = "outflow",
     poisson_extrapolate: float = 0.8,
     ibm: bool = False,
+    sharp_pressure: bool = False,
     **params_kw,
 ):
     """Flow past a sphere (the 3D analog of the cylinder case).
@@ -168,7 +169,10 @@ def build_sphere(
     sdf = (lambda *cs: np.sqrt(
         sum((c - c0) ** 2 for c, c0 in zip(cs, center))) - radius
     ) if ibm else None
-    sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf)
+    if sharp_pressure and not ibm:
+        raise ValueError("sharp_pressure requires ibm=True (needs the sdf)")
+    sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf,
+                           sharp_pressure=sharp_pressure)
     return Case(
         name="sphere",
         sim=sim,

@@ -67,6 +67,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ibm", action="store_true",
                     help="sharp-interface immersed boundary for obstacle "
                          "cases (direct forcing; cylinder/sphere)")
+    ap.add_argument("--sharp-pressure", action="store_true",
+                    help="cut-cell apertured Poisson (cutcell.py): the "
+                         "pressure side of the sharp interface; requires "
+                         "--ibm and an iterative/mg --poisson")
     ap.add_argument("--les-cs", type=float, default=None,
                     help="enable the Smagorinsky LES closure with this "
                          "constant (0.1-0.2 typical; see les.py); any case")
@@ -149,6 +153,8 @@ def main(argv=None) -> int:
         overrides["upwind_gamma"] = args.upwind_gamma
     if args.ibm:
         overrides["ibm"] = True
+    if args.sharp_pressure:
+        overrides["sharp_pressure"] = True
 
     case = make_case(case_name, **overrides)
     sim = case.sim
@@ -174,7 +180,8 @@ def main(argv=None) -> int:
         sim = sharded_simulation(sim, mesh, poisson_comm=args.poisson_comm)
 
     cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar, sim.les,
-                                  ibm=sim.ibm is not None)
+                                  ibm=sim.ibm is not None,
+                                  sharp_pressure=sim.op.ap is not None)
     step0 = 0
     state = case.initial_state()
     if args.resume:

@@ -219,7 +219,7 @@ def _scalar_blob(scalar) -> Optional[dict]:
 
 
 def config_hash(grid: GridSpec, params, scalar=None, les=None,
-                ibm=False) -> str:
+                ibm=False, sharp_pressure=False) -> str:
     blob = json.dumps(
         dict(
             shape=list(grid.shape),
@@ -237,6 +237,8 @@ def config_hash(grid: GridSpec, params, scalar=None, les=None,
             les=None if les is None else dataclasses.asdict(les),
             # sharp-interface IBM changes the boundary physics too
             ibm=bool(ibm),
+            # ... and so does the cut-cell apertured pressure operator
+            sharp_pressure=bool(sharp_pressure),
         ),
         sort_keys=True,
     )
