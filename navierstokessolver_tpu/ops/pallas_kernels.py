@@ -1247,7 +1247,14 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
     # back to the per-component predictor kernels (adaptive tile) + jnp
     # step (512^3: 1177 MLUPS through that path).
     n1, n2 = grid.shape[1], grid.shape[2]
-    if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 128 * 1024:
+    if _round_up(n1 + 1, 8) * _round_up(n2, 128) > 288 * 1024:
+        # Round 3 lifted the old 128K gate: planes up to ~288K elements
+        # (512-wide: 520x512 = 266K) run with NARROW stripes (tile=4) and
+        # single-buffered windows -- the register-spill blowup that sank
+        # the 211M-vmem tile=8 attempt scales with the stripe height, and
+        # tile=4/db=False fits (measured on v5e at 512^3: 72.5 ms/step =
+        # 1852 MLUPS vs 1202 on the per-component fallback; tile=2 ties).
+        # See fused_tile_db.
         return False
     # Periodic axes are supported in-kernel: axes 1/2 by wrap reads
     # (_shift_wrap: plain rolls when the tile padding vanishes, patched
@@ -1262,6 +1269,19 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
     if bcs[(0, 0)].kind is BCKind.OUTFLOW:
         return False
     return _scalar_bcs_all_axes(bcs)
+
+
+def fused_tile_db(grid: GridSpec):
+    """(tile, db) for the whole-step kernels on this grid. Planes above
+    128K elements use tile=4 + single-buffered windows: the kernel body's
+    live-register footprint scales with stripe_rows x plane, so narrow
+    stripes are what fit 512-wide planes in VMEM (see the gate note in
+    fused_step3d_applicable)."""
+    n1, n2 = grid.shape[1], grid.shape[2]
+    plane = _round_up(n1 + 1, 8) * _round_up(n2, 128)
+    if plane <= 128 * 1024:
+        return 8, None
+    return 4, False
 
 
 def _tangential_ghost(bcs: BCTable, c: int, ax: int, side: int):
@@ -1555,7 +1575,8 @@ def from_internal_3d(grid: GridSpec, bcs: BCTable, iu):
 def _fused_pred_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, *rest,
     T: int, n: tuple, h: tuple, nu: float, gamma: float,
-    tg: dict, own: dict, RP: int, halo: bool = False, db: bool = True,
+    tg: dict, own: dict, RP: int, halo: bool = False, halo1: bool = False,
+    db: bool = True,
     masked: bool = False, per: tuple = (False, False, False),
     force: tuple = (0.0, 0.0, 0.0),
     buoy: tuple = (0.0, 0.0, 0.0), tref: float = 0.0,
@@ -1712,6 +1733,15 @@ def _fused_pred_kernel(
     if halo:
         is_first = sc_ref[2] > 0.5
         is_last = sc_ref[3] > 0.5
+    if halo1:
+        # pencil mode (axis 1 sharded over 'sy'): sublane ghost COLUMNS at
+        # n1 (and n1+1 for the own-axis comp) / the window's last sublane
+        # (lo), jnp-refreshed per step like the axis-0 ghost rows; n1 is
+        # the LOCAL width m1 here. The roll-based axis-1 shifts then pick
+        # the ghosts up with fix=None, and the comp-1 boundary-face writes
+        # gate on these edge flags.
+        is_first1 = sc_ref[4] > 0.5
+        is_last1 = sc_ref[5] > 0.5
     S_RHS = rhs_ref.shape[1]
 
     def own2_hi_fix():
@@ -1765,6 +1795,11 @@ def _fused_pred_kernel(
                 return jnp.where(rows_i == 0, al * c + bl, r)
             c = w[ro:ro + rows, :S]
             if ax == 1:
+                if halo1:
+                    # ghost slots make the plain roll correct everywhere:
+                    # position 0 <- window's last sublane (lo ghost),
+                    # position n1-1's hi neighbor <- slot n1 (hi ghost)
+                    return _shift_fix(c, 1, d, None)
                 if per[1]:
                     # n1 distinct faces/cells for every component (comp 1's
                     # in-array face n1 is the maintained duplicate)
@@ -1945,7 +1980,22 @@ def _fused_pred_kernel(
                         )
             elif a == 1:
                 s_i = _ax_iota(star.shape, 1)
-                if per[1]:
+                if halo1:
+                    # faces 0 / n1(=m1, the in-register shared/BC face the
+                    # divergence epilogue reads) are boundary faces only on
+                    # the edge shards; "wrap" specs only reach here when
+                    # the sy ring keeps both flags False -- value dead
+                    v_lo = (_shift_fix(star, 1, 1, None)
+                            if lo[0] == "copy"
+                            else (0.0 if lo[0] == "wrap" else lo[1]))
+                    v_hi = (_shift_fix(star, 1, -1, None)
+                            if hi[0] == "copy"
+                            else (0.0 if hi[0] == "wrap" else hi[1]))
+                    star = jnp.where(
+                        (s_i == 0) & is_first1, v_lo,
+                        jnp.where((s_i == n1) & is_last1, v_hi, star),
+                    )
+                elif per[1]:
                     star = jnp.where(
                         s_i == n1, jnp.roll(star, n1, axis=1), star
                     )
@@ -2024,6 +2074,19 @@ def _halo_dims(grid: GridSpec, tile: int):
         _round_up(n2, 128)
 
 
+def _halo_dims_pencil(grid: GridSpec, tile: int):
+    """Dims for the PENCIL ('sx','sy') sharded fused step: axis-0 halo
+    rows as in _halo_dims, plus axis-1 ghost COLUMNS -- every component
+    carries m1 data sublanes (comp 1 trimmed to m1 faces like comp 0's
+    rows), hi ghost slots at sublanes m1/m1+1 and the lo ghost at the
+    window's last sublane SH-1, so the kernel's roll-based axis-1 shifts
+    pick them up with no edge fixes."""
+    n0, m1, n2 = grid.shape
+    T = _fused_tile(tile, n0)
+    SH = _round_up(m1 + 3, 8)
+    return T, n0 // T, n0 + T, SH, SH, _round_up(n2, 128)
+
+
 def predictor_rhs_3d_internal(
     grid: GridSpec,
     bcs: BCTable,
@@ -2036,6 +2099,8 @@ def predictor_rhs_3d_internal(
     interpret: bool = False,
     halo: bool = False,
     edge_flags=None,
+    halo1: bool = False,
+    edge_flags1=None,
     db: Optional[bool] = None,
     face_codes=None,
     fluid_code=None,
@@ -2077,7 +2142,10 @@ def predictor_rhs_3d_internal(
 
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
-    if halo:
+    if halo1:
+        assert halo, "pencil mode layers on the axis-0 halo machinery"
+        T, G, RP, S0, S1, L = _halo_dims_pencil(grid, tile)
+    elif halo:
         T, G, RP, S0, S1, L = _halo_dims(grid, tile)
     else:
         T, G, RP, S0, S1, L = _fused_dims(grid, tile)
@@ -2091,6 +2159,10 @@ def predictor_rhs_3d_internal(
         # wraparound ppermute ghost rings (parallel/fused_sharded.py) with
         # first=last=False edge flags; in-kernel axis-0 stays halo-mode
         per = (False,) + per[1:]
+    if halo1:
+        # same deal along axis 1: the sy ring closes periodic wraps
+        per = (per[0], False, per[2])
+        assert not masked, "pencil fused step: no obstacles"
     assert not (masked and any(per)), "obstacles + periodic not supported"
 
     if per[0]:
@@ -2112,6 +2184,8 @@ def predictor_rhs_3d_internal(
     parts = [jnp.asarray(dt, jnp.float32), rho_over_dt]
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
+    if halo1:
+        parts += [jnp.asarray(f, jnp.float32) for f in edge_flags1]
     sc = jnp.stack(parts)
     force = (0.0, 0.0, 0.0)
     if forcing is not None:
@@ -2138,10 +2212,14 @@ def predictor_rhs_3d_internal(
     # ghost slots with the SAME ppermute/BC exchange as the midpoint field
     # (parallel/fused_sharded._refresh_ghosts), the in-register shared-face
     # star (window row B) anchors at the true neighbor base face.
+    if halo1 and thermal:
+        assert buoy[1] == 0.0, \
+            "pencil fused buoyancy along the sy-sharded axis not supported"
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own, RP=RP, halo=halo, db=db, masked=masked, per=per,
+        tg=tg, own=own, RP=RP, halo=halo, halo1=halo1, db=db,
+        masked=masked, per=per,
         force=force, buoy=buoy, tref=float(theta_ref), thermal=thermal,
         based=based, forced=forced,
     )
@@ -2287,6 +2365,7 @@ def predictor_rhs_3d(
 def _fused_corr_kernel(
     sc_ref, u0_hbm, u1_hbm, u2_hbm, p_hbm, *rest,
     T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
+    halo1: bool = False,
     db: bool = True, masked: bool = False, hi0_copy: bool = False,
     per: tuple = (False, False, False),
     thermal: bool = False, alpha: float = 0.0, tgamma: float = 0.0,
@@ -2385,9 +2464,15 @@ def _fused_corr_kernel(
     for cp in _dma(j, phase):
         cp.wait()
     scale = sc_ref[0]
+    sc_idx = 1
     if halo:
         is_first = sc_ref[1] > 0.5
         is_last = sc_ref[2] > 0.5
+        sc_idx = 3
+    if halo1:
+        is_first1 = sc_ref[sc_idx] > 0.5
+        is_last1 = sc_ref[sc_idx + 1] > 0.5
+        sc_idx += 2
 
     @pl.when(j < G)
     def _data():
@@ -2427,7 +2512,11 @@ def _fused_corr_kernel(
 
         # comp 1: boundary faces Dirichlet-preserved or outflow-copied
         # (periodic: face 0 corrected with the wrap gradient, face n1 is
-        # the mirrored duplicate)
+        # the mirrored duplicate). halo1 (pencil): the p window carries
+        # jnp-refreshed ghost columns, so the roll-based gradient is
+        # correct at face 0 (lo ghost at the last sublane) AND at the
+        # shared face n1(=m1) (hi ghost at slot n1); boundary-face
+        # handling gates on the sy edge flags.
         pc1m = (_shift_wrap(pc, 1, -1, n1) if per[1]
                 else _shift_fix(pc, 1, -1, None))
         g1 = (pc - pc1m) * (1.0 / h[1])
@@ -2437,7 +2526,19 @@ def _fused_corr_kernel(
             u1n = jnp.where(
                 (c1w[:T, :u1n.shape[1]] & CORR_OK_3D) != 0, u1n, u1s)
         s_i = _ax_iota(u1n.shape, 1)
-        if per[1]:
+        if halo1:
+            # the shared face n1 needs g1 at face n1 = (p_ghost - p[n1-1]):
+            # pc1m at slot n1 <- pc[n1-1] (roll), pc slot n1 = hi ghost --
+            # already right. Edge shards preserve/copy the boundary faces.
+            v1_lo = (_shift_fix(u1n, 1, 1, None)
+                     if own[(1, 0)][0] == "copy" else u1s)
+            v1_hi = (_shift_fix(u1n, 1, -1, None)
+                     if own[(1, 1)][0] == "copy" else u1s)
+            u1n = jnp.where(
+                (s_i == 0) & is_first1, v1_lo,
+                jnp.where((s_i == n1) & is_last1, v1_hi, u1n),
+            )
+        elif per[1]:
             u1n = jnp.where(s_i == n1, jnp.roll(u1n, n1, axis=1), u1n)
         else:
             v1_lo = (_shift_fix(u1n, 1, 1, None)
@@ -2495,7 +2596,7 @@ def _fused_corr_kernel(
             # conservative flux-form scalar update with the CORRECTED
             # (divergence-free) velocities in-register -- matches
             # scalar.scalar_rhs + the jnp step's end-of-step theta advance.
-            scale_dt = sc_ref[3 if halo else 1]
+            scale_dt = sc_ref[sc_idx]
             S0w = u0n.shape[1]
             thw = sth[pl.ds(phase * (T + 1), T + 1)]   # cells jT..jT+T
             thc = thw[:T, :S0w]                        # cells jT..jT+T-1
@@ -2528,26 +2629,43 @@ def _fused_corr_kernel(
                 return (edge_idx, spec[1], spec[2])
 
             # axis 1 (sublanes): flux at faces s (cells s-1, s), s = 0..n1
-            tp1 = jnp.pad(thc, [(0, 0), (0, u1n.shape[1] - S0w), (0, 0)])
-            s_i1 = _ax_iota(tp1.shape, 1)
-            if thg[(1, 1)][0] == "wrap":
-                gh1 = jnp.roll(tp1, n1, axis=1)        # cell n1 = cell 0
+            if halo1:
+                # pencil: theta's ghost cells ride the refreshed slots
+                # (hi at sublane n1, lo at the last sublane), so every
+                # shift is a plain roll -- incl. the shared-face flux at
+                # slot n1 off the corrected u1n there
+                tp1g = jnp.pad(
+                    thc, [(0, 0), (0, u1n.shape[1] - S0w), (0, 0)]
+                )
+                t_m1 = _shift_fix(tp1g, 1, -1, None)
+                F1 = u1n * face_th(t_m1, tp1g, u1n)
+                adv = adv + (jnp.roll(F1, -1, axis=1) - F1)[:, :S0w] \
+                    * (1.0 / h[1])
+                t_hi1 = _shift_fix(thc, 1, 1, None)
+                t_lo1 = _shift_fix(thc, 1, -1, None)
             else:
-                _, a1h, b1h = thg[(1, 1)]
-                gh1 = a1h * jnp.roll(tp1, 1, axis=1) + b1h
-            tp1g = jnp.where(s_i1 == n1, gh1, tp1)     # + ghost cell n1
-            t_m1 = (_shift_wrap(tp1g, 1, -1, n1)
-                    if thg[(1, 0)][0] == "wrap"
-                    else _shift_fix(tp1g, 1, -1, gfix(1, 0, 0)))
-            F1 = u1n * face_th(t_m1, tp1g, u1n)
-            adv = adv + (jnp.roll(F1, -1, axis=1) - F1)[:, :S0w] \
-                * (1.0 / h[1])
-            t_hi1 = (_shift_wrap(thc, 1, 1, n1)
-                     if thg[(1, 1)][0] == "wrap"
-                     else _shift_fix(thc, 1, 1, gfix(1, 1, n1 - 1)))
-            t_lo1 = (_shift_wrap(thc, 1, -1, n1)
-                     if thg[(1, 0)][0] == "wrap"
-                     else _shift_fix(thc, 1, -1, gfix(1, 0, 0)))
+                tp1 = jnp.pad(
+                    thc, [(0, 0), (0, u1n.shape[1] - S0w), (0, 0)]
+                )
+                s_i1 = _ax_iota(tp1.shape, 1)
+                if thg[(1, 1)][0] == "wrap":
+                    gh1 = jnp.roll(tp1, n1, axis=1)    # cell n1 = cell 0
+                else:
+                    _, a1h, b1h = thg[(1, 1)]
+                    gh1 = a1h * jnp.roll(tp1, 1, axis=1) + b1h
+                tp1g = jnp.where(s_i1 == n1, gh1, tp1)  # + ghost cell n1
+                t_m1 = (_shift_wrap(tp1g, 1, -1, n1)
+                        if thg[(1, 0)][0] == "wrap"
+                        else _shift_fix(tp1g, 1, -1, gfix(1, 0, 0)))
+                F1 = u1n * face_th(t_m1, tp1g, u1n)
+                adv = adv + (jnp.roll(F1, -1, axis=1) - F1)[:, :S0w] \
+                    * (1.0 / h[1])
+                t_hi1 = (_shift_wrap(thc, 1, 1, n1)
+                         if thg[(1, 1)][0] == "wrap"
+                         else _shift_fix(thc, 1, 1, gfix(1, 1, n1 - 1)))
+                t_lo1 = (_shift_wrap(thc, 1, -1, n1)
+                         if thg[(1, 0)][0] == "wrap"
+                         else _shift_fix(thc, 1, -1, gfix(1, 0, 0)))
             lap = lap + (t_lo1 - 2.0 * thc + t_hi1) * (1.0 / (h[1] * h[1]))
 
             # axis 2 (lanes): u2n carries faces 0..n2-1 (hi face elided)
@@ -2650,6 +2768,8 @@ def correct_diag_3d_internal(
     interpret: bool = False,
     halo: bool = False,
     edge_flags=None,
+    halo1: bool = False,
+    edge_flags1=None,
     pp=None,
     db: Optional[bool] = None,
     face_codes=None,
@@ -2672,7 +2792,10 @@ def correct_diag_3d_internal(
     post-kernel (one plane: copy + its divergence row)."""
     n0, n1, n2 = grid.shape
     h = tuple(float(x) for x in grid.spacing)
-    if halo:
+    if halo1:
+        assert halo, "pencil mode layers on the axis-0 halo machinery"
+        T, G, RP, S0, S1, L = _halo_dims_pencil(grid, tile)
+    elif halo:
         T, G, RP, S0, S1, L = _halo_dims(grid, tile)
     else:
         T, G, RP, S0, S1, L = _fused_dims(grid, tile)
@@ -2686,6 +2809,9 @@ def correct_diag_3d_internal(
     per = tuple(periodic_axes(grid, bcs))
     if halo:
         per = (False,) + per[1:]   # axis-0 wrap rides the ppermute rings
+    if halo1:
+        per = (per[0], False, per[2])   # the sy ring closes axis-1 wraps
+        assert not masked, "pencil fused step: no obstacles"
     assert not (masked and any(per)), "obstacles + periodic not supported"
     u0p, u1p, u2p = u_star_internal
     if pp is None:
@@ -2714,12 +2840,15 @@ def correct_diag_3d_internal(
     parts = [jnp.asarray(scale, jnp.float32)]
     if halo:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
+    if halo1:
+        parts += [jnp.asarray(f, jnp.float32) for f in edge_flags1]
     if thermal:
         parts.append(jnp.asarray(dt, jnp.float32))
     sc = jnp.stack(parts)
     kern = functools.partial(
         _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
-        halo=halo, db=db, masked=masked, hi0_copy=hi0_copy, per=per,
+        halo=halo, halo1=halo1, db=db, masked=masked, hi0_copy=hi0_copy,
+        per=per,
         thermal=thermal,
         alpha=float(scalar_cfg.diffusivity) if thermal else 0.0,
         tgamma=float(scalar_cfg.upwind_gamma) if thermal else 0.0,

@@ -414,10 +414,363 @@ def theta_from_halo(grid: GridSpec, th, mesh: Mesh, tile: int = 8):
     return x.reshape(n0, n1, n2)
 
 
+# ---------------------------------------------------------------------------
+# Pencil ('sx','sy') mesh: axis-0 halo rows + axis-1 ghost COLUMNS.
+# Each shard's block is (RP, SH, L): data rows [0, b0) x sublanes [0, m1),
+# axis-0 ghosts as in the slab path, axis-1 hi ghost columns at sublanes
+# m1/m1+1 and the lo ghost at SH-1 (the kernels' roll-based axis-1 shifts
+# then need no edge fixes -- pallas_kernels halo1 mode). Euler + fixed dt,
+# no scalar/obstacles/convective (gate below).
+# ---------------------------------------------------------------------------
+
+AXIS_Y = "sy"
+
+
+def fused_step3d_pencil_applicable(
+    grid: GridSpec, bcs: BCTable, mesh: Mesh, scalar=None
+) -> bool:
+    import jax.numpy as jnp
+
+    from ..bcs import BCKind, has_convective_outlet
+
+    if tuple(mesh.axis_names) != (AXIS, AXIS_Y):
+        return False
+    ndx, ndy = (int(s) for s in mesh.devices.shape)
+    if ndy < 2:
+        return False                    # degenerate pencil: use the slab path
+    if grid.shape[0] % ndx or grid.shape[1] % ndy:
+        return False
+    b0, m1 = grid.shape[0] // ndx, grid.shape[1] // ndy
+    if b0 < 8 or m1 < 8:
+        return False
+    if scalar is not None:
+        return False                    # pencil thermal: not yet
+    if has_convective_outlet(grid, bcs):
+        return False
+    if grid.dtype != jnp.float32:
+        return False
+    if bcs[(0, 0)].kind is BCKind.OUTFLOW:
+        return False                    # same LO-outflow gate as unsharded
+    # local-plane VMEM gate (the unsharded 128K gate, at pencil scale)
+    T, G, RP, SH, _, L = pk._halo_dims_pencil(
+        GridSpec(shape=(b0, m1, grid.shape[2]),
+                 lengths=(1.0, 1.0, 1.0), dtype=grid.dtype), 8
+    )
+    if SH * L > 128 * 1024:
+        return False
+    return pk._scalar_bcs_all_axes(bcs)
+
+
+def _dims_pencil(grid: GridSpec, mesh: Mesh, tile: int = 8):
+    ndx, ndy = (int(s) for s in mesh.devices.shape)
+    b0 = grid.shape[0] // ndx
+    m1 = grid.shape[1] // ndy
+    local_grid = GridSpec(
+        shape=(b0, m1, grid.shape[2]),
+        lengths=(b0 * grid.spacing[0], m1 * grid.spacing[1],
+                 grid.lengths[2]),
+        dtype=grid.dtype,
+    )
+    return ndx, ndy, b0, m1, local_grid, \
+        pk._halo_dims_pencil(local_grid, tile)
+
+
+def to_internal_pencil(grid: GridSpec, u, mesh: Mesh, tile: int = 8):
+    """Exact global face arrays -> the pencil halo layout, assembled as one
+    global array per component: shard (i,j)'s block = rows [i*RP, (i+1)*RP)
+    x sublanes [j*SH, (j+1)*SH). Comp 0 trims face n0, comp 1 face n1,
+    comp 2 face n2 (re-synthesized on exit from the BC specs)."""
+    ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    n0, n1, n2 = grid.shape
+
+    def blockify(x):
+        x = x[:n0, :n1, :n2]
+        x = x.reshape(ndx, b0, ndy, m1, n2)
+        x = jnp.pad(
+            x, [(0, 0), (0, RP - b0), (0, 0), (0, SH - m1), (0, L - n2)]
+        )
+        return x.reshape(ndx * RP, ndy * SH, L)
+
+    return blockify(u[0]), blockify(u[1]), blockify(u[2])
+
+
+def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
+                         tile: int = 8):
+    ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    n0, n1, n2 = grid.shape
+
+    def unblock(x):
+        x = x.reshape(ndx, RP, ndy, SH, L)[:, :b0, :, :m1, :n2]
+        return x.reshape(n0, n1, n2)
+
+    u0i, u1i, u2i = (unblock(x) for x in iu)
+
+    def attach(xi, a):
+        spec = pk._own_face_spec(bcs, a, 1)
+        sl_last = [slice(None)] * 3
+        sl_last[a] = slice(-1, None)
+        sl_first = [slice(None)] * 3
+        sl_first[a] = slice(0, 1)
+        if spec[0] == "copy":
+            face = xi[tuple(sl_last)]
+        elif spec[0] == "wrap":
+            face = xi[tuple(sl_first)]
+        else:
+            shp = list(xi.shape)
+            shp[a] = 1
+            face = jnp.full(tuple(shp), spec[1], xi.dtype)
+        return jnp.concatenate([xi, face], axis=a)
+
+    return attach(u0i, 0), attach(u1i, 1), attach(u2i, 2)
+
+
+def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
+    """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, None,
+    p_prev, vel) -> (same, diag). Euler + fixed dt."""
+    grid, bcs, pr = sim.grid, sim.bcs, sim.params
+    ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    n2 = grid.shape[2]
+    tg, own = pk._ghost_tables(grid, bcs)
+    from ..bcs import periodic_axes
+
+    per = periodic_axes(grid, bcs)
+    ring0 = bool(per[0])
+    ring1 = bool(per[1])
+    spec3 = P(AXIS, AXIS_Y, None)
+    pspec = NamedSharding(mesh, spec3)
+
+    def _refresh_cols(iu, first1, last1):
+        """Axis-1 ghost columns: sy-ppermute halos at interior seams, BC
+        synthesis at the true edges (wrap halos on a periodic ring). Slots:
+        hi at sublanes [m1, m1+2), lo at SH-1."""
+        out = []
+        for a, x in enumerate(iu):
+            lo_halo = jax.lax.ppermute(
+                x[:, m1 - 1:m1], AXIS_Y, _perm_fwd(ndy, ring1)
+            )
+            hi_halo = jax.lax.ppermute(
+                x[:, 0:2], AXIS_Y, _perm_bwd(ndy, ring1)
+            )
+            if ring1:
+                lo, hi = lo_halo, hi_halo
+            else:
+                if a == 1:
+                    # own-axis: the lo slot only feeds the BC-overwritten
+                    # face 0 on the first shard (finite placeholder);
+                    # the hi slot is the global face-n1 BC value
+                    bc_lo = x[:, 0:1]
+                    sp = own[(1, 1)]
+                    row = (x[:, m1 - 1:m1] if sp[0] == "copy"
+                           else jnp.full_like(x[:, 0:1], sp[1]))
+                    bc_hi = jnp.concatenate([row, row], axis=1)
+                else:
+                    al, bl = tg[(a, 1, 0)]
+                    bc_lo = al * x[:, 0:1] + bl
+                    ah, bh = tg[(a, 1, 1)]
+                    row = ah * x[:, m1 - 1:m1] + bh
+                    bc_hi = jnp.concatenate([row, row], axis=1)
+                lo = jnp.where(first1, bc_lo, lo_halo)
+                hi = jnp.where(last1, bc_hi, hi_halo)
+            x = jax.lax.dynamic_update_slice(x, hi, (0, m1, 0))
+            x = jax.lax.dynamic_update_slice(x, lo, (0, SH - 1, 0))
+            out.append(x)
+        return tuple(out)
+
+    def _refresh_rows(iu, first0, last0):
+        """Axis-0 ghost rows (slab-path scheme on the SH-wide blocks);
+        runs AFTER the column refresh so the exchanged rows carry the
+        corner ghost slots."""
+        out = []
+        for a, x in enumerate(iu):
+            lo_halo = jax.lax.ppermute(
+                x[b0 - 1:b0], AXIS, _perm_fwd(ndx, ring0)
+            )
+            hi_halo = jax.lax.ppermute(x[0:2], AXIS, _perm_bwd(ndx, ring0))
+            if ring0:
+                lo, hi = lo_halo, hi_halo
+            else:
+                if a == 0:
+                    bc_lo = x[0:1]
+                else:
+                    al, bl = tg[(a, 0, 0)]
+                    bc_lo = al * x[0:1] + bl
+                if a == 0:
+                    sp = own[(0, 1)]
+                    row = (x[b0 - 1:b0] if sp[0] == "copy"
+                           else jnp.full((1,) + x.shape[1:], sp[1], x.dtype))
+                else:
+                    ah, bh = tg[(a, 0, 1)]
+                    row = ah * x[b0 - 1:b0] + bh
+                bc_hi = jnp.concatenate([row, row], axis=0)
+                lo = jnp.where(first0, bc_lo, lo_halo)
+                hi = jnp.where(last0, bc_hi, hi_halo)
+            x = jax.lax.dynamic_update_slice(x, hi, (b0, 0, 0))
+            x = jax.lax.dynamic_update_slice(x, lo, (RP - 1, 0, 0))
+            out.append(x)
+        return tuple(out)
+
+    def pred_body(iu0, iu1, iu2):
+        ix = jax.lax.axis_index(AXIS)
+        iy = jax.lax.axis_index(AXIS_Y)
+        first0 = (ix == 0) & (not ring0)
+        last0 = (ix == ndx - 1) & (not ring0)
+        first1 = (iy == 0) & (not ring1)
+        last1 = (iy == ndy - 1) & (not ring1)
+        iu = _refresh_cols((iu0, iu1, iu2), first1, last1)
+        iu = _refresh_rows(iu, first0, last0)
+        ff0 = (first0.astype(jnp.float32), last0.astype(jnp.float32))
+        ff1 = (first1.astype(jnp.float32), last1.astype(jnp.float32))
+        dt = jnp.asarray(pr.dt, grid.dtype)
+        us, rhs = pk.predictor_rhs_3d_internal(
+            local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
+            tile=tile, interpret=sim.pallas_interpret,
+            halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
+            forcing=sim._static_forcing(),
+        )
+        # corrected-shared-face exchanges for the corrector's divergence:
+        # axis-0 (comp 0 row b0) and axis-1 (comp 1 column m1)
+        hi_halo = jax.lax.ppermute(us[0][0:1], AXIS, _perm_bwd(ndx, ring0))
+        if ring0:
+            hi0 = hi_halo
+        else:
+            sp = own[(0, 1)]
+            bc_row = (us[0][b0 - 1:b0] if sp[0] == "copy"
+                      else jnp.full((1, SH, L), sp[1], us[0].dtype))
+            hi0 = jnp.where(last0, bc_row, hi_halo)
+        us0 = jax.lax.dynamic_update_slice(us[0], hi0, (b0, 0, 0))
+        hi1_halo = jax.lax.ppermute(
+            us[1][:, 0:1], AXIS_Y, _perm_bwd(ndy, ring1)
+        )
+        if ring1:
+            hi1 = hi1_halo
+        else:
+            sp1 = own[(1, 1)]
+            bc_col = (us[1][:, m1 - 1:m1] if sp1[0] == "copy"
+                      else jnp.full_like(us[1][:, 0:1], sp1[1]))
+            hi1 = jnp.where(last1, bc_col, hi1_halo)
+        us1 = jax.lax.dynamic_update_slice(us[1], hi1, (0, m1, 0))
+        return us0, us1, us[2], rhs
+
+    def corr_body(us0, us1, us2, p_local):
+        ix = jax.lax.axis_index(AXIS)
+        iy = jax.lax.axis_index(AXIS_Y)
+        first0 = (ix == 0) & (not ring0)
+        last0 = (ix == ndx - 1) & (not ring0)
+        first1 = (iy == 0) & (not ring1)
+        last1 = (iy == ndy - 1) & (not ring1)
+        ff0 = (first0.astype(jnp.float32), last0.astype(jnp.float32))
+        ff1 = (first1.astype(jnp.float32), last1.astype(jnp.float32))
+        # pressure ghosts: columns first (so the exchanged rows carry the
+        # corner slots), then rows; open ring ends get zeros (the
+        # corresponding corrections are BC-preserved in-kernel)
+        zcol = jnp.zeros_like(p_local[:, 0:1])
+        lo1 = jax.lax.ppermute(
+            p_local[:, m1 - 1:m1], AXIS_Y, _perm_fwd(ndy, ring1)
+        )
+        hi1 = jax.lax.ppermute(
+            p_local[:, 0:1], AXIS_Y, _perm_bwd(ndy, ring1)
+        )
+        if not ring1:
+            lo1 = jnp.where(first1, zcol, lo1)
+            hi1 = jnp.where(last1, zcol, hi1)
+        pe = jnp.concatenate(
+            [p_local, hi1,
+             jnp.zeros((b0, SH - m1 - 2, n2), p_local.dtype), lo1],
+            axis=1,
+        )
+        zrow = jnp.zeros_like(pe[0:1])
+        lo0 = jax.lax.ppermute(pe[b0 - 1:b0], AXIS, _perm_fwd(ndx, ring0))
+        hi0 = jax.lax.ppermute(pe[0:1], AXIS, _perm_bwd(ndx, ring0))
+        if not ring0:
+            lo0 = jnp.where(first0, zrow, lo0)
+            hi0 = jnp.where(last0, zrow, hi0)
+        pp = jnp.concatenate(
+            [lo0, pe, hi0,
+             jnp.zeros((RP - b0,) + pe.shape[1:], pe.dtype)],
+            axis=0,
+        )
+        pp = jnp.pad(pp, [(0, 0), (0, 0), (0, L - n2)])
+        dt = jnp.asarray(pr.dt, grid.dtype)
+        res = pk.correct_diag_3d_internal(
+            local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
+            tile=tile, interpret=sim.pallas_interpret,
+            halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
+            pp=pp,
+        )
+        iu_new, divp, velp = res
+        divm = jax.lax.pmax(jnp.max(divp), (AXIS, AXIS_Y))
+        velm = jax.lax.pmax(jnp.max(velp), (AXIS, AXIS_Y))
+        return iu_new[0], iu_new[1], iu_new[2], divm, velm
+
+    pred = jax.shard_map(
+        pred_body, mesh=mesh, in_specs=(spec3,) * 3,
+        out_specs=(spec3,) * 4, check_vma=False,
+    )
+    corr = jax.shard_map(
+        corr_body, mesh=mesh, in_specs=(spec3,) * 4,
+        out_specs=(spec3,) * 3 + (P(), P()), check_vma=False,
+    )
+
+    from ..solver import StepDiagnostics
+
+    dt_cap = jnp.asarray(pr.dt, grid.dtype)
+
+    def step_fn(carry):
+        iu, p, theta, p_prev, vel = carry
+        us0, us1, us2, rhs = pred(*iu)
+        beta = pr.poisson.extrapolate
+        if beta and p_prev is not None:
+            p_start = p + beta * (p - p_prev)
+        else:
+            p_start = p
+        p_new, iters, res = sim._solve_pressure(rhs, p_start)
+        p_new = jax.lax.with_sharding_constraint(p_new, pspec)
+        iu0n, iu1n, iu2n, divm, velm = corr(us0, us1, us2, p_new)
+        diag = StepDiagnostics(
+            poisson_iters=iters,
+            poisson_res=res,
+            max_div=divm,
+            max_cfl=velm * dt_cap,
+            dt=dt_cap,
+        )
+        p_prev_new = p if p_prev is not None else None
+        return ((iu0n, iu1n, iu2n), p_new, None, p_prev_new, velm), diag
+
+    return step_fn
+
+
+def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
+    grid, bcs = sim.grid, sim.bcs
+    spec3 = NamedSharding(mesh, P(AXIS, AXIS_Y, None))
+    iu = tuple(
+        jax.lax.with_sharding_constraint(x, spec3)
+        for x in to_internal_pencil(grid, state.u, mesh)
+    )
+    p = jax.lax.with_sharding_constraint(state.p, spec3)
+    p_prev = (None if state.p_prev is None
+              else jax.lax.with_sharding_constraint(state.p_prev, spec3))
+    step_fn = make_pencil_fused_step(sim, mesh)
+    vel0 = jnp.zeros((), grid.dtype)
+    (iu, p, _, p_prev, _), diags = jax.lax.scan(
+        lambda c, _: step_fn(c), (iu, p, None, p_prev, vel0),
+        xs=None, length=n_steps,
+    )
+    u0, u1, u2 = from_internal_pencil(grid, bcs, iu, mesh)
+    return State(u=(u0, u1, u2), p=p, p_prev=p_prev), diags
+
+
 def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
     """The sharded-fused analog of the internal-layout scan in
     solver._run_scan_jit: convert once, scan the fused sharded step,
-    convert back."""
+    convert back. Dispatches to the pencil tier on ('sx','sy') meshes."""
+    if tuple(mesh.axis_names) == (AXIS, AXIS_Y):
+        return run_scan_pencil_fused(sim, mesh, state, n_steps)
     grid, bcs = sim.grid, sim.bcs
     spec3 = NamedSharding(mesh, P(AXIS, None, None))
     iu = tuple(

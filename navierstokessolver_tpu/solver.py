@@ -470,9 +470,19 @@ class Simulation:
             return False
         if self.forcing is not None and self._static_forcing() is None:
             return False
-        from .parallel.fused_sharded import fused_step3d_sharded_applicable
+        from .parallel.fused_sharded import (
+            fused_step3d_pencil_applicable,
+            fused_step3d_sharded_applicable,
+        )
 
-        return fused_step3d_sharded_applicable(
+        if fused_step3d_sharded_applicable(
+            self.grid, self.bcs, self.shardings.p.mesh, self.scalar
+        ):
+            return True
+        # pencil ('sx','sy') tier: euler + fixed dt (VERDICT r2 item 3)
+        if self.params.integrator != "euler" or self.params.cfl is not None:
+            return False
+        return fused_step3d_pencil_applicable(
             self.grid, self.bcs, self.shardings.p.mesh, self.scalar
         )
 
@@ -551,14 +561,23 @@ class Simulation:
                 return None
         return tuple(vals)
 
+    def _tile_db_3d(self):
+        """(tile, db) for the fused 3D whole-step kernels (wide planes use
+        narrow single-buffered stripes -- pallas_kernels.fused_tile_db)."""
+        from .ops import pallas_kernels
+
+        return pallas_kernels.fused_tile_db(self.grid)
+
     def _face_codes_3d(self):
         from .ops import pallas_kernels
 
         if not hasattr(self, "_fc3d_cache"):
+            tile, _ = self._tile_db_3d()
             codes = pallas_kernels.build_face_codes_3d(
-                self.grid, self.face_masks, self.corr_masks
+                self.grid, self.face_masks, self.corr_masks, tile=tile
             )
-            fc = (pallas_kernels.pad_fluid_code_3d(self.grid, self.op.code)
+            fc = (pallas_kernels.pad_fluid_code_3d(
+                      self.grid, self.op.code, tile=tile)
                   if codes is not None else None)
             object.__setattr__(self, "_fc3d_cache", (codes, fc))
         return self._fc3d_cache
@@ -715,6 +734,7 @@ class Simulation:
         dt = (self._dt_from_vel(vel) if pr.cfl is not None
               else jnp.asarray(pr.dt, g.dtype))
         codes, fcode = self._face_codes_3d()
+        tile, db = self._tile_db_3d()
         ibm_i = None
         if self.ibm is not None:
             from . import ibm as ibm_mod
@@ -723,11 +743,12 @@ class Simulation:
             # of loop-invariant args; XLA hoists them out of the scan).
             # Entry apply mirrors the jnp step's bcs+ibm entry pass: the
             # previous correction perturbed the band faces.
-            ibm_i = ibm_mod.internal_forcing(g, self.ibm)
+            ibm_i = ibm_mod.internal_forcing(g, self.ibm, tile=tile)
             istate = dataclasses.replace(istate, u=ibm_i.apply(istate.u))
         thermal = self.scalar is not None and istate.theta is not None
         pred_kw = dict(
             rho=pr.rho,
+            tile=tile, db=db,
             interpret=self.pallas_interpret,
             face_codes=codes, fluid_code=fcode,
             forcing=self._static_forcing(),
@@ -761,6 +782,7 @@ class Simulation:
             with jax.named_scope("correction_half"):
                 iu_h, _, _ = pallas_kernels.correct_diag_3d_internal(
                     g, b, ush, ph_, 0.5 * dt / pr.rho,
+                    tile=tile, db=db,
                     interpret=self.pallas_interpret,
                     face_codes=codes, fluid_code=fcode,
                 )
@@ -791,6 +813,7 @@ class Simulation:
         with jax.named_scope("correction"):
             corr = pallas_kernels.correct_diag_3d_internal(
                 g, b, u_star, p, dt / pr.rho,
+                tile=tile, db=db,
                 interpret=self.pallas_interpret,
                 face_codes=codes, fluid_code=fcode,
                 theta=istate.theta if thermal else None,
@@ -834,7 +857,9 @@ class Simulation:
                 fields.append(jnp.broadcast_to(
                     jnp.asarray(f, g.dtype), tuple(shp)
                 ))
-        return pallas_kernels.forcing_to_internal_3d(g, b, tuple(fields))
+        return pallas_kernels.forcing_to_internal_3d(
+            g, b, tuple(fields), tile=self._tile_db_3d()[0]
+        )
 
     def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:
         """Whole-step fused path on exact-layout state: convert to the
@@ -843,8 +868,9 @@ class Simulation:
 
         vel = (self._vel_inv(state.u) if self.params.cfl is not None
                else None)
-        iu = pallas_kernels.to_internal_3d(self.grid, state.u)
-        itheta = (pallas_kernels.pad_theta_3d(self.grid, state.theta)
+        tile, _ = self._tile_db_3d()
+        iu = pallas_kernels.to_internal_3d(self.grid, state.u, tile)
+        itheta = (pallas_kernels.pad_theta_3d(self.grid, state.theta, tile)
                   if state.theta is not None else None)
         istate, diag, _ = self._step_fused3d_internal(
             State(u=iu, p=state.p, theta=itheta, p_prev=state.p_prev), vel
@@ -1413,8 +1439,9 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         # pad/slice/concat repacking happens once per scan, not per step.
         from .ops import pallas_kernels
 
-        iu = pallas_kernels.to_internal_3d(sim.grid, state.u)
-        itheta = (pallas_kernels.pad_theta_3d(sim.grid, state.theta)
+        tile3, _ = sim._tile_db_3d()
+        iu = pallas_kernels.to_internal_3d(sim.grid, state.u, tile3)
+        itheta = (pallas_kernels.pad_theta_3d(sim.grid, state.theta, tile3)
                   if state.theta is not None else None)
 
         def body3d(carry, _):

@@ -410,17 +410,25 @@ def test_fused_single_buffer_matches_double():
 
 
 def test_fused_gate_plane_bound():
-    """Planes up to 128K padded elements stay on the whole-step kernels
-    (double-buffered); beyond that the gate trips -- measured on v5e,
-    520x512 planes blow the 128M vmem budget with register spill slots
-    even single-buffered (docs/KERNELS.md 'Gate lift attempt')."""
-    from navierstokessolver_tpu.ops.pallas_kernels import _db_for_plane
+    """Planes up to 128K padded elements run double-buffered tile=8;
+    512-wide planes (<=288K) run tile=4 single-buffered (the register
+    footprint scales with stripe height -- round 3 lifted the old gate:
+    measured 1946 MLUPS at 512^3 vs 1202 on the fallback); wider planes
+    still trip the gate."""
+    from navierstokessolver_tpu.ops.pallas_kernels import (
+        _db_for_plane,
+        fused_tile_db,
+    )
 
     g_ok = GridSpec(shape=(8, 256, 256), lengths=(1.0, 1.0, 1.0))
     assert fused_step3d_applicable(g_ok, no_slip_box(g_ok))
+    assert fused_tile_db(g_ok) == (8, None)
     assert not _db_for_plane(520, 512)
     assert _db_for_plane(264, 256)
-    g_big = GridSpec(shape=(8, 512, 512), lengths=(1.0, 1.0, 1.0))
+    g_512 = GridSpec(shape=(8, 512, 512), lengths=(1.0, 1.0, 1.0))
+    assert fused_step3d_applicable(g_512, no_slip_box(g_512))
+    assert fused_tile_db(g_512) == (4, False)
+    g_big = GridSpec(shape=(8, 1024, 512), lengths=(1.0, 1.0, 1.0))
     assert not fused_step3d_applicable(g_big, no_slip_box(g_big))
 
 
