@@ -176,3 +176,56 @@ def test_taylor_green3d_dissipation_history():
     # vortex stretching: dissipation grows well above its initial value
     assert diss[8:].max() > 1.5 * diss[1], (diss[1], diss[8:].max())
 
+
+
+def _steady_cylinder_cd(nx, ny, sharp):
+    """Steady Re=40 cylinder drag via the control-volume balance."""
+    import numpy as np
+
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+    from navierstokessolver_tpu.utils.forces import drag_lift_series
+
+    case = make_case(
+        "cylinder", shape=(nx, ny), re=40.0, poisson_method="mg",
+        poisson_tol=1e-6, ibm=True, sharp_pressure=sharp,
+        poisson_extrapolate=0.0,
+    )
+    sim = case.sim
+    g = sim.grid
+    dt = sim.params.dt
+    hx, hy = g.spacing
+    box = (int(2.5 / hx), int(5.5 / hx), int(2.5 / hy), int(5.5 / hy))
+    st = impulsive_start_state(sim)
+    n = int(50.0 / dt)
+    chunk = 500
+    sfs, moms = [], []
+    done = 0
+    while done < n:
+        st, _, sf, mom = sim.run_scan_forces(st, chunk, box)
+        sfs.append(np.asarray(sf))
+        moms.append(np.asarray(mom))
+        done += chunk
+    sf = np.concatenate(sfs)
+    mom = np.concatenate(moms)
+    cd, _ = drag_lift_series(
+        g, sim.params.nu, box, sf[:, 0], sf[:, 1], mom[:, 0], mom[:, 1], dt
+    )
+    return float(np.mean(cd[-200:]))   # steady tail
+
+
+def test_cut_cell_cd_self_convergence():
+    """Both-sides-sharp (IBM velocity + cut-cell pressure) steady Re=40
+    drag self-converges under refinement and lands in the confined-
+    cylinder bracket. CI-light companion of the VERDICT r2 item 8 study;
+    the full Re=200 sharp-vs-staircase convergence table (256x128 within
+    1% of 512x256) is the TPU run recorded in docs/PARITY.md. (A short
+    Re=40 run still carries impulsive-start transient at coarse grids --
+    6 cells/D -- so this asserts self-consistency, not superiority.)"""
+    cd_sharp_c = _steady_cylinder_cd(128, 64, True)
+    cd_sharp_f = _steady_cylinder_cd(192, 96, True)
+    # confined (12.5% blockage) steady Re=40: literature unbounded ~1.5,
+    # blockage raises it; transient tail at t=50 adds a few percent
+    for cd in (cd_sharp_c, cd_sharp_f):
+        assert 1.4 < cd < 2.4, (cd_sharp_c, cd_sharp_f)
+    assert abs(cd_sharp_c - cd_sharp_f) < 0.12 * cd_sharp_f, \
+        (cd_sharp_c, cd_sharp_f)
