@@ -73,6 +73,7 @@ def face_apertures(
     the fluid fraction (sdf > 0) of each face, by k^(nd-1) midpoint
     subsampling. Exact for faces fully in/out; O(1/k^2) on cut faces."""
     nd = grid.ndim
+    h = grid.spacing
     out = []
     for a in range(nd):
         phi = np.asarray(sdf(*_face_samples(grid, a, k)), np.float64)
@@ -92,6 +93,26 @@ def face_apertures(
             sh.insert(d + 1, k)
             frac = frac.reshape(sh).mean(axis=d + 1)
         alpha = frac
+        # consistency with the IBM velocity treatment: a face whose
+        # CENTER is inside the body has its velocity DOF forced toward
+        # the body value (ibm.py clamps w = phi_f/phi_nbr to 0 there), so
+        # keeping a partial aperture open on it would count a systematic
+        # flux deficit into the continuity equation -- close it. The open
+        # set then matches where the velocity DOF is meaningful (alpha of
+        # surviving cut faces is in ~(0.5, 1]).
+        centers = []
+        for d in range(nd):
+            if d == a:
+                c = np.arange(grid.shape[d] + 1, dtype=np.float64) * h[d]
+            else:
+                c = (np.arange(grid.shape[d], dtype=np.float64) + 0.5) * h[d]
+            shp = [1] * nd
+            shp[d] = -1
+            centers.append(c.reshape(shp))
+        phi_c = np.broadcast_to(
+            np.asarray(sdf(*centers), np.float64), alpha.shape
+        )
+        alpha = np.where(phi_c > 0.0, alpha, 0.0)
         alpha[alpha < ALPHA_MIN] = 0.0
         out.append(alpha)
     return tuple(out)
