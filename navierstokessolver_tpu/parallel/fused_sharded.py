@@ -615,7 +615,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
             out.append(x)
         return tuple(out)
 
-    def pred_body(iu0, iu1, iu2):
+    def pred_body(dt, iu0, iu1, iu2, base=None):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -624,13 +624,18 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
         last1 = (iy == ndy - 1) & (not ring1)
         iu = _refresh_cols((iu0, iu1, iu2), first1, last1)
         iu = _refresh_rows(iu, first0, last0)
+        if base is not None:
+            # rk2 stage 2: the step-start field streams through the same
+            # windows; its ghost slots need the same two-stage refresh
+            base = _refresh_cols(base, first1, last1)
+            base = _refresh_rows(base, first0, last0)
         ff0 = (first0.astype(jnp.float32), last0.astype(jnp.float32))
         ff1 = (first1.astype(jnp.float32), last1.astype(jnp.float32))
-        dt = jnp.asarray(pr.dt, grid.dtype)
         us, rhs = pk.predictor_rhs_3d_internal(
             local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
             tile=tile, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
+            base=base,
             forcing=sim._static_forcing(),
         )
         # corrected-shared-face exchanges for the corrector's divergence:
@@ -657,7 +662,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
         us1 = jax.lax.dynamic_update_slice(us[1], hi1, (0, m1, 0))
         return us0, us1, us[2], rhs
 
-    def corr_body(us0, us1, us2, p_local):
+    def corr_body(dt, us0, us1, us2, p_local):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -696,7 +701,6 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
             axis=0,
         )
         pp = jnp.pad(pp, [(0, 0), (0, 0), (0, L - n2)])
-        dt = jnp.asarray(pr.dt, grid.dtype)
         res = pk.correct_diag_3d_internal(
             local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
             tile=tile, interpret=sim.pallas_interpret,
@@ -708,12 +712,23 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
         velm = jax.lax.pmax(jnp.max(velp), (AXIS, AXIS_Y))
         return iu_new[0], iu_new[1], iu_new[2], divm, velm
 
+    rk2 = pr.integrator == "rk2"
+    sc = P()
     pred = jax.shard_map(
-        pred_body, mesh=mesh, in_specs=(spec3,) * 3,
+        pred_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 3,
         out_specs=(spec3,) * 4, check_vma=False,
     )
+    pred_based = None
+    if rk2:
+        def pred_based_body(dt, iu0, iu1, iu2, b0_, b1_, b2_):
+            return pred_body(dt, iu0, iu1, iu2, base=(b0_, b1_, b2_))
+
+        pred_based = jax.shard_map(
+            pred_based_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 6,
+            out_specs=(spec3,) * 4, check_vma=False,
+        )
     corr = jax.shard_map(
-        corr_body, mesh=mesh, in_specs=(spec3,) * 4,
+        corr_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 4,
         out_specs=(spec3,) * 3 + (P(), P()), check_vma=False,
     )
 
@@ -723,21 +738,36 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
 
     def step_fn(carry):
         iu, p, theta, p_prev, vel = carry
-        us0, us1, us2, rhs = pred(*iu)
+        if pr.cfl is None:
+            dt = dt_cap
+        else:
+            floor = jnp.asarray(1e-12, grid.dtype)
+            dt = jnp.minimum(dt_cap, pr.cfl / jnp.maximum(vel, floor))
         beta = pr.poisson.extrapolate
         if beta and p_prev is not None:
             p_start = p + beta * (p - p_prev)
         else:
             p_start = p
+        it_extra = 0
+        if rk2:
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu)
+            ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
+            ph = jax.lax.with_sharding_constraint(ph, pspec)
+            iuh = corr(0.5 * dt, us0h, us1h, us2h, ph)[:3]
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu)
+            p_start = ph
+        else:
+            us0, us1, us2, rhs = pred(dt, *iu)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
+        iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
-        iu0n, iu1n, iu2n, divm, velm = corr(us0, us1, us2, p_new)
+        iu0n, iu1n, iu2n, divm, velm = corr(dt, us0, us1, us2, p_new)
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,
             max_div=divm,
-            max_cfl=velm * dt_cap,
-            dt=dt_cap,
+            max_cfl=velm * dt,
+            dt=dt,
         )
         p_prev_new = p if p_prev is not None else None
         return ((iu0n, iu1n, iu2n), p_new, None, p_prev_new, velm), diag
@@ -756,7 +786,8 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
     p_prev = (None if state.p_prev is None
               else jax.lax.with_sharding_constraint(state.p_prev, spec3))
     step_fn = make_pencil_fused_step(sim, mesh)
-    vel0 = jnp.zeros((), grid.dtype)
+    vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
+            else jnp.zeros((), grid.dtype))
     (iu, p, _, p_prev, _), diags = jax.lax.scan(
         lambda c, _: step_fn(c), (iu, p, None, p_prev, vel0),
         xs=None, length=n_steps,

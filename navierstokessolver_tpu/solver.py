@@ -479,9 +479,8 @@ class Simulation:
             self.grid, self.bcs, self.shardings.p.mesh, self.scalar
         ):
             return True
-        # pencil ('sx','sy') tier: euler + fixed dt (VERDICT r2 item 3)
-        if self.params.integrator != "euler" or self.params.cfl is not None:
-            return False
+        # pencil ('sx','sy') tier (VERDICT r2 item 3): euler + rk2, fixed
+        # or CFL-adaptive dt; scalar transport not yet
         return fused_step3d_pencil_applicable(
             self.grid, self.bcs, self.shardings.p.mesh, self.scalar
         )

@@ -343,3 +343,29 @@ def test_pencil_fused_duct_forcing_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
         )
+
+
+@requires_8
+def test_pencil_fused_rk2_cfl_matches_unsharded():
+    """rk2 + CFL-adaptive dt through the PENCIL tier: both stages fused,
+    the stage-2 base field rides the two-stage (columns, then rows) ghost
+    refresh; the corrector's velocity pmax over BOTH mesh axes sets dt."""
+    case = make_case("cavity3d", shape=(16, 32, 16), re=100.0,
+                     integrator="rk2", cfl=0.3)
+    sim = case.sim
+    ref, dref = sim.run_scan(case.initial_state(), 8)
+
+    mesh = make_mesh((2, 4))
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 8)
+    np.testing.assert_allclose(np.asarray(d.dt), np.asarray(dref.dt),
+                               rtol=1e-6)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_array_equal(
+        np.asarray(d.poisson_iters), np.asarray(dref.poisson_iters)
+    )
