@@ -444,7 +444,13 @@ def fused_step3d_pencil_applicable(
     if b0 < 8 or m1 < 8:
         return False
     if scalar is not None:
-        return False                    # pencil thermal: not yet
+        # pencil thermal: theta ghost slots ride both refresh stages; the
+        # buoyancy face average must be transverse to BOTH sharded axes
+        if pk.theta_ghost_table(scalar, 3) is None:
+            return False
+        if scalar.buoyancy and (scalar.buoyancy[0] != 0.0
+                                or scalar.buoyancy[1] != 0.0):
+            return False
     if has_convective_outlet(grid, bcs):
         return False
     if grid.dtype != jnp.float32:
@@ -528,9 +534,11 @@ def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
     return attach(u0i, 0), attach(u1i, 1), attach(u2i, 2)
 
 
-def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
-    """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, None,
-    p_prev, vel) -> (same, diag). Euler + fixed dt."""
+def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
+                           thermal: bool = False):
+    """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, theta,
+    p_prev, vel) -> (same, diag). euler/rk2, fixed or CFL dt; ``thermal``
+    must reflect whether the carry actually holds a theta."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
     ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
         grid, mesh, tile
@@ -544,6 +552,36 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
     ring1 = bool(per[1])
     spec3 = P(AXIS, AXIS_Y, None)
     pspec = NamedSharding(mesh, spec3)
+    scalar = sim.scalar if thermal else None
+    thg = pk.theta_ghost_table(scalar, 3) if scalar is not None else None
+
+    def _refresh_theta(th, first0, last0, first1, last1):
+        """Theta's ghost slots, both axes (columns first): scalar-BC
+        synthesis at true edges, wrap rings when theta's own BC wraps."""
+        r1 = ring1 or thg[(1, 0)][0] == "wrap"
+        lo1 = jax.lax.ppermute(th[:, m1 - 1:m1], AXIS_Y, _perm_fwd(ndy, r1))
+        hi1 = jax.lax.ppermute(th[:, 0:1], AXIS_Y, _perm_bwd(ndy, r1))
+        if not r1:
+            lo1 = jnp.where(first1,
+                            thg[(1, 0)][1] * th[:, 0:1] + thg[(1, 0)][2],
+                            lo1)
+            hi1 = jnp.where(last1,
+                            thg[(1, 1)][1] * th[:, m1 - 1:m1]
+                            + thg[(1, 1)][2], hi1)
+        hi1 = jnp.concatenate([hi1, hi1], axis=1)
+        th = jax.lax.dynamic_update_slice(th, hi1, (0, m1, 0))
+        th = jax.lax.dynamic_update_slice(th, lo1, (0, SH - 1, 0))
+        r0 = ring0 or thg[(0, 0)][0] == "wrap"
+        lo0 = jax.lax.ppermute(th[b0 - 1:b0], AXIS, _perm_fwd(ndx, r0))
+        hi0 = jax.lax.ppermute(th[0:1], AXIS, _perm_bwd(ndx, r0))
+        if not r0:
+            lo0 = jnp.where(first0,
+                            thg[(0, 0)][1] * th[0:1] + thg[(0, 0)][2], lo0)
+            hi0 = jnp.where(last0,
+                            thg[(0, 1)][1] * th[b0 - 1:b0]
+                            + thg[(0, 1)][2], hi0)
+        th = jax.lax.dynamic_update_slice(th, hi0, (b0, 0, 0))
+        return jax.lax.dynamic_update_slice(th, lo0, (RP - 1, 0, 0))
 
     def _refresh_cols(iu, first1, last1):
         """Axis-1 ghost columns: sy-ppermute halos at interior seams, BC
@@ -615,7 +653,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
             out.append(x)
         return tuple(out)
 
-    def pred_body(dt, iu0, iu1, iu2, base=None):
+    def pred_body(dt, iu0, iu1, iu2, theta=None, base=None):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -637,6 +675,9 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
             base=base,
             forcing=sim._static_forcing(),
+            theta=theta,
+            buoyancy=scalar.buoyancy if scalar is not None else None,
+            theta_ref=scalar.theta_ref if scalar is not None else 0.0,
         )
         # corrected-shared-face exchanges for the corrector's divergence:
         # axis-0 (comp 0 row b0) and axis-1 (comp 1 column m1)
@@ -662,7 +703,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
         us1 = jax.lax.dynamic_update_slice(us[1], hi1, (0, m1, 0))
         return us0, us1, us[2], rhs
 
-    def corr_body(dt, us0, us1, us2, p_local):
+    def corr_body(dt, us0, us1, us2, p_local, theta=None):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -701,12 +742,22 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
             axis=0,
         )
         pp = jnp.pad(pp, [(0, 0), (0, 0), (0, L - n2)])
+        if theta is not None:
+            theta = _refresh_theta(theta, first0, last0, first1, last1)
         res = pk.correct_diag_3d_internal(
             local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
             tile=tile, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
             pp=pp,
+            theta=theta,
+            scalar_cfg=scalar if theta is not None else None,
+            dt=dt if theta is not None else None,
         )
+        if theta is not None:
+            iu_new, divp, velp, theta_new = res
+            divm = jax.lax.pmax(jnp.max(divp), (AXIS, AXIS_Y))
+            velm = jax.lax.pmax(jnp.max(velp), (AXIS, AXIS_Y))
+            return (iu_new[0], iu_new[1], iu_new[2], theta_new, divm, velm)
         iu_new, divp, velp = res
         divm = jax.lax.pmax(jnp.max(divp), (AXIS, AXIS_Y))
         velm = jax.lax.pmax(jnp.max(velp), (AXIS, AXIS_Y))
@@ -715,22 +766,37 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
     rk2 = pr.integrator == "rk2"
     sc = P()
     pred = jax.shard_map(
-        pred_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 3,
+        pred_body, mesh=mesh,
+        in_specs=(sc,) + (spec3,) * (4 if thermal else 3),
         out_specs=(spec3,) * 4, check_vma=False,
     )
     pred_based = None
     if rk2:
-        def pred_based_body(dt, iu0, iu1, iu2, b0_, b1_, b2_):
-            return pred_body(dt, iu0, iu1, iu2, base=(b0_, b1_, b2_))
+        if thermal:
+            def pred_based_body(dt, iu0, iu1, iu2, th, b0_, b1_, b2_):
+                return pred_body(dt, iu0, iu1, iu2, theta=th,
+                                 base=(b0_, b1_, b2_))
+        else:
+            def pred_based_body(dt, iu0, iu1, iu2, b0_, b1_, b2_):
+                return pred_body(dt, iu0, iu1, iu2, base=(b0_, b1_, b2_))
 
         pred_based = jax.shard_map(
-            pred_based_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 6,
+            pred_based_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * (7 if thermal else 6),
             out_specs=(spec3,) * 4, check_vma=False,
         )
     corr = jax.shard_map(
-        corr_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 4,
-        out_specs=(spec3,) * 3 + (P(), P()), check_vma=False,
+        corr_body, mesh=mesh,
+        in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
+        out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
+        check_vma=False,
     )
+    corr_half = corr
+    if rk2 and thermal:
+        corr_half = jax.shard_map(
+            corr_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 4,
+            out_specs=(spec3,) * 3 + (P(), P()), check_vma=False,
+        )
 
     from ..solver import StepDiagnostics
 
@@ -748,20 +814,27 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
             p_start = p + beta * (p - p_prev)
         else:
             p_start = p
+        th_args = (theta,) if thermal else ()
         it_extra = 0
         if rk2:
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
-            iuh = corr(0.5 * dt, us0h, us1h, us2h, ph)[:3]
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu)
+            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph)[:3]
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *th_args, *iu)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu)
+            us0, us1, us2, rhs = pred(dt, *iu, *th_args)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
-        iu0n, iu1n, iu2n, divm, velm = corr(dt, us0, us1, us2, p_new)
+        if thermal:
+            iu0n, iu1n, iu2n, theta_new, divm, velm = corr(
+                dt, us0, us1, us2, p_new, theta
+            )
+        else:
+            iu0n, iu1n, iu2n, divm, velm = corr(dt, us0, us1, us2, p_new)
+            theta_new = None
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,
@@ -770,9 +843,31 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8):
             dt=dt,
         )
         p_prev_new = p if p_prev is not None else None
-        return ((iu0n, iu1n, iu2n), p_new, None, p_prev_new, velm), diag
+        return ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new,
+                velm), diag
 
     return step_fn
+
+
+def theta_to_pencil(grid: GridSpec, theta, mesh: Mesh, tile: int = 8):
+    ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    n0, n1, n2 = grid.shape
+    x = theta.reshape(ndx, b0, ndy, m1, n2)
+    x = jnp.pad(
+        x, [(0, 0), (0, RP - b0), (0, 0), (0, SH - m1), (0, L - n2)]
+    )
+    return x.reshape(ndx * RP, ndy * SH, L)
+
+
+def theta_from_pencil(grid: GridSpec, th, mesh: Mesh, tile: int = 8):
+    ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    n0, n1, n2 = grid.shape
+    x = th.reshape(ndx, RP, ndy, SH, L)[:, :b0, :, :m1, :n2]
+    return x.reshape(n0, n1, n2)
 
 
 def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
@@ -785,15 +880,23 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
     p = jax.lax.with_sharding_constraint(state.p, spec3)
     p_prev = (None if state.p_prev is None
               else jax.lax.with_sharding_constraint(state.p_prev, spec3))
-    step_fn = make_pencil_fused_step(sim, mesh)
+    theta = None
+    if sim.scalar is not None and state.theta is not None:
+        theta = jax.lax.with_sharding_constraint(
+            theta_to_pencil(grid, state.theta, mesh), spec3
+        )
+    step_fn = make_pencil_fused_step(sim, mesh, thermal=theta is not None)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
             else jnp.zeros((), grid.dtype))
-    (iu, p, _, p_prev, _), diags = jax.lax.scan(
-        lambda c, _: step_fn(c), (iu, p, None, p_prev, vel0),
+    (iu, p, theta, p_prev, _), diags = jax.lax.scan(
+        lambda c, _: step_fn(c), (iu, p, theta, p_prev, vel0),
         xs=None, length=n_steps,
     )
     u0, u1, u2 = from_internal_pencil(grid, bcs, iu, mesh)
-    return State(u=(u0, u1, u2), p=p, p_prev=p_prev), diags
+    theta_out = (theta_from_pencil(grid, theta, mesh)
+                 if theta is not None else None)
+    return State(u=(u0, u1, u2), p=p, theta=theta_out,
+                 p_prev=p_prev), diags
 
 
 def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):

@@ -369,3 +369,26 @@ def test_pencil_fused_rk2_cfl_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(d.poisson_iters), np.asarray(dref.poisson_iters)
     )
+
+
+@requires_8
+def test_pencil_fused_thermal_matches_unsharded():
+    """Heated cavity through the PENCIL tier: theta's ghost slots ride
+    both refresh stages; buoyancy is transverse to both sharded axes."""
+    case = make_case("heated_cavity", shape=(16, 16, 8), ra=1e4)
+    sim = case.sim
+    assert sim.scalar is not None
+    ref, _ = sim.run_scan(case.initial_state(), 8)
+
+    mesh = make_mesh((2, 2))
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 8)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
+    )
