@@ -1273,15 +1273,17 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
 
 def fused_tile_db(grid: GridSpec):
     """(tile, db) for the whole-step kernels on this grid. Planes above
-    128K elements use tile=4 + single-buffered windows: the kernel body's
-    live-register footprint scales with stripe_rows x plane, so narrow
-    stripes are what fit 512-wide planes in VMEM (see the gate note in
-    fused_step3d_applicable)."""
+    128K elements use tile=4: the kernel body's live-register footprint
+    scales with stripe_rows x plane, so narrow stripes are what fit
+    512-wide planes in VMEM (see the gate note in
+    fused_step3d_applicable). With the narrow body the double-buffered
+    windows fit too and buy the DMA/compute overlap back (measured at
+    512^3: 66.5 ms/step db=True vs 72.5 db=False standalone)."""
     n1, n2 = grid.shape[1], grid.shape[2]
     plane = _round_up(n1 + 1, 8) * _round_up(n2, 128)
     if plane <= 128 * 1024:
         return 8, None
-    return 4, False
+    return 4, True
 
 
 def _tangential_ghost(bcs: BCTable, c: int, ax: int, side: int):

@@ -411,10 +411,11 @@ def test_fused_single_buffer_matches_double():
 
 def test_fused_gate_plane_bound():
     """Planes up to 128K padded elements run double-buffered tile=8;
-    512-wide planes (<=288K) run tile=4 single-buffered (the register
-    footprint scales with stripe height -- round 3 lifted the old gate:
-    measured 1946 MLUPS at 512^3 vs 1202 on the fallback); wider planes
-    still trip the gate."""
+    512-wide planes (<=288K) run tile=4 (the register footprint scales
+    with stripe height -- round 3 lifted the old gate), double-buffered
+    too now that the narrow body leaves VMEM room (measured at 512^3:
+    66.5 ms/step db=True vs 72.5 db=False); wider planes still trip the
+    gate."""
     from navierstokessolver_tpu.ops.pallas_kernels import (
         _db_for_plane,
         fused_tile_db,
@@ -427,7 +428,7 @@ def test_fused_gate_plane_bound():
     assert _db_for_plane(264, 256)
     g_512 = GridSpec(shape=(8, 512, 512), lengths=(1.0, 1.0, 1.0))
     assert fused_step3d_applicable(g_512, no_slip_box(g_512))
-    assert fused_tile_db(g_512) == (4, False)
+    assert fused_tile_db(g_512) == (4, True)
     g_big = GridSpec(shape=(8, 1024, 512), lengths=(1.0, 1.0, 1.0))
     assert not fused_step3d_applicable(g_big, no_slip_box(g_big))
 
