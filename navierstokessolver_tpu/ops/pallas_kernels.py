@@ -1507,6 +1507,34 @@ def _code_sublanes(grid: GridSpec) -> int:
     return _round_up(grid.shape[1] + 1, 32)
 
 
+def _face_code_volume(grid: GridSpec, face_masks, corr_masks, a: int):
+    """Unpadded uint8 face-code volume for component ``a`` as concrete
+    numpy (bit 0 = face open, bit 1 = interior fluid-fluid face): shape
+    is grid.shape + e_a, except comp 2 whose hi boundary face is
+    lane-elided in the internal layout."""
+    n0, n1, n2 = grid.shape
+    shape = [n0, n1, n2]
+    if a != 2:
+        shape[a] += 1            # comp 2's hi boundary face is lane-elided
+    shape = tuple(shape)
+    open_ = np.ones(shape, bool)
+    if face_masks is not None:
+        fm = np.asarray(face_masks[a], bool)
+        open_ = fm[: shape[0], : shape[1], : shape[2]]
+    # corr_masks cover INTERIOR faces only (bcs.correction_face_masks:
+    # comp a has shape grid.shape - e_a); boundary faces are never
+    # corrected (also enforced by the kernel's BC preservation)
+    corr = np.zeros(shape, bool)
+    idx = [slice(None)] * 3
+    idx[a] = slice(1, grid.shape[a])
+    if corr_masks is None:
+        corr[tuple(idx)] = True
+    else:
+        corr[tuple(idx)] = np.asarray(corr_masks[a], bool)
+    return (open_.astype(np.uint8) * FACE_OPEN_3D
+            | corr.astype(np.uint8) * CORR_OK_3D)
+
+
 def build_face_codes_3d(grid: GridSpec, face_masks, corr_masks,
                         tile: int = 8):
     """(c0, c1, c2) uint8 volumes in the fused-step internal layout, or
@@ -1515,33 +1543,13 @@ def build_face_codes_3d(grid: GridSpec, face_masks, corr_masks,
     between two fluid cells (pressure correction applied)."""
     if face_masks is None and corr_masks is None:
         return None
-    n0, n1, n2 = grid.shape
     T, G, RP, S0, S1, L = _fused_dims(grid, tile)
     SC = _code_sublanes(grid)
 
     def pack(a):
-        shape = [n0, n1, n2]
-        if a != 2:
-            shape[a] += 1        # comp 2's hi boundary face is lane-elided
-        shape = tuple(shape)
-        open_ = np.ones(shape, bool)
-        if face_masks is not None:
-            fm = np.asarray(face_masks[a], bool)
-            open_ = fm[: shape[0], : shape[1], : shape[2]]
-        # corr_masks cover INTERIOR faces only (bcs.correction_face_masks:
-        # comp a has shape grid.shape - e_a); boundary faces are never
-        # corrected (also enforced by the kernel's BC preservation)
-        corr = np.zeros(shape, bool)
-        idx = [slice(None)] * 3
-        idx[a] = slice(1, grid.shape[a])
-        if corr_masks is None:
-            corr[tuple(idx)] = True
-        else:
-            corr[tuple(idx)] = np.asarray(corr_masks[a], bool)
-        code = (open_.astype(np.uint8) * FACE_OPEN_3D
-                | corr.astype(np.uint8) * CORR_OK_3D)
+        code = _face_code_volume(grid, face_masks, corr_masks, a)
         out = np.zeros((RP, SC, L), np.uint8)
-        out[: shape[0], : shape[1], : shape[2]] = code
+        out[: code.shape[0], : code.shape[1], : code.shape[2]] = code
         return jnp.asarray(out)
 
     return pack(0), pack(1), pack(2)

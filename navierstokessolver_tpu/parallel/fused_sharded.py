@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..bcs import BCTable
@@ -38,6 +39,44 @@ from ..ops import pallas_kernels as pk
 
 Array = jax.Array
 AXIS = "sx"
+
+
+def build_face_codes_halo(grid: GridSpec, face_masks, corr_masks,
+                          mesh: Mesh, tile: int = 8):
+    """Per-shard uint8 face-code blocks for the slab halo layout, or None
+    without obstacles: shard k's block rows [0, b) hold its local codes;
+    comp 0 additionally carries row b = the shared face (k+1)*b's code
+    (the kernels' (T+1)-row code windows cover the in-register shared-face
+    star / divergence at the last data stripe; the last shard's row b is
+    the domain-boundary face n0). Codes are loop-invariant, so they are
+    packed ONCE at build time from the concrete masks (numpy) -- no
+    per-step ghost exchange -- and threaded as jit args via
+    Simulation._consts like the unsharded fc3d codes."""
+    if face_masks is None and corr_masks is None:
+        return None
+    n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
+    SC = pk._code_sublanes(local_grid)
+    out = []
+    for a in range(3):
+        vol = pk._face_code_volume(grid, face_masks, corr_masks, a)
+        rows = b + 1 if a == 0 else b
+        blocks = np.zeros((n_dev, RP, SC, L), np.uint8)
+        for k in range(n_dev):
+            blk = vol[k * b: k * b + rows]
+            blocks[k, : blk.shape[0], : vol.shape[1], : vol.shape[2]] = blk
+        out.append(jnp.asarray(blocks.reshape(n_dev * RP, SC, L)))
+    return tuple(out)
+
+
+def pad_fluid_code_halo(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
+    """ops/poisson uint8 stencil code (cells) -> per-shard halo-layout
+    blocks (the fused RHS/divergence masking rides its FLUID_BIT)."""
+    n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
+    SC = pk._code_sublanes(local_grid)
+    n0, n1, n2 = grid.shape
+    x = jnp.asarray(code).reshape(n_dev, b, n1, n2)
+    x = jnp.pad(x, [(0, 0), (0, RP - b), (0, SC - n1), (0, L - n2)])
+    return x.reshape(n_dev * RP, SC, L)
 
 
 def fused_step3d_sharded_applicable(
@@ -144,16 +183,29 @@ def _perm_bwd(n, ring: bool = False):
 
 
 def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
-                            thermal: bool = False):
+                            thermal: bool = False,
+                            codes=None, fcode=None):
     """Returns step_fn mapping ((iu0, iu1, iu2), p, theta, p_prev) ->
     (same structure, diag) with the iu arrays in the global halo-mode
     layout sharded over 'sx'. ``thermal`` must reflect whether the scan
     carry actually holds a theta (a scalar-configured sim stepped from a
-    theta-less State runs without the scalar, like the unsharded paths)."""
+    theta-less State runs without the scalar, like the unsharded paths).
+    ``codes``/``fcode`` (build_face_codes_halo / pad_fluid_code_halo)
+    enable obstacle masking: the static per-shard uint8 code blocks ride
+    the shard_map as ordinary sharded inputs and stream through the
+    kernels' code windows exactly like the unsharded masked path -- no
+    per-step code exchange (they are loop-invariant, and only comp 0's
+    prefilled shared-face row b is ever read beyond the local rows)."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
     n1, n2 = grid.shape[1], grid.shape[2]
     tg, own = pk._ghost_tables(grid, bcs)
+    masked = codes is not None
+    assert not (masked and thermal), \
+        "sharded fused obstacles: no scalar transport (kernel gate)"
+    assert not (masked and pr.integrator == "rk2"), \
+        "sharded fused obstacles: euler only (the based-mode stage-2 " \
+        "predictor does not stream the codes, matching _fused3d_ok)"
     from ..bcs import periodic_axes
 
     # Periodic sharded axis: the ghost rings CLOSE (wraparound ppermute
@@ -226,7 +278,8 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         th = jax.lax.dynamic_update_slice(th, hi, (b, 0, 0))
         return jax.lax.dynamic_update_slice(th, lo, (RP - 1, 0, 0))
 
-    def pred_body(dt, iu0, iu1, iu2, theta=None, base=None):
+    def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
+                  codes_=None, fc_=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
@@ -245,6 +298,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             theta=theta,
             buoyancy=scalar.buoyancy if scalar is not None else None,
             theta_ref=scalar.theta_ref if scalar is not None else 0.0,
+            face_codes=codes_, fluid_code=fc_,
         )
         # the corrector's divergence diagnostic needs the corrected SHARED
         # face: exchange the neighbor's fresh face-0 star into row b
@@ -261,7 +315,8 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
         return us0, us[1], us[2], rhs
 
-    def corr_body(dt, us0, us1, us2, p_local, theta=None):
+    def corr_body(dt, us0, us1, us2, p_local, theta=None,
+                  codes_=None, fc_=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
@@ -293,6 +348,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             theta=theta,
             scalar_cfg=scalar if theta is not None else None,
             dt=dt if theta is not None else None,
+            face_codes=codes_, fluid_code=fc_,
         )
         if theta is not None:
             iu_new, divp, velp, theta_new = res
@@ -307,12 +363,25 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
 
     rk2 = pr.integrator == "rk2"
     sc = P()   # replicated per-step dt scalar
-    pred = jax.shard_map(
-        pred_body, mesh=mesh,
-        in_specs=(sc,) + (spec3,) * (4 if thermal else 3),
-        out_specs=(spec3, spec3, spec3, spec3),
-        check_vma=False,
-    )
+    if masked:
+        # the 4 static code blocks enter as ordinary sx-sharded inputs
+        def pred_masked_body(dt, iu0, iu1, iu2, c0, c1, c2, fc):
+            return pred_body(dt, iu0, iu1, iu2,
+                             codes_=(c0, c1, c2), fc_=fc)
+
+        pred = jax.shard_map(
+            pred_masked_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * 7,
+            out_specs=(spec3, spec3, spec3, spec3),
+            check_vma=False,
+        )
+    else:
+        pred = jax.shard_map(
+            pred_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * (4 if thermal else 3),
+            out_specs=(spec3, spec3, spec3, spec3),
+            check_vma=False,
+        )
     pred_based = None
     if rk2:
         def pred_based_body(dt, iu0, iu1, iu2, b0, b1, b2, theta=None):
@@ -325,12 +394,24 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             out_specs=(spec3, spec3, spec3, spec3),
             check_vma=False,
         )
-    corr = jax.shard_map(
-        corr_body, mesh=mesh,
-        in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
-        out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
-        check_vma=False,
-    )
+    if masked:
+        def corr_masked_body(dt, us0, us1, us2, p_local, c0, c1, c2, fc):
+            return corr_body(dt, us0, us1, us2, p_local,
+                             codes_=(c0, c1, c2), fc_=fc)
+
+        corr = jax.shard_map(
+            corr_masked_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * 8,
+            out_specs=(spec3,) * 3 + (P(), P()),
+            check_vma=False,
+        )
+    else:
+        corr = jax.shard_map(
+            corr_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
+            out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
+            check_vma=False,
+        )
     corr_half = corr
     if rk2 and thermal:
         # the scalar advances once per STEP (full corrector); the half-
@@ -359,6 +440,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         else:
             p_start = p
         th_args = (theta,) if thermal else ()
+        code_args = (*codes, fcode) if masked else ()
         it_extra = 0
         if rk2:
             # midpoint rule, both stages fused+sharded: stage 1 advances
@@ -371,7 +453,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *th_args)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu, *th_args)
+            us0, us1, us2, rhs = pred(dt, *iu, *th_args, *code_args)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
@@ -380,7 +462,9 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
                 dt, us0, us1, us2, p_new, theta
             )
         else:
-            iu0n, iu1n, iu2n, divm, velm = corr(dt, us0, us1, us2, p_new)
+            iu0n, iu1n, iu2n, divm, velm = corr(
+                dt, us0, us1, us2, p_new, *code_args
+            )
             theta_new = None
         diag = StepDiagnostics(
             poisson_iters=iters,
@@ -919,7 +1003,17 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
         theta = jax.lax.with_sharding_constraint(
             theta_to_halo(grid, state.theta, mesh), spec3
         )
-    step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None)
+    codes = fcode = None
+    if sim.face_masks is not None or sim.corr_masks is not None:
+        # built eagerly from the concrete masks and threaded as jit args
+        # (Simulation._consts / _bind), like the unsharded fc3d codes
+        codes, fcode = sim._face_codes_3d_halo()
+        codes = tuple(
+            jax.lax.with_sharding_constraint(c, spec3) for c in codes
+        )
+        fcode = jax.lax.with_sharding_constraint(fcode, spec3)
+    step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None,
+                                      codes=codes, fcode=fcode)
     # CFL-adaptive runs carry the corrector's global max|u_a|/h_a pmax
     # through the scan (entry value from one jnp reduction outside it)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None

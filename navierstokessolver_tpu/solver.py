@@ -464,8 +464,21 @@ class Simulation:
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
-        if self.face_masks is not None or self.les is not None:
+        if self.les is not None or self.ibm is not None:
             return False
+        masked = self.face_masks is not None or self.corr_masks is not None
+        if masked:
+            # obstacles stream as STATIC per-shard uint8 code blocks
+            # through the halo-mode kernels (no per-step code exchange --
+            # fused_sharded.build_face_codes_halo). Slab tier only;
+            # mirrors _fused3d_ok's masked gates: euler (rk2's based-mode
+            # stage-2 predictor has no code operands), no scalar, no
+            # cut-cell apertures, no periodic axes.
+            if (self.params.integrator != "euler"
+                    or self.scalar is not None
+                    or self.op.ap is not None
+                    or any(bcs_mod.periodic_axes(self.grid, self.bcs))):
+                return False
         if self._time_dependent():
             return False
         if self.forcing is not None and self._static_forcing() is None:
@@ -479,6 +492,8 @@ class Simulation:
             self.grid, self.bcs, self.shardings.p.mesh, self.scalar
         ):
             return True
+        if masked:
+            return False   # pencil tier: no obstacles (kernel halo1 gate)
         # pencil ('sx','sy') tier (VERDICT r2 item 3): euler + rk2, fixed
         # or CFL-adaptive dt; scalar transport not yet
         return fused_step3d_pencil_applicable(
@@ -580,6 +595,26 @@ class Simulation:
                   if codes is not None else None)
             object.__setattr__(self, "_fc3d_cache", (codes, fc))
         return self._fc3d_cache
+
+    def _face_codes_3d_halo(self):
+        """Per-shard halo-layout obstacle codes for the sharded fused
+        whole-step (fused_sharded.build_face_codes_halo). Built eagerly
+        from CONCRETE masks (numpy) and threaded via _consts/_bind --
+        on a bound sim the cache is always pre-attached."""
+        from .parallel.fused_sharded import (
+            build_face_codes_halo,
+            pad_fluid_code_halo,
+        )
+
+        if not hasattr(self, "_fc3d_halo_cache"):
+            mesh = self.shardings.p.mesh
+            codes = build_face_codes_halo(
+                self.grid, self.face_masks, self.corr_masks, mesh
+            )
+            fc = (pad_fluid_code_halo(self.grid, self.op.code, mesh)
+                  if codes is not None else None)
+            object.__setattr__(self, "_fc3d_halo_cache", (codes, fc))
+        return self._fc3d_halo_cache
 
     def _step_fused2d_internal(
         self, istate: State, vel=None
@@ -1187,6 +1222,9 @@ class Simulation:
             c["fc2d"] = self._face_codes_2d()
         if self._fused3d_ok():
             c["fc3d"] = self._face_codes_3d()
+        if self._fused3d_sharded_ok() and (
+                self.face_masks is not None or self.corr_masks is not None):
+            c["fc3d_halo"] = self._face_codes_3d_halo()
         if self.dct_solver is not None:
             c["inv_eig"] = self.dct_solver.inv_eig
         if self.dctcg_solver is not None:
@@ -1271,6 +1309,8 @@ class Simulation:
             object.__setattr__(bound, "_fc2d_cache", c["fc2d"])
         if "fc3d" in c:
             object.__setattr__(bound, "_fc3d_cache", c["fc3d"])
+        if "fc3d_halo" in c:
+            object.__setattr__(bound, "_fc3d_halo_cache", c["fc3d_halo"])
         # the unbound (concrete-array) template: adjoint.py needs a
         # tracer-free static to carry across its custom-VJP boundary
         object.__setattr__(bound, "_shell", self)

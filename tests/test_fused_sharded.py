@@ -372,6 +372,55 @@ def test_pencil_fused_rk2_cfl_matches_unsharded():
 
 
 @requires_8
+def test_sharded_fused_obstacle_matches_unsharded():
+    """Obstacle masks through the SHARDED fused whole-step (sphere:
+    inflow + axis-0 outflow + interior solid on a 4-way slab mesh): the
+    static per-shard uint8 code blocks stream through the halo-mode
+    kernels with NO per-step code exchange; trajectory + diagnostics
+    match the single-device jnp path."""
+    case = make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
+                     center=(4.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg")
+    sim = case.sim
+    assert sim.face_masks is not None          # the mask actually bites
+    ref, dref = sim.run_scan(case.initial_state(), 8)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 8)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(d.max_cfl), np.asarray(dref.max_cfl), atol=1e-6
+    )
+    assert abs(float(d.max_div[-1]) - float(dref.max_div[-1])) < 1e-5
+    assert len(out.p.sharding.device_set) == 4
+
+
+@requires_8
+def test_sharded_fused_obstacle_gates():
+    """Obstacles keep rk2 and the pencil tier OFF the sharded fused path
+    (the based-mode stage-2 predictor and the halo1 kernels have no code
+    operands); the slab+euler combination is the one that engages."""
+    case = make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
+                     center=(4.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg")
+    sim = case.sim
+    sim_rk2 = dataclasses.replace(
+        sim, params=dataclasses.replace(sim.params, integrator="rk2")
+    )
+    assert not _sharded_pallas(sim_rk2, make_mesh(4))._fused3d_sharded_ok()
+    assert not _sharded_pallas(sim, make_mesh((2, 2)))._fused3d_sharded_ok()
+    assert _sharded_pallas(sim, make_mesh(4))._fused3d_sharded_ok()
+
+
+@requires_8
 def test_pencil_fused_thermal_matches_unsharded():
     """Heated cavity through the PENCIL tier: theta's ghost slots ride
     both refresh stages; buoyancy is transverse to both sharded axes."""
