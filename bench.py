@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--no-pallas", action="store_true",
                     help="skip the fused-2D auto-probe (jnp step)")
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--no-companion", action="store_true",
+                    help="skip the iterative-solver (cg) companion line")
     args = ap.parse_args()
 
     import jax
@@ -187,6 +189,45 @@ def main() -> None:
 
     dims = f"{args.nx}x{args.ny}" + (f"x{args.nz}" if args.nz else "")
     nd = "3d" if args.nz else "2d"
+
+    if args.poisson == "fft" and not args.no_companion:
+        # Iterative-solver companion datapoint (stderr only; the driver's
+        # JSON line stays the flagship config): the BASELINE spec names
+        # matrix-free CG on config #4, and the registry's remap to fft is
+        # deliberate TPU-first engineering -- this line keeps the honest
+        # iterative number in the driver's captured record every round.
+        try:
+            kw_cg = dict(kw, poisson_method="cg")
+            if args.case in ("cavity", "cavity_hi_re", "cavity3d"):
+                case_cg = make_case(
+                    "cavity" if not args.nz else "cavity3d",
+                    upwind_gamma=0.8 if args.re > 1000 else 0.0, **kw_cg)
+            elif args.case in ("heated_cavity", "rayleigh_benard"):
+                kw_cg.pop("re", None)
+                case_cg = make_case(args.case, ra=args.ra, **kw_cg)
+            else:
+                case_cg = make_case(args.case, **kw_cg)
+            sim_cg = case_cg.sim
+            cchunk = max(20, chunk // 5)
+            st_cg, _ = sim_cg.run_scan(case_cg.initial_state(), cchunk)
+            jax.block_until_ready(st_cg.p)   # compile + warm-start settle
+            t0 = time.perf_counter()
+            st_cg, dg_cg = sim_cg.run_scan(st_cg, cchunk)
+            jax.block_until_ready(st_cg.p)
+            t_cg = time.perf_counter() - t0
+            it_cg = np.asarray(dg_cg.poisson_iters)
+            print(
+                f"[bench] cg companion ({dims}): "
+                f"{n_cells * cchunk / t_cg / 1e6:.1f} MLUPS, "
+                f"{t_cg / cchunk * 1e3:.2f} ms/step, "
+                f"iters mean={it_cg.mean():.1f} max={it_cg.max()}, "
+                f"res={float(dg_cg.poisson_res[-1]):.2e}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover - keep the headline safe
+            print(f"[bench] cg companion skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": f"{nd}_step_loop_mlups_{dims}_{args.poisson}",
         "value": round(mlups, 1),
