@@ -2208,8 +2208,13 @@ def predictor_rhs_3d_internal(
     thermal = theta is not None and any(buoy)
     based = base is not None
     forced = forcing_fields is not None
-    if thermal or based:
-        assert not masked, "fused thermal/rk2 predictor: no obstacles"
+    if thermal:
+        assert not masked, "fused thermal predictor: no obstacles"
+    # based + masked composes: the codes gate the ASSEMBLED star
+    # (u* = base + dt*RHS(mid)) after the BC writes and mask the rhs by
+    # the fluid bit -- exactly the per-stage order of the jnp rk2 branch
+    # (_predict ends with apply_velocity_bcs(face_masks); _project masks
+    # the divergence by op.fluid).
     if forced:
         assert not halo, "sharded fused forcing fields not supported"
     if thermal and halo:

@@ -203,9 +203,6 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
     masked = codes is not None
     assert not (masked and thermal), \
         "sharded fused obstacles: no scalar transport (kernel gate)"
-    assert not (masked and pr.integrator == "rk2"), \
-        "sharded fused obstacles: euler only (the based-mode stage-2 " \
-        "predictor does not stream the codes, matching _fused3d_ok)"
     from ..bcs import periodic_axes
 
     # Periodic sharded axis: the ghost rings CLOSE (wraparound ppermute
@@ -383,7 +380,20 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             check_vma=False,
         )
     pred_based = None
-    if rk2:
+    if rk2 and masked:
+        # stage 2 streams the SAME static code blocks as stage 1
+        def pred_based_masked_body(dt, iu0, iu1, iu2, b0, b1, b2,
+                                   c0, c1, c2, fc):
+            return pred_body(dt, iu0, iu1, iu2, base=(b0, b1, b2),
+                             codes_=(c0, c1, c2), fc_=fc)
+
+        pred_based = jax.shard_map(
+            pred_based_masked_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * 10,
+            out_specs=(spec3, spec3, spec3, spec3),
+            check_vma=False,
+        )
+    elif rk2:
         def pred_based_body(dt, iu0, iu1, iu2, b0, b1, b2, theta=None):
             return pred_body(dt, iu0, iu1, iu2, theta=theta,
                              base=(b0, b1, b2))
@@ -446,11 +456,13 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             # midpoint rule, both stages fused+sharded: stage 1 advances
             # half a step and projects; stage 2 streams the midpoint field
             # as the stencil source anchored at the step-start state
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args,
+                                          *code_args)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
-            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph)[:3]
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *th_args)
+            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)[:3]
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *th_args,
+                                            *code_args)
             p_start = ph
         else:
             us0, us1, us2, rhs = pred(dt, *iu, *th_args, *code_args)

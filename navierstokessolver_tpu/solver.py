@@ -380,11 +380,10 @@ class Simulation:
             return False  # cut-cell rhs/divergence is jnp-only (apertures)
         if self.params.integrator not in ("euler", "rk2"):
             return False
-        if (self.params.integrator == "rk2"
-                and self.face_masks is not None):
-            # the 3D based-mode (stage-2) predictor doesn't stream the
-            # obstacle codes; rk2 + obstacles stays on the jnp step
-            return False
+        # rk2 + obstacles IS fused (round 3): the stage-2 based-mode
+        # predictor streams the same code operands as stage 1, gating the
+        # assembled star after the BC writes -- per-stage order matches
+        # the jnp rk2 branch (interpret-mode parity in test_fused_step).
         # CFL-adaptive dt IS supported: the corrector kernel's masked
         # max|u_a|/h_a diagnostic (garbage rows excluded) is carried through
         # the scan and sets the next step's dt -- zero extra passes.
@@ -470,12 +469,11 @@ class Simulation:
         if masked:
             # obstacles stream as STATIC per-shard uint8 code blocks
             # through the halo-mode kernels (no per-step code exchange --
-            # fused_sharded.build_face_codes_halo). Slab tier only;
-            # mirrors _fused3d_ok's masked gates: euler (rk2's based-mode
-            # stage-2 predictor has no code operands), no scalar, no
-            # cut-cell apertures, no periodic axes.
-            if (self.params.integrator != "euler"
-                    or self.scalar is not None
+            # fused_sharded.build_face_codes_halo), euler AND rk2 (the
+            # based-mode stage-2 predictor streams the same codes). Slab
+            # tier only; mirrors _fused3d_ok's masked gates: no scalar,
+            # no cut-cell apertures, no periodic axes.
+            if (self.scalar is not None
                     or self.op.ap is not None
                     or any(bcs_mod.periodic_axes(self.grid, self.bcs))):
                 return False

@@ -405,9 +405,9 @@ def test_sharded_fused_obstacle_matches_unsharded():
 
 @requires_8
 def test_sharded_fused_obstacle_gates():
-    """Obstacles keep rk2 and the pencil tier OFF the sharded fused path
-    (the based-mode stage-2 predictor and the halo1 kernels have no code
-    operands); the slab+euler combination is the one that engages."""
+    """Obstacles keep the pencil tier OFF the sharded fused path (the
+    halo1 kernels have no code operands); slab engages for euler AND
+    rk2 (the based-mode stage-2 predictor streams the codes)."""
     case = make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
                      center=(4.0, 4.1, 3.9), diameter=1.6,
                      poisson_method="mg")
@@ -415,9 +415,36 @@ def test_sharded_fused_obstacle_gates():
     sim_rk2 = dataclasses.replace(
         sim, params=dataclasses.replace(sim.params, integrator="rk2")
     )
-    assert not _sharded_pallas(sim_rk2, make_mesh(4))._fused3d_sharded_ok()
+    assert _sharded_pallas(sim_rk2, make_mesh(4))._fused3d_sharded_ok()
     assert not _sharded_pallas(sim, make_mesh((2, 2)))._fused3d_sharded_ok()
     assert _sharded_pallas(sim, make_mesh(4))._fused3d_sharded_ok()
+
+
+@requires_8
+def test_sharded_fused_obstacle_rk2_matches_unsharded():
+    """RK2 + obstacles through the SHARDED fused whole-step: both stages
+    stream the static per-shard code blocks (stage 2 via the based-mode
+    predictor); trajectory matches the single-device jnp rk2 branch."""
+    case = make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
+                     center=(4.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg", integrator="rk2")
+    sim = case.sim
+    ref, dref = sim.run_scan(case.initial_state(), 6)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 6)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4)
+    np.testing.assert_array_equal(
+        np.asarray(d.poisson_iters), np.asarray(dref.poisson_iters)
+    )
 
 
 @requires_8

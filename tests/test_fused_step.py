@@ -692,24 +692,41 @@ def test_fused3d_thermal_periodic_lane_wrap_flux():
         )
 
 
-def test_fused3d_rk2_with_obstacle_gated_off():
-    """Review regression: rk2 + obstacle masks must fall back to the jnp
-    step in 3D (the based-mode predictor doesn't stream the codes)."""
+def test_fused3d_rk2_with_obstacle_matches_reference():
+    """RK2 + obstacle masks through the fused 3D path (round 3; was
+    gated to jnp): the based-mode stage-2 predictor streams the same
+    uint8 code blocks as stage 1, gating the assembled star after the
+    BC writes -- trajectory + diagnostics match the jnp rk2 branch."""
     from navierstokessolver_tpu.cases import make_case
 
     case = make_case("sphere", shape=(16, 16, 16), lengths=(8.0, 8.0, 8.0),
                      center=(2.0, 4.1, 3.9), diameter=1.6,
                      poisson_method="mg", integrator="rk2")
-    sim = dataclasses.replace(
-        case.sim,
-        params=dataclasses.replace(case.sim.params, use_pallas=True),
+    sim_ref = case.sim
+    assert sim_ref.face_masks is not None
+    sim_fused = dataclasses.replace(
+        sim_ref,
+        params=dataclasses.replace(sim_ref.params, use_pallas=True),
         pallas_interpret=True,
     )
-    assert not sim._fused3d_ok()
-    # ... and the jnp fallback still steps cleanly
+    assert sim_fused._fused3d_ok()
+
     st = case.initial_state()
-    st, d = sim.step(st)
-    assert np.isfinite(float(d.max_div))
+    a, da = sim_ref.run_scan(st, 4)
+    b, db_ = sim_fused.run_scan(st, 4)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(db_.poisson_iters), np.asarray(da.poisson_iters)
+    )
+    np.testing.assert_allclose(
+        float(db_.max_div[-1]), float(da.max_div[-1]), rtol=1e-3, atol=1e-6
+    )
 
 
 # ---------------------------------------------------------------------------
