@@ -68,6 +68,47 @@ def build_face_codes_halo(grid: GridSpec, face_masks, corr_masks,
     return tuple(out)
 
 
+def forcing_to_halo(grid: GridSpec, bcs: BCTable, fields, mesh: Mesh,
+                    tile: int = 8):
+    """Spatially-varying per-face forcing volumes (jnp predictor
+    convention, solver._forcing_fields_exact) -> per-shard slab halo
+    blocks for the fused predictor's forced operand set. Shard k's comp-0
+    block carries rows [0, b] = global faces [k*b, k*b+b] (the comp-0
+    read spans T+1 rows: the last data stripe's in-register shared-face
+    star needs face (k+1)*b's forcing; the last shard's row b is the
+    BC-overwritten boundary face -- zeros). Cell comps carry their local
+    rows. Loop-invariant: packed once, hoisted out of the scan."""
+    from ..bcs import periodic_axes
+
+    n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
+    n0, n1, n2 = grid.shape
+    per = periodic_axes(grid, bcs)
+    out = []
+    for a, f in enumerate(fields):
+        # full faces along the own axis (boundary faces zero / wrapped),
+        # mirroring pallas_kernels.forcing_to_internal_3d
+        if per[a]:
+            idx = [slice(None)] * 3
+            idx[a] = slice(0, 1)
+            f = jnp.concatenate([f, f[tuple(idx)]], axis=a)
+        else:
+            pad = [(0, 0)] * 3
+            pad[a] = (1, 1)
+            f = jnp.pad(f, pad)
+        rows = b + 1 if a == 0 else b
+        S = S1 if a == 1 else S0
+        w = min(f.shape[1], S)
+        blocks = []
+        for k in range(n_dev):
+            blk = f[k * b: k * b + rows, :w, :n2]
+            blk = jnp.pad(blk, [(0, RP - blk.shape[0]),
+                                (0, S - blk.shape[1]),
+                                (0, L - blk.shape[2])])
+            blocks.append(blk)
+        out.append(jnp.concatenate(blocks, axis=0))
+    return tuple(out)
+
+
 def pad_fluid_code_halo(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
     """ops/poisson uint8 stencil code (cells) -> per-shard halo-layout
     blocks (the fused RHS/divergence masking rides its FLUID_BIT)."""
@@ -184,7 +225,7 @@ def _perm_bwd(n, ring: bool = False):
 
 def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
                             thermal: bool = False,
-                            codes=None, fcode=None):
+                            codes=None, fcode=None, ifld=None):
     """Returns step_fn mapping ((iu0, iu1, iu2), p, theta, p_prev) ->
     (same structure, diag) with the iu arrays in the global halo-mode
     layout sharded over 'sx'. ``thermal`` must reflect whether the scan
@@ -201,6 +242,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
     n1, n2 = grid.shape[1], grid.shape[2]
     tg, own = pk._ghost_tables(grid, bcs)
     masked = codes is not None
+    forced = ifld is not None
     assert not (masked and thermal), \
         "sharded fused obstacles: no scalar transport (kernel gate)"
     from ..bcs import periodic_axes
@@ -276,7 +318,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         return jax.lax.dynamic_update_slice(th, lo, (RP - 1, 0, 0))
 
     def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
-                  codes_=None, fc_=None):
+                  codes_=None, fc_=None, fld_=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
@@ -292,6 +334,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             tile=tile, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff, base=base,
             forcing=sim._static_forcing(),
+            forcing_fields=fld_,
             theta=theta,
             buoyancy=scalar.buoyancy if scalar is not None else None,
             theta_ref=scalar.theta_ref if scalar is not None else 0.0,
@@ -360,50 +403,47 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
 
     rk2 = pr.integrator == "rk2"
     sc = P()   # replicated per-step dt scalar
-    if masked:
-        # the 4 static code blocks enter as ordinary sx-sharded inputs
-        def pred_masked_body(dt, iu0, iu1, iu2, c0, c1, c2, fc):
-            return pred_body(dt, iu0, iu1, iu2,
-                             codes_=(c0, c1, c2), fc_=fc)
 
-        pred = jax.shard_map(
-            pred_masked_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * 7,
-            out_specs=(spec3, spec3, spec3, spec3),
-            check_vma=False,
-        )
-    else:
-        pred = jax.shard_map(
-            pred_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * (4 if thermal else 3),
-            out_specs=(spec3, spec3, spec3, spec3),
-            check_vma=False,
-        )
-    pred_based = None
-    if rk2 and masked:
-        # stage 2 streams the SAME static code blocks as stage 1
-        def pred_based_masked_body(dt, iu0, iu1, iu2, b0, b1, b2,
-                                   c0, c1, c2, fc):
-            return pred_body(dt, iu0, iu1, iu2, base=(b0, b1, b2),
-                             codes_=(c0, c1, c2), fc_=fc)
+    def _mk_pred(based):
+        """shard_map'd predictor over the positional arg layout
+        dt, iu x3, [base x3], [theta], [fld x3], [codes x3 + fc] --
+        every optional set rides as ordinary sx-sharded inputs (the
+        static blocks are loop-invariant; XLA hoists their layout)."""
+        n_arr = (3 + (3 if based else 0) + (1 if thermal else 0)
+                 + (3 if forced else 0) + (4 if masked else 0))
 
-        pred_based = jax.shard_map(
-            pred_based_masked_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * 10,
-            out_specs=(spec3, spec3, spec3, spec3),
-            check_vma=False,
-        )
-    elif rk2:
-        def pred_based_body(dt, iu0, iu1, iu2, b0, b1, b2, theta=None):
-            return pred_body(dt, iu0, iu1, iu2, theta=theta,
-                             base=(b0, b1, b2))
+        def body(dt, *arrs):
+            k = 3
+            iu = arrs[0:3]
+            base = None
+            if based:
+                base = arrs[k:k + 3]
+                k += 3
+            th = None
+            if thermal:
+                th = arrs[k]
+                k += 1
+            fl = None
+            if forced:
+                fl = arrs[k:k + 3]
+                k += 3
+            cds = fcd = None
+            if masked:
+                cds = arrs[k:k + 3]
+                fcd = arrs[k + 3]
+                k += 4
+            return pred_body(dt, *iu, theta=th, base=base,
+                             codes_=cds, fc_=fcd, fld_=fl)
 
-        pred_based = jax.shard_map(
-            pred_based_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * (7 if thermal else 6),
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * n_arr,
             out_specs=(spec3, spec3, spec3, spec3),
             check_vma=False,
         )
+
+    pred = _mk_pred(based=False)
+    pred_based = _mk_pred(based=True) if rk2 else None
     if masked:
         def corr_masked_body(dt, us0, us1, us2, p_local, c0, c1, c2, fc):
             return corr_body(dt, us0, us1, us2, p_local,
@@ -450,22 +490,22 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         else:
             p_start = p
         th_args = (theta,) if thermal else ()
+        fld_args = tuple(ifld) if forced else ()
         code_args = (*codes, fcode) if masked else ()
+        extra = (*th_args, *fld_args, *code_args)
         it_extra = 0
         if rk2:
             # midpoint rule, both stages fused+sharded: stage 1 advances
             # half a step and projects; stage 2 streams the midpoint field
             # as the stencil source anchored at the step-start state
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args,
-                                          *code_args)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
             iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)[:3]
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *th_args,
-                                            *code_args)
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu, *th_args, *code_args)
+            us0, us1, us2, rhs = pred(dt, *iu, *extra)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
@@ -1024,8 +1064,17 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
             jax.lax.with_sharding_constraint(c, spec3) for c in codes
         )
         fcode = jax.lax.with_sharding_constraint(fcode, spec3)
+    ifld = None
+    if sim.forcing is not None and sim._static_forcing() is None:
+        # spatially-varying forcing: per-shard slab blocks, loop-invariant
+        ifld = tuple(
+            jax.lax.with_sharding_constraint(f, spec3)
+            for f in forcing_to_halo(
+                grid, bcs, sim._forcing_fields_exact(), mesh
+            )
+        )
     step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None,
-                                      codes=codes, fcode=fcode)
+                                      codes=codes, fcode=fcode, ifld=ifld)
     # CFL-adaptive runs carry the corrector's global max|u_a|/h_a pmax
     # through the scan (entry value from one jnp reduction outside it)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None

@@ -479,8 +479,8 @@ class Simulation:
                 return False
         if self._time_dependent():
             return False
-        if self.forcing is not None and self._static_forcing() is None:
-            return False
+        field_forced = (self.forcing is not None
+                        and self._static_forcing() is None)
         from .parallel.fused_sharded import (
             fused_step3d_pencil_applicable,
             fused_step3d_sharded_applicable,
@@ -489,9 +489,13 @@ class Simulation:
         if fused_step3d_sharded_applicable(
             self.grid, self.bcs, self.shardings.p.mesh, self.scalar
         ):
+            # spatially-varying forcing fields ride the SLAB tier as
+            # static per-shard blocks (fused_sharded.forcing_to_halo)
             return True
         if masked:
             return False   # pencil tier: no obstacles (kernel halo1 gate)
+        if field_forced:
+            return False   # pencil tier: static scalar forcing only
         # pencil ('sx','sy') tier (VERDICT r2 item 3): euler + rk2, fixed
         # or CFL-adaptive dt; scalar transport not yet
         return fused_step3d_pencil_applicable(
@@ -868,13 +872,11 @@ class Simulation:
         return (State(u=iu_new, p=p, theta=theta_new, p_prev=p_prev_new),
                 diag, max_vel)
 
-    def _forcing_fields_internal(self):
-        """Spatially-varying self.forcing as internal-layout per-face
-        volumes for the fused 3D predictor kernel. Components broadcast
-        to the jnp predictor's interior-face shapes (all n distinct faces
-        on a periodic own axis), None components become zeros."""
-        from .ops import pallas_kernels
-
+    def _forcing_fields_exact(self):
+        """Spatially-varying self.forcing broadcast to the jnp
+        predictor's per-face volume shapes (interior faces along the own
+        axis; all n distinct faces on a periodic own axis), None
+        components becoming zeros."""
         g, b = self.grid, self.bcs
         per = bcs_mod.periodic_axes(g, b)
         fields = []
@@ -889,8 +891,16 @@ class Simulation:
                 fields.append(jnp.broadcast_to(
                     jnp.asarray(f, g.dtype), tuple(shp)
                 ))
+        return tuple(fields)
+
+    def _forcing_fields_internal(self):
+        """Spatially-varying self.forcing as internal-layout per-face
+        volumes for the fused 3D predictor kernel."""
+        from .ops import pallas_kernels
+
         return pallas_kernels.forcing_to_internal_3d(
-            g, b, tuple(fields), tile=self._tile_db_3d()[0]
+            self.grid, self.bcs, self._forcing_fields_exact(),
+            tile=self._tile_db_3d()[0]
         )
 
     def _step_fused3d(self, state: State) -> tuple[State, StepDiagnostics]:

@@ -421,6 +421,37 @@ def test_sharded_fused_obstacle_gates():
 
 
 @requires_8
+@pytest.mark.parametrize("integrator", ["euler", "rk2"])
+def test_sharded_fused_forcing_fields_match_unsharded(integrator):
+    """Spatially-varying per-face forcing volumes through the SHARDED
+    fused whole-step (Kolmogorov flow, fully periodic -> ring mode):
+    the per-shard slab blocks (forcing_to_halo, comp-0 shared-face row
+    prefilled) stream through the forced operand set with no per-step
+    exchange; trajectory matches the single-device jnp path."""
+    case = make_case("kolmogorov", shape=(32, 16, 16), re=5.0,
+                     k_forcing=2, integrator=integrator)
+    sim = case.sim
+    assert sim.forcing is not None and sim._static_forcing() is None
+    ref, dref = sim.run_scan(case.initial_state(), 6)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 6)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(d.max_cfl), np.asarray(dref.max_cfl), atol=1e-6
+    )
+    assert len(out.p.sharding.device_set) == 4
+
+
+@requires_8
 def test_sharded_fused_obstacle_rk2_matches_unsharded():
     """RK2 + obstacles through the SHARDED fused whole-step: both stages
     stream the static per-shard code blocks (stage 2 via the based-mode
