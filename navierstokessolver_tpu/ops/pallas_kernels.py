@@ -2170,9 +2170,12 @@ def predictor_rhs_3d_internal(
         # first=last=False edge flags; in-kernel axis-0 stays halo-mode
         per = (False,) + per[1:]
     if halo1:
-        # same deal along axis 1: the sy ring closes periodic wraps
+        # same deal along axis 1: the sy ring closes periodic wraps.
+        # Obstacles compose: the static per-shard code blocks carry the
+        # comp-1 shared-face COLUMN m1 (and comp-0 shared row b) prefilled
+        # at build time (fused_sharded.build_face_codes_pencil), so the
+        # in-register shared-face stars gate on the true global codes.
         per = (per[0], False, per[2])
-        assert not masked, "pencil fused step: no obstacles"
     assert not (masked and any(per)), "obstacles + periodic not supported"
 
     if per[0]:
@@ -2273,7 +2276,11 @@ def predictor_rhs_3d_internal(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
         [pl.BlockSpec(memory_space=pl.ANY)] * n_vols
     if masked:
-        SC = _code_sublanes(grid)
+        # pencil (halo1): the star arrays carry SH(=S0) sublanes incl.
+        # ghost columns, and the zeroing slices cw[a][:, :SOUT[a]] -- the
+        # code blocks must cover them (round_up(S0, 32) >= S0 always;
+        # _code_sublanes(local) can fall short when m1 % 32 in {30, 31})
+        SC = _round_up(S0, 32) if halo1 else _code_sublanes(grid)
         args += (face_codes[0], face_codes[1], face_codes[2], fluid_code)
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
         scratch += [
@@ -2830,7 +2837,7 @@ def correct_diag_3d_internal(
         per = (False,) + per[1:]   # axis-0 wrap rides the ppermute rings
     if halo1:
         per = (per[0], False, per[2])   # the sy ring closes axis-1 wraps
-        assert not masked, "pencil fused step: no obstacles"
+        # obstacles compose: see predictor_rhs_3d_internal's halo1 note
     assert not (masked and any(per)), "obstacles + periodic not supported"
     u0p, u1p, u2p = u_star_internal
     if pp is None:
@@ -2891,7 +2898,7 @@ def correct_diag_3d_internal(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
         [pl.BlockSpec(memory_space=pl.ANY)] * (5 if thermal else 4)
     if masked:
-        SC = _code_sublanes(grid)
+        SC = _round_up(S0, 32) if halo1 else _code_sublanes(grid)
         args += (face_codes[0], face_codes[1], face_codes[2], fluid_code)
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
         scratch += [

@@ -120,6 +120,55 @@ def pad_fluid_code_halo(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
     return x.reshape(n_dev * RP, SC, L)
 
 
+def build_face_codes_pencil(grid: GridSpec, face_masks, corr_masks,
+                            mesh: Mesh, tile: int = 8):
+    """Per-shard uint8 face-code blocks for the PENCIL ('sx','sy') halo
+    layout, or None without obstacles. Shard (kx,ky)'s block carries its
+    local codes; comp 0 additionally carries row b0 (the axis-0 shared
+    face, as in the slab builder) and comp 1 carries COLUMN m1 (the
+    axis-1 shared face -- the kernels' in-register shared-face star and
+    its correction gate on it; the last shard's column m1 is the global
+    boundary face n1, whose code keeps the BC-written value open unless
+    solid touches the wall). Static, packed once at build time."""
+    if face_masks is None and corr_masks is None:
+        return None
+    ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    SC = pk._round_up(SH, 32)
+    out = []
+    for a in range(3):
+        vol = pk._face_code_volume(grid, face_masks, corr_masks, a)
+        rows = b0 + 1 if a == 0 else b0
+        cols = m1 + 1 if a == 1 else m1
+        blocks = np.zeros((ndx, RP, ndy, SC, L), np.uint8)
+        for kx in range(ndx):
+            for ky in range(ndy):
+                blk = vol[kx * b0: kx * b0 + rows,
+                          ky * m1: ky * m1 + cols]
+                blocks[kx, : blk.shape[0], ky, : blk.shape[1],
+                       : blk.shape[2]] = blk
+        out.append(jnp.asarray(
+            blocks.reshape(ndx * RP, ndy * SC, L)
+        ))
+    return tuple(out)
+
+
+def pad_fluid_code_pencil(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
+    """ops/poisson uint8 stencil code (cells) -> per-shard pencil-layout
+    blocks (local cells only; the fused RHS/divergence masking rides the
+    FLUID bit)."""
+    ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    SC = pk._round_up(SH, 32)
+    n2 = grid.shape[2]
+    x = jnp.asarray(code).reshape(ndx, b0, ndy, m1, n2)
+    x = jnp.pad(x, [(0, 0), (0, RP - b0), (0, 0), (0, SC - m1),
+                    (0, L - n2)])
+    return x.reshape(ndx * RP, ndy * SC, L)
+
+
 def fused_step3d_sharded_applicable(
     grid: GridSpec, bcs: BCTable, mesh: Mesh, scalar=None
 ) -> bool:
@@ -671,11 +720,19 @@ def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
 
 
 def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
-                           thermal: bool = False):
+                           thermal: bool = False,
+                           codes=None, fcode=None):
     """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, theta,
     p_prev, vel) -> (same, diag). euler/rk2, fixed or CFL dt; ``thermal``
-    must reflect whether the carry actually holds a theta."""
+    must reflect whether the carry actually holds a theta.
+    ``codes``/``fcode`` (build_face_codes_pencil / pad_fluid_code_pencil)
+    enable obstacle masking -- static per-shard blocks with the comp-0
+    shared row AND comp-1 shared column prefilled, no per-step
+    exchange."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
+    masked = codes is not None
+    assert not (masked and thermal), \
+        "pencil fused obstacles: no scalar transport (kernel gate)"
     ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
         grid, mesh, tile
     )
@@ -789,7 +846,8 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
             out.append(x)
         return tuple(out)
 
-    def pred_body(dt, iu0, iu1, iu2, theta=None, base=None):
+    def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
+                  codes_=None, fc_=None):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -814,6 +872,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
             theta=theta,
             buoyancy=scalar.buoyancy if scalar is not None else None,
             theta_ref=scalar.theta_ref if scalar is not None else 0.0,
+            face_codes=codes_, fluid_code=fc_,
         )
         # corrected-shared-face exchanges for the corrector's divergence:
         # axis-0 (comp 0 row b0) and axis-1 (comp 1 column m1)
@@ -839,7 +898,8 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
         us1 = jax.lax.dynamic_update_slice(us[1], hi1, (0, m1, 0))
         return us0, us1, us[2], rhs
 
-    def corr_body(dt, us0, us1, us2, p_local, theta=None):
+    def corr_body(dt, us0, us1, us2, p_local, theta=None,
+                  codes_=None, fc_=None):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -888,6 +948,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
             theta=theta,
             scalar_cfg=scalar if theta is not None else None,
             dt=dt if theta is not None else None,
+            face_codes=codes_, fluid_code=fc_,
         )
         if theta is not None:
             iu_new, divp, velp, theta_new = res
@@ -901,32 +962,57 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
 
     rk2 = pr.integrator == "rk2"
     sc = P()
-    pred = jax.shard_map(
-        pred_body, mesh=mesh,
-        in_specs=(sc,) + (spec3,) * (4 if thermal else 3),
-        out_specs=(spec3,) * 4, check_vma=False,
-    )
-    pred_based = None
-    if rk2:
-        if thermal:
-            def pred_based_body(dt, iu0, iu1, iu2, th, b0_, b1_, b2_):
-                return pred_body(dt, iu0, iu1, iu2, theta=th,
-                                 base=(b0_, b1_, b2_))
-        else:
-            def pred_based_body(dt, iu0, iu1, iu2, b0_, b1_, b2_):
-                return pred_body(dt, iu0, iu1, iu2, base=(b0_, b1_, b2_))
 
-        pred_based = jax.shard_map(
-            pred_based_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * (7 if thermal else 6),
+    def _mk_pred(based):
+        """Positional layout dt, iu x3, [base x3], [theta],
+        [codes x3 + fc] -- mirrors the slab builder."""
+        n_arr = (3 + (3 if based else 0) + (1 if thermal else 0)
+                 + (4 if masked else 0))
+
+        def body(dt, *arrs):
+            k = 3
+            iu = arrs[0:3]
+            base = None
+            if based:
+                base = arrs[k:k + 3]
+                k += 3
+            th = None
+            if thermal:
+                th = arrs[k]
+                k += 1
+            cds = fcd = None
+            if masked:
+                cds = arrs[k:k + 3]
+                fcd = arrs[k + 3]
+            return pred_body(dt, *iu, theta=th, base=base,
+                             codes_=cds, fc_=fcd)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * n_arr,
             out_specs=(spec3,) * 4, check_vma=False,
         )
-    corr = jax.shard_map(
-        corr_body, mesh=mesh,
-        in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
-        out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
-        check_vma=False,
-    )
+
+    pred = _mk_pred(based=False)
+    pred_based = _mk_pred(based=True) if rk2 else None
+    if masked:
+        def corr_masked_body(dt, us0, us1, us2, p_local, c0, c1, c2, fc):
+            return corr_body(dt, us0, us1, us2, p_local,
+                             codes_=(c0, c1, c2), fc_=fc)
+
+        corr = jax.shard_map(
+            corr_masked_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * 8,
+            out_specs=(spec3,) * 3 + (P(), P()),
+            check_vma=False,
+        )
+    else:
+        corr = jax.shard_map(
+            corr_body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
+            out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
+            check_vma=False,
+        )
     corr_half = corr
     if rk2 and thermal:
         corr_half = jax.shard_map(
@@ -951,16 +1037,19 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
         else:
             p_start = p
         th_args = (theta,) if thermal else ()
+        code_args = (*codes, fcode) if masked else ()
         it_extra = 0
         if rk2:
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args,
+                                          *code_args)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
-            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph)[:3]
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *th_args, *iu)
+            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)[:3]
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *th_args,
+                                            *code_args)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu, *th_args)
+            us0, us1, us2, rhs = pred(dt, *iu, *th_args, *code_args)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
@@ -969,7 +1058,9 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
                 dt, us0, us1, us2, p_new, theta
             )
         else:
-            iu0n, iu1n, iu2n, divm, velm = corr(dt, us0, us1, us2, p_new)
+            iu0n, iu1n, iu2n, divm, velm = corr(
+                dt, us0, us1, us2, p_new, *code_args
+            )
             theta_new = None
         diag = StepDiagnostics(
             poisson_iters=iters,
@@ -1021,7 +1112,15 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
         theta = jax.lax.with_sharding_constraint(
             theta_to_pencil(grid, state.theta, mesh), spec3
         )
-    step_fn = make_pencil_fused_step(sim, mesh, thermal=theta is not None)
+    codes = fcode = None
+    if sim.face_masks is not None or sim.corr_masks is not None:
+        codes, fcode = sim._face_codes_3d_pencil()
+        codes = tuple(
+            jax.lax.with_sharding_constraint(c, spec3) for c in codes
+        )
+        fcode = jax.lax.with_sharding_constraint(fcode, spec3)
+    step_fn = make_pencil_fused_step(sim, mesh, thermal=theta is not None,
+                                     codes=codes, fcode=fcode)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
             else jnp.zeros((), grid.dtype))
     (iu, p, theta, p_prev, _), diags = jax.lax.scan(

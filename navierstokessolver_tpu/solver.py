@@ -492,10 +492,10 @@ class Simulation:
             # spatially-varying forcing fields ride the SLAB tier as
             # static per-shard blocks (fused_sharded.forcing_to_halo)
             return True
-        if masked:
-            return False   # pencil tier: no obstacles (kernel halo1 gate)
         if field_forced:
             return False   # pencil tier: static scalar forcing only
+        # pencil obstacles ARE supported (build_face_codes_pencil: the
+        # comp-1 shared-face column rides the static blocks)
         # pencil ('sx','sy') tier (VERDICT r2 item 3): euler + rk2, fixed
         # or CFL-adaptive dt; scalar transport not yet
         return fused_step3d_pencil_applicable(
@@ -617,6 +617,25 @@ class Simulation:
                   if codes is not None else None)
             object.__setattr__(self, "_fc3d_halo_cache", (codes, fc))
         return self._fc3d_halo_cache
+
+    def _face_codes_3d_pencil(self):
+        """Per-shard pencil-layout obstacle codes for the sharded fused
+        whole-step on ('sx','sy') meshes (build_face_codes_pencil);
+        cached/threaded like _face_codes_3d_halo."""
+        from .parallel.fused_sharded import (
+            build_face_codes_pencil,
+            pad_fluid_code_pencil,
+        )
+
+        if not hasattr(self, "_fc3d_pencil_cache"):
+            mesh = self.shardings.p.mesh
+            codes = build_face_codes_pencil(
+                self.grid, self.face_masks, self.corr_masks, mesh
+            )
+            fc = (pad_fluid_code_pencil(self.grid, self.op.code, mesh)
+                  if codes is not None else None)
+            object.__setattr__(self, "_fc3d_pencil_cache", (codes, fc))
+        return self._fc3d_pencil_cache
 
     def _step_fused2d_internal(
         self, istate: State, vel=None
@@ -1232,7 +1251,10 @@ class Simulation:
             c["fc3d"] = self._face_codes_3d()
         if self._fused3d_sharded_ok() and (
                 self.face_masks is not None or self.corr_masks is not None):
-            c["fc3d_halo"] = self._face_codes_3d_halo()
+            if tuple(self.shardings.p.mesh.axis_names) == ("sx", "sy"):
+                c["fc3d_pencil"] = self._face_codes_3d_pencil()
+            else:
+                c["fc3d_halo"] = self._face_codes_3d_halo()
         if self.dct_solver is not None:
             c["inv_eig"] = self.dct_solver.inv_eig
         if self.dctcg_solver is not None:
@@ -1319,6 +1341,9 @@ class Simulation:
             object.__setattr__(bound, "_fc3d_cache", c["fc3d"])
         if "fc3d_halo" in c:
             object.__setattr__(bound, "_fc3d_halo_cache", c["fc3d_halo"])
+        if "fc3d_pencil" in c:
+            object.__setattr__(bound, "_fc3d_pencil_cache",
+                               c["fc3d_pencil"])
         # the unbound (concrete-array) template: adjoint.py needs a
         # tracer-free static to carry across its custom-VJP boundary
         object.__setattr__(bound, "_shell", self)

@@ -405,9 +405,9 @@ def test_sharded_fused_obstacle_matches_unsharded():
 
 @requires_8
 def test_sharded_fused_obstacle_gates():
-    """Obstacles keep the pencil tier OFF the sharded fused path (the
-    halo1 kernels have no code operands); slab engages for euler AND
-    rk2 (the based-mode stage-2 predictor streams the codes)."""
+    """Obstacles engage the sharded fused path on BOTH tiers (slab and
+    pencil), euler AND rk2 -- the static code blocks stream through the
+    kernels with no per-step exchange."""
     case = make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
                      center=(4.0, 4.1, 3.9), diameter=1.6,
                      poisson_method="mg")
@@ -416,8 +416,42 @@ def test_sharded_fused_obstacle_gates():
         sim, params=dataclasses.replace(sim.params, integrator="rk2")
     )
     assert _sharded_pallas(sim_rk2, make_mesh(4))._fused3d_sharded_ok()
-    assert not _sharded_pallas(sim, make_mesh((2, 2)))._fused3d_sharded_ok()
+    assert _sharded_pallas(sim, make_mesh((2, 2)))._fused3d_sharded_ok()
     assert _sharded_pallas(sim, make_mesh(4))._fused3d_sharded_ok()
+
+
+@requires_8
+@pytest.mark.parametrize("integrator", ["euler", "rk2"])
+def test_pencil_fused_obstacle_matches_unsharded(integrator):
+    """Obstacles through the PENCIL ('sx','sy') fused tier: the static
+    per-shard code blocks carry the comp-1 shared-face COLUMN (and the
+    comp-0 shared row) prefilled, so the in-register shared-face stars
+    and corrections gate on the true global codes; trajectory matches
+    the single-device jnp path."""
+    case = make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
+                     center=(4.0, 4.1, 3.9), diameter=1.8,
+                     poisson_method="mg", integrator=integrator)
+    sim = case.sim
+    assert sim.face_masks is not None
+    ref, dref = sim.run_scan(case.initial_state(), 6)
+
+    mesh = make_mesh((2, 2))
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    st = shard_state(case.initial_state(), mesh, sim.grid)
+    out, d = sim_sp.run_scan(st, 6)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4)
+    np.testing.assert_allclose(
+        # 5e-6: the two-axis pmax reorders the f32 reduction vs jnp
+        np.asarray(d.max_cfl), np.asarray(dref.max_cfl), atol=5e-6
+    )
+    assert abs(float(d.max_div[-1]) - float(dref.max_div[-1])) < 1e-5
+    assert len(out.p.sharding.device_set) == 4
 
 
 @requires_8
