@@ -2218,12 +2218,11 @@ def predictor_rhs_3d_internal(
     # the fluid bit -- exactly the per-stage order of the jnp rk2 branch
     # (_predict ends with apply_velocity_bcs(face_masks); _project masks
     # the divergence by op.fluid).
-    if forced:
-        # slab halo composes: the per-shard forcing blocks are packed once
-        # at build time (fused_sharded.forcing_to_halo) with comp 0's
-        # shared-face row b prefilled -- the comp-0 read spans T+1 rows,
-        # so the last data stripe's in-register shared-face star needs it
-        assert not halo1, "pencil fused forcing fields not supported"
+    # forced + halo composes: the per-shard forcing blocks are packed once
+    # at build time (fused_sharded.forcing_to_halo / forcing_to_pencil)
+    # with comp 0's shared-face row b prefilled (the comp-0 read spans
+    # T+1 rows, so the last data stripe's in-register shared-face star
+    # needs it) and, in pencil mode, comp 1's shared-face column m1.
     if thermal and halo:
         # sharded thermal: theta's axis-0 ghosts are NOT streamed -- only
         # buoyancy transverse to the sharded axis needs no axis-0 cells

@@ -109,6 +109,47 @@ def forcing_to_halo(grid: GridSpec, bcs: BCTable, fields, mesh: Mesh,
     return tuple(out)
 
 
+def forcing_to_pencil(grid: GridSpec, bcs: BCTable, fields, mesh: Mesh,
+                      tile: int = 8):
+    """Per-face forcing volumes -> per-shard PENCIL blocks: comp 0
+    carries rows [0, b0] (axis-0 shared face), comp 1 carries columns
+    [0, m1] (axis-1 shared face -- its in-register shared-face star's
+    RHS includes the forcing); ghost slots beyond are zeros (their
+    stars never feed kept outputs)."""
+    from ..bcs import periodic_axes
+
+    ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    n2 = grid.shape[2]
+    per = periodic_axes(grid, bcs)
+    out = []
+    for a, f in enumerate(fields):
+        if per[a]:
+            idx = [slice(None)] * 3
+            idx[a] = slice(0, 1)
+            f = jnp.concatenate([f, f[tuple(idx)]], axis=a)
+        else:
+            pad = [(0, 0)] * 3
+            pad[a] = (1, 1)
+            f = jnp.pad(f, pad)
+        rows = b0 + 1 if a == 0 else b0
+        cols = min(m1 + 1 if a == 1 else m1, f.shape[1])
+        blocks = []
+        for kx in range(ndx):
+            row_blocks = []
+            for ky in range(ndy):
+                blk = f[kx * b0: kx * b0 + rows,
+                        ky * m1: ky * m1 + cols, :n2]
+                blk = jnp.pad(blk, [(0, RP - blk.shape[0]),
+                                    (0, SH - blk.shape[1]),
+                                    (0, L - blk.shape[2])])
+                row_blocks.append(blk)
+            blocks.append(jnp.concatenate(row_blocks, axis=1))
+        out.append(jnp.concatenate(blocks, axis=0))
+    return tuple(out)
+
+
 def pad_fluid_code_halo(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
     """ops/poisson uint8 stencil code (cells) -> per-shard halo-layout
     blocks (the fused RHS/divergence masking rides its FLUID_BIT)."""
@@ -721,7 +762,7 @@ def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
 
 def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
                            thermal: bool = False,
-                           codes=None, fcode=None):
+                           codes=None, fcode=None, ifld=None):
     """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, theta,
     p_prev, vel) -> (same, diag). euler/rk2, fixed or CFL dt; ``thermal``
     must reflect whether the carry actually holds a theta.
@@ -731,6 +772,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
     exchange."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
     masked = codes is not None
+    forced = ifld is not None
     assert not (masked and thermal), \
         "pencil fused obstacles: no scalar transport (kernel gate)"
     ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
@@ -847,7 +889,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
         return tuple(out)
 
     def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
-                  codes_=None, fc_=None):
+                  codes_=None, fc_=None, fld_=None):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -869,6 +911,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
             base=base,
             forcing=sim._static_forcing(),
+            forcing_fields=fld_,
             theta=theta,
             buoyancy=scalar.buoyancy if scalar is not None else None,
             theta_ref=scalar.theta_ref if scalar is not None else 0.0,
@@ -964,10 +1007,10 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
     sc = P()
 
     def _mk_pred(based):
-        """Positional layout dt, iu x3, [base x3], [theta],
+        """Positional layout dt, iu x3, [base x3], [theta], [fld x3],
         [codes x3 + fc] -- mirrors the slab builder."""
         n_arr = (3 + (3 if based else 0) + (1 if thermal else 0)
-                 + (4 if masked else 0))
+                 + (3 if forced else 0) + (4 if masked else 0))
 
         def body(dt, *arrs):
             k = 3
@@ -980,12 +1023,16 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
             if thermal:
                 th = arrs[k]
                 k += 1
+            fl = None
+            if forced:
+                fl = arrs[k:k + 3]
+                k += 3
             cds = fcd = None
             if masked:
                 cds = arrs[k:k + 3]
                 fcd = arrs[k + 3]
             return pred_body(dt, *iu, theta=th, base=base,
-                             codes_=cds, fc_=fcd)
+                             codes_=cds, fc_=fcd, fld_=fl)
 
         return jax.shard_map(
             body, mesh=mesh,
@@ -1037,19 +1084,19 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
         else:
             p_start = p
         th_args = (theta,) if thermal else ()
+        fld_args = tuple(ifld) if forced else ()
         code_args = (*codes, fcode) if masked else ()
+        extra = (*th_args, *fld_args, *code_args)
         it_extra = 0
         if rk2:
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *th_args,
-                                          *code_args)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
             iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)[:3]
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *th_args,
-                                            *code_args)
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu, *th_args, *code_args)
+            us0, us1, us2, rhs = pred(dt, *iu, *extra)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
@@ -1119,8 +1166,16 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
             jax.lax.with_sharding_constraint(c, spec3) for c in codes
         )
         fcode = jax.lax.with_sharding_constraint(fcode, spec3)
+    ifld = None
+    if sim.forcing is not None and sim._static_forcing() is None:
+        ifld = tuple(
+            jax.lax.with_sharding_constraint(f, spec3)
+            for f in forcing_to_pencil(
+                grid, bcs, sim._forcing_fields_exact(), mesh
+            )
+        )
     step_fn = make_pencil_fused_step(sim, mesh, thermal=theta is not None,
-                                     codes=codes, fcode=fcode)
+                                     codes=codes, fcode=fcode, ifld=ifld)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
             else jnp.zeros((), grid.dtype))
     (iu, p, theta, p_prev, _), diags = jax.lax.scan(

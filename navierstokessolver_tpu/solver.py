@@ -479,8 +479,6 @@ class Simulation:
                 return False
         if self._time_dependent():
             return False
-        field_forced = (self.forcing is not None
-                        and self._static_forcing() is None)
         from .parallel.fused_sharded import (
             fused_step3d_pencil_applicable,
             fused_step3d_sharded_applicable,
@@ -492,10 +490,9 @@ class Simulation:
             # spatially-varying forcing fields ride the SLAB tier as
             # static per-shard blocks (fused_sharded.forcing_to_halo)
             return True
-        if field_forced:
-            return False   # pencil tier: static scalar forcing only
-        # pencil obstacles ARE supported (build_face_codes_pencil: the
-        # comp-1 shared-face column rides the static blocks)
+        # pencil obstacles AND forcing fields ARE supported
+        # (build_face_codes_pencil / forcing_to_pencil: the comp-1
+        # shared-face column rides the static blocks)
         # pencil ('sx','sy') tier (VERDICT r2 item 3): euler + rk2, fixed
         # or CFL-adaptive dt; scalar transport not yet
         return fused_step3d_pencil_applicable(

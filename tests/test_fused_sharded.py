@@ -455,20 +455,25 @@ def test_pencil_fused_obstacle_matches_unsharded(integrator):
 
 
 @requires_8
-@pytest.mark.parametrize("integrator", ["euler", "rk2"])
-def test_sharded_fused_forcing_fields_match_unsharded(integrator):
+@pytest.mark.parametrize("integrator,mesh_shape", [
+    ("euler", 4), ("rk2", 4), ("euler", (2, 2)), ("rk2", (2, 2)),
+])
+def test_sharded_fused_forcing_fields_match_unsharded(integrator,
+                                                      mesh_shape):
     """Spatially-varying per-face forcing volumes through the SHARDED
     fused whole-step (Kolmogorov flow, fully periodic -> ring mode):
-    the per-shard slab blocks (forcing_to_halo, comp-0 shared-face row
-    prefilled) stream through the forced operand set with no per-step
-    exchange; trajectory matches the single-device jnp path."""
+    the per-shard blocks (forcing_to_halo / forcing_to_pencil, shared-
+    face row/column prefilled) stream through the forced operand set
+    with no per-step exchange; trajectory matches single-device jnp.
+    The (2,2) cases exercise the PENCIL tier (the forcing varies along
+    the sy-sharded axis, so the seam blocks actually differ)."""
     case = make_case("kolmogorov", shape=(32, 16, 16), re=5.0,
                      k_forcing=2, integrator=integrator)
     sim = case.sim
     assert sim.forcing is not None and sim._static_forcing() is None
     ref, dref = sim.run_scan(case.initial_state(), 6)
 
-    mesh = make_mesh(4)
+    mesh = make_mesh(mesh_shape)
     sim_sp = _sharded_pallas(sim, mesh)
     assert sim_sp._fused3d_sharded_ok()
     st = shard_state(case.initial_state(), mesh, sim.grid)
