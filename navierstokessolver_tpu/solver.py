@@ -494,7 +494,7 @@ class Simulation:
         # (build_face_codes_pencil / forcing_to_pencil: the comp-1
         # shared-face column rides the static blocks)
         # pencil ('sx','sy') tier (VERDICT r2 item 3): euler + rk2, fixed
-        # or CFL-adaptive dt; scalar transport not yet
+        # or CFL-adaptive dt, scalar transport + buoyancy
         return fused_step3d_pencil_applicable(
             self.grid, self.bcs, self.shardings.p.mesh, self.scalar
         )
