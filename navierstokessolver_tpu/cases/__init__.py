@@ -19,6 +19,8 @@ Beyond the BASELINE set:
                          laminar-balance oracle; spatially varying forcing
   pulsatile_channel   -- Womersley flow (oscillating body force); exact
                          semi-discrete oracle; time-dependent forcing
+  heated_cylinder     -- forced convection from an isothermal cylinder
+                         (scalar + obstacle); Churchill-Bernstein Nu oracle
 
 Each builder accepts overrides so tests can shrink grids.
 """
@@ -74,6 +76,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "channel_periodic": build_channel_periodic,
     "duct_periodic": build_duct_periodic,
     "cylinder": build_cylinder,
+    "heated_cylinder": lambda **kw: build_cylinder(**{"heated": True, **kw}),
     "sphere": build_sphere,
     "taylor_green": build_taylor_green,
     "taylor_green3d": build_taylor_green3d,

@@ -48,6 +48,8 @@ def build_cylinder(
     ibm: bool = False,
     spin: float = 0.0,
     sharp_pressure: bool = False,
+    heated: bool = False,
+    prandtl: float = 0.7,
     **params_kw,
 ):
     """``ibm=True`` replaces the staircase velocity treatment with the
@@ -57,7 +59,11 @@ def build_cylinder(
     to the cut-cell apertured Poisson (cutcell.py) -- both sides sharp.
     ``spin`` (requires ibm): rotation rate alpha = omega*R/u_in of the
     cylinder surface -- the Magnus configuration (rotating cylinder
-    deflects the wake and carries a mean lift)."""
+    deflects the wake and carries a mean lift). ``heated=True``: forced
+    convection from an ISOTHERMAL cylinder (theta = 1 body in a theta = 0
+    stream, passive scalar, alpha = nu/Pr) -- the mean Nusselt number from
+    ``scalar.body_heat_flux`` / (pi alpha) validates against the
+    Churchill-Bernstein correlation (tests/test_oracles.py)."""
     from . import Case
 
     grid = GridSpec(shape=tuple(shape), lengths=tuple(lengths), dtype=dtype or jnp.float32)
@@ -99,14 +105,33 @@ def build_cylinder(
             return (-omega * (y - center[1]), omega * (x - center[0]))
     if sharp_pressure and not ibm:
         raise ValueError("sharp_pressure requires ibm=True (needs the sdf)")
+    scalar = _heated_scalar(grid, nu, prandtl) if heated else None
     sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf,
                            surface_velocity=vel,
-                           sharp_pressure=sharp_pressure)
+                           sharp_pressure=sharp_pressure, scalar=scalar)
     return Case(
-        name="cylinder",
+        name="heated_cylinder" if heated else "cylinder",
         sim=sim,
         suggested_steps=int(150.0 / dt),  # enough shedding periods for St
-        description=f"cylinder Re={re} {shape}",
+        description=f"cylinder Re={re} {shape}"
+        + (f" heated Pr={prandtl}" if heated else ""),
+    )
+
+
+def _heated_scalar(grid: GridSpec, nu: float, prandtl: float):
+    """Passive temperature for the heated-obstacle cases: theta = 0 free
+    stream (inflow Dirichlet), zero-gradient outlet/lateral faces, theta
+    = 1 isothermal body, alpha = nu/Pr."""
+    from ..scalar import ScalarBC, ScalarConfig
+
+    nd = grid.ndim
+    sc_bcs = {(a, s): ScalarBC.adiabatic()
+              for a in range(nd) for s in (0, 1)}
+    sc_bcs[(0, 0)] = ScalarBC.dirichlet(0.0)
+    return ScalarConfig(
+        bcs=sc_bcs,
+        diffusivity=nu / prandtl,
+        body_bc=ScalarBC.dirichlet(1.0),
     )
 
 
@@ -129,6 +154,8 @@ def build_sphere(
     poisson_extrapolate: float = 0.8,
     ibm: bool = False,
     sharp_pressure: bool = False,
+    heated: bool = False,
+    prandtl: float = 0.7,
     **params_kw,
 ):
     """Flow past a sphere (the 3D analog of the cylinder case).
@@ -171,13 +198,15 @@ def build_sphere(
     ) if ibm else None
     if sharp_pressure and not ibm:
         raise ValueError("sharp_pressure requires ibm=True (needs the sdf)")
+    scalar = _heated_scalar(grid, nu, prandtl) if heated else None
     sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf,
-                           sharp_pressure=sharp_pressure)
+                           sharp_pressure=sharp_pressure, scalar=scalar)
     return Case(
         name="sphere",
         sim=sim,
         suggested_steps=int(150.0 / dt),
-        description=f"sphere Re={re} {shape}",
+        description=f"sphere Re={re} {shape}"
+        + (f" heated Pr={prandtl}" if heated else ""),
     )
 
 

@@ -215,6 +215,10 @@ def _scalar_blob(scalar) -> Optional[dict]:
             f"{a},{s}": [bc.kind.value, bcval(bc.value)]
             for (a, s), bc in sorted(scalar.bcs.items())
         },
+        body_bc=(
+            None if getattr(scalar, "body_bc", None) is None
+            else [scalar.body_bc.kind.value, bcval(scalar.body_bc.value)]
+        ),
     )
 
 

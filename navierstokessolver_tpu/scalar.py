@@ -18,6 +18,20 @@ interpolated to component-a faces. Validated against the de Vahl Davis
 Scalar BCs per face: Dirichlet (prescribed wall value, ghost = 2*value -
 edge), adiabatic/zero-flux Neumann (ghost = edge), or periodic wrap --
 mirroring the velocity BC ghost conventions in bcs.py.
+
+Immersed obstacles (``body_bc``): the scalar composes with the staircase
+solid-cell mask. An ISOTHERMAL body (``ScalarBC.dirichlet(value)``) clamps
+solid cells to the body value, so the diffusive face flux at every
+fluid-solid interface is the first-order staircase Dirichlet flux
+``alpha (value - theta_fluid) / h`` (the same treatment class as the
+velocity staircase masks; the advective flux there is already zero because
+the face-normal velocity is masked). An ADIABATIC body
+(``ScalarBC.adiabatic()``) closes the diffusive flux on every fluid-solid
+face instead, making the discrete scalar budget exactly conservative
+around the body. Solid-cell values are frozen across the update either
+way (``freeze_body``). ``body_heat_flux`` integrates the interface fluxes
+-- the Nusselt-number diagnostic for heated-obstacle cases
+(cases/cylinder.py ``heated=True``).
 """
 
 from __future__ import annotations
@@ -72,6 +86,11 @@ class ScalarConfig:
       the momentum coupling (passive scalar).
     theta_ref: reference value subtracted inside the forcing.
     upwind_gamma: donor-cell blend for the advective flux (0 = central).
+    body_bc: scalar condition on an immersed obstacle's staircase surface
+      -- ``ScalarBC.dirichlet(v)`` (isothermal body at v) or
+      ``ScalarBC.adiabatic()`` (insulated body). REQUIRED when the
+      simulation carries a solid mask (Simulation.build raises otherwise:
+      silently diffusing through the body would be wrong physics).
     """
 
     bcs: ScalarBCTable
@@ -81,8 +100,16 @@ class ScalarConfig:
     upwind_gamma: float = 0.0
     # Initial scalar field (cell-centered array); None -> zeros.
     theta_init: Optional[Array] = None
+    body_bc: Optional[ScalarBC] = None
 
     def validate(self, grid: GridSpec) -> None:
+        if self.body_bc is not None and self.body_bc.kind not in (
+            ScalarBCKind.DIRICHLET, ScalarBCKind.NEUMANN
+        ):
+            raise ValueError(
+                "body_bc must be dirichlet (isothermal) or neumann "
+                "(adiabatic)"
+            )
         for a in range(grid.ndim):
             for side in (0, 1):
                 if (a, side) not in self.bcs:
@@ -127,11 +154,40 @@ def pad_scalar(grid: GridSpec, cfg: ScalarConfig, theta: Array) -> Array:
     return theta
 
 
+def _face_open(nd: int, solid: Array, a: int) -> Array:
+    """Fluid-face mask over the n+1 theta-faces along axis ``a``: a face
+    is open iff both adjacent cells are fluid (domain ghosts count as
+    fluid -- the domain scalar BCs govern those faces)."""
+    fluid = jnp.logical_not(solid)
+    pad = [(0, 0)] * nd
+    pad[a] = (1, 1)
+    fp = jnp.pad(fluid, pad, constant_values=True)
+    return jnp.logical_and(
+        fp[_sl(nd, a, slice(0, -1))], fp[_sl(nd, a, slice(1, None))]
+    )
+
+
+def freeze_body(cfg: ScalarConfig, theta: Array,
+                solid: Optional[Array]) -> Array:
+    """Clamp solid cells: to the body value (isothermal body) or to their
+    current value via the caller re-imposing after updates (adiabatic --
+    the caller passes the pre-update field through ``jnp.where``; here the
+    Dirichlet clamp is the only state change)."""
+    if solid is None or cfg.body_bc is None:
+        return theta
+    if cfg.body_bc.kind is ScalarBCKind.DIRICHLET:
+        return jnp.where(
+            solid, jnp.asarray(cfg.body_bc.value, theta.dtype), theta
+        )
+    return theta
+
+
 def scalar_rhs(
     grid: GridSpec,
     cfg: ScalarConfig,
     u: Sequence[Array],
     theta: Array,
+    solid: Optional[Array] = None,
 ) -> Array:
     """``-div(u theta) + alpha lap(theta)`` at cell centers.
 
@@ -140,10 +196,22 @@ def scalar_rhs(
     with donor-cell upwinding by ``upwind_gamma``); wall faces see the
     ghost-cell average, which reproduces the Dirichlet wall value exactly
     and a zero diffusive+advective wall flux for adiabatic walls (the
-    face-normal velocity there is 0 for solid walls).
+    face-normal velocity there is 0 for solid walls). The diffusive term
+    is assembled in the same face-flux form (identical to the 3-point
+    Laplacian where every face is open), so an immersed obstacle
+    (``solid`` + ``cfg.body_bc``) composes per face: an adiabatic body
+    closes the diffusive flux on fluid-solid faces; an isothermal body
+    keeps it open against the clamped solid-cell value (the first-order
+    staircase Dirichlet flux). Advective interface fluxes are zero either
+    way -- the face-normal velocity is masked at solid faces.
     """
     nd = grid.ndim
     h = grid.spacing
+    if solid is not None and cfg.body_bc is not None \
+            and cfg.body_bc.kind is ScalarBCKind.DIRICHLET:
+        theta = freeze_body(cfg, theta, solid)
+    close_body = (solid is not None and cfg.body_bc is not None
+                  and cfg.body_bc.kind is ScalarBCKind.NEUMANN)
     tp = pad_scalar(grid, cfg, theta)    # one ghost per side, every axis
     core = tuple(slice(1, -1) for _ in range(nd))
     out = jnp.zeros_like(theta)
@@ -162,20 +230,55 @@ def scalar_rhs(
             t_up = jnp.where(ua > 0.0, t_m, t_p)
             t_face = gamma * t_up + (1.0 - gamma) * t_face
         flux = ua * t_face
-        # advective: -(flux[i+1] - flux[i]) / h
-        d = (flux[_sl(nd, a, slice(1, None))]
-             - flux[_sl(nd, a, slice(0, -1))]) / h[a]
-        out = out - d
-        # diffusive: alpha * (t[i-1] - 2 t[i] + t[i+1]) / h^2
-        idx_c = list(core)
-        idx_lo = list(core)
-        idx_hi = list(core)
-        idx_lo[a] = slice(0, -2)
-        idx_hi[a] = slice(2, None)
-        lap = (tp[tuple(idx_lo)] - 2.0 * tp[tuple(idx_c)]
-               + tp[tuple(idx_hi)])
-        out = out + cfg.diffusivity * lap / (h[a] * h[a])
+        # diffusive face flux: alpha * (t_p - t_m) / h (flux form of the
+        # 3-point Laplacian; maskable per face)
+        dflux = cfg.diffusivity * (t_p - t_m) / h[a]
+        if close_body:
+            dflux = dflux * _face_open(nd, solid, a).astype(dflux.dtype)
+        net = dflux - flux
+        # d(theta)/dt += (net[i+1] - net[i]) / h
+        out = out + (net[_sl(nd, a, slice(1, None))]
+                     - net[_sl(nd, a, slice(0, -1))]) / h[a]
     return out
+
+
+def body_heat_flux(
+    grid: GridSpec,
+    cfg: ScalarConfig,
+    theta: Array,
+    solid: Array,
+) -> Array:
+    """Total diffusive flux from the body INTO the fluid (the integrated
+    staircase-surface heat flux): sum over fluid-solid interface faces of
+    ``alpha (theta_solid - theta_fluid) / h * face_area``. For an
+    isothermal body the solid side reads the body value (clamped). The
+    2D-cylinder mean Nusselt number is ``Q / (pi alpha dT)`` for diameter
+    D=1 (Nu = h_avg D / k with q' = h_avg dT pi D and k = alpha in the
+    nondimensional theta equation)."""
+    nd = grid.ndim
+    h = grid.spacing
+    theta = freeze_body(cfg, theta, solid)
+    fluid = jnp.logical_not(solid)
+    vol = 1.0
+    for a in range(nd):
+        vol = vol * h[a]
+    q = jnp.zeros((), theta.dtype)
+    for a in range(nd):
+        area = vol / h[a]
+        t_lo = theta[_sl(nd, a, slice(0, -1))]
+        t_hi = theta[_sl(nd, a, slice(1, None))]
+        s_lo = solid[_sl(nd, a, slice(0, -1))]
+        s_hi = solid[_sl(nd, a, slice(1, None))]
+        f_lo = fluid[_sl(nd, a, slice(0, -1))]
+        f_hi = fluid[_sl(nd, a, slice(1, None))]
+        # solid below / fluid above: flux into the upper (fluid) cell
+        up = jnp.logical_and(s_lo, f_hi).astype(theta.dtype) \
+            * (t_lo - t_hi)
+        # fluid below / solid above
+        dn = jnp.logical_and(f_lo, s_hi).astype(theta.dtype) \
+            * (t_hi - t_lo)
+        q = q + cfg.diffusivity * area / h[a] * jnp.sum(up + dn)
+    return q
 
 
 def buoyancy_forcing(

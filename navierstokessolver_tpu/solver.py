@@ -98,6 +98,10 @@ class Simulation:
     pallas_interpret: bool = False
     # Optional transported scalar + Boussinesq coupling (scalar.py).
     scalar: Optional[object] = None
+    # Solid-cell mask (bool, cell-centered) for the SCALAR's immersed-body
+    # treatment -- set when both a scalar and an obstacle are configured
+    # (scalar.body_bc selects isothermal/adiabatic; scalar.py module doc).
+    scalar_solid: Optional[Array] = None
     # Optional Smagorinsky LES closure (les.py): adds the subgrid stress
     # divergence to the predictor each stage. Unsharded 3D runs stream the
     # per-step eddy viscosity into the per-component fused predictor as a
@@ -159,6 +163,7 @@ class Simulation:
 
             if solid is None:
                 solid = ibm_mod.solid_from_sdf(grid, sdf)
+        scalar_solid = None
         if scalar is not None:
             scalar.validate(grid)
             per = bcs_mod.periodic_axes(grid, bcs)
@@ -169,6 +174,15 @@ class Simulation:
                     "Boussinesq buoyancy along a periodic axis is not "
                     "supported (the wrap predictor expects n-face forcing)"
                 )
+            if solid is not None and np.asarray(solid).any():
+                if scalar.body_bc is None:
+                    raise ValueError(
+                        "scalar transport with an obstacle needs "
+                        "scalar.body_bc (ScalarBC.dirichlet(v) for an "
+                        "isothermal body, ScalarBC.adiabatic() for an "
+                        "insulated one)"
+                    )
+                scalar_solid = jnp.asarray(np.asarray(solid), bool)
         dct_solver = None
         if params.poisson.method == "fft":
             from .ops import fft_poisson
@@ -240,6 +254,7 @@ class Simulation:
             mg_solver=mg_solver,
             dctcg_solver=dctcg_solver,
             scalar=scalar,
+            scalar_solid=scalar_solid,
             les=les,
             ibm=ibm_op,
         )
@@ -254,6 +269,12 @@ class Simulation:
             init = getattr(self.scalar, "theta_init", None)
             theta = (jnp.zeros(self.grid.shape, self.grid.dtype)
                      if init is None else jnp.asarray(init, self.grid.dtype))
+            if self.scalar_solid is not None:
+                from . import scalar as scalar_mod
+
+                theta = scalar_mod.freeze_body(
+                    self.scalar, theta, self.scalar_solid
+                )
         # extrapolating warm start carries p_prev through the scan (pytree
         # structure must be static, so it is populated from step 0)
         p_prev = st.p if self.params.poisson.extrapolate else None
@@ -1193,8 +1214,21 @@ class Simulation:
 
             with jax.named_scope("scalar"):
                 theta_new = state.theta + dt * scalar_mod.scalar_rhs(
-                    g, self.scalar, u_new, state.theta
+                    g, self.scalar, u_new, state.theta,
+                    solid=self.scalar_solid,
                 )
+                if self.scalar_solid is not None:
+                    # solid cells are frozen: clamped to the body value
+                    # (isothermal) or held at their previous value
+                    # (adiabatic -- no flux crosses the interface, so
+                    # their evolution is meaningless garbage)
+                    theta_new = jnp.where(
+                        self.scalar_solid,
+                        scalar_mod.freeze_body(
+                            self.scalar, state.theta, self.scalar_solid
+                        ),
+                        theta_new,
+                    )
         new_state = self._constrain(
             State(u=u_new, p=p, theta=theta_new, p_prev=p_prev_new)
         )
@@ -1231,6 +1265,7 @@ class Simulation:
             "face_masks": self.face_masks,
             "corr_masks": self.corr_masks,
             "forcing": self.forcing,
+            "scalar_solid": self.scalar_solid,
         }
         if self.forcing is not None and any(
             callable(f) for f in self.forcing
@@ -1327,6 +1362,7 @@ class Simulation:
             face_masks=c["face_masks"],
             corr_masks=c["corr_masks"],
             forcing=self.forcing if c["forcing"] is None else c["forcing"],
+            scalar_solid=c.get("scalar_solid", self.scalar_solid),
             dct_solver=dct,
             dctcg_solver=dctcg,
             mg_solver=mg,

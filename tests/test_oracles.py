@@ -229,3 +229,29 @@ def test_cut_cell_cd_self_convergence():
         assert 1.4 < cd < 2.4, (cd_sharp_c, cd_sharp_f)
     assert abs(cd_sharp_c - cd_sharp_f) < 0.12 * cd_sharp_f, \
         (cd_sharp_c, cd_sharp_f)
+
+
+def test_heated_cylinder_nusselt():
+    """Forced convection from an isothermal cylinder at Re=20, Pr=0.7
+    (steady twin-vortex regime): mean Nusselt number vs the
+    Churchill-Bernstein correlation (~2.46; Dennis, Hudson & Smith 1968
+    numerical: ~2.41). The staircase interface at 16 cells/diameter and
+    the 12.5% lateral blockage bound the accuracy, so the bracket is
+    generous; the number must land in the physically right regime (an
+    unheated answer would be 0, a conduction-only answer ~1)."""
+    case = make_case("heated_cylinder", shape=(256, 128), re=20.0,
+                     poisson_method="mg")
+    sim = case.sim
+    st = _run_to_steady(sim, sim.initial_state(), t_end=60.0)
+    from navierstokessolver_tpu.scalar import body_heat_flux
+
+    q = float(body_heat_flux(sim.grid, sim.scalar, st.theta,
+                             sim.scalar_solid))
+    alpha = sim.scalar.diffusivity
+    nu_mean = q / (np.pi * alpha)      # D = 1, dT = 1
+    assert 1.9 < nu_mean < 3.2, nu_mean
+    # the thermal wake is downstream and bounded
+    th = np.asarray(st.theta)
+    assert th.max() <= 1.001 and th.min() >= -0.01
+    x_c = int(4.0 / 16.0 * 256)        # cylinder center column
+    assert th[x_c + 40, 64] > th[x_c - 40, 64]  # wake hotter than upstream

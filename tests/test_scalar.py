@@ -183,3 +183,124 @@ def test_heated_cavity_3d_smoke():
     # buoyancy drives vertical motion (last axis) near the hot wall
     assert float(jnp.max(jnp.abs(st.u[2]))) > 1e-2
     assert float(d.max_div[-1]) < 1e-5
+
+
+# -- scalar + immersed obstacle (body_bc) ------------------------------------
+
+
+def test_body_bc_required_with_obstacle():
+    """scalar + solid mask without body_bc is wrong physics (diffusion
+    through the body) -- build() refuses it loudly."""
+    case = make_case("cylinder", shape=(64, 32), re=20.0,
+                     poisson_method="mg")
+    sim0 = case.sim
+    cfg = _adiabatic_cfg(1e-2)
+    import re as re_mod
+
+    solid = np.zeros((64, 32), bool)
+    solid[28:36, 12:20] = True
+    with pytest.raises(ValueError, match=re_mod.escape("body_bc")):
+        Simulation.build(sim0.grid, sim0.bcs, sim0.params, solid=solid,
+                         scalar=cfg)
+
+
+def test_adiabatic_body_conserves_and_freezes():
+    """Insulated block in a stirred cavity: every fluid-solid diffusive
+    flux is closed and the advective interface fluxes are zero (masked
+    velocity), so sum(theta) stays exactly conserved; the (meaningless)
+    solid-cell values are frozen."""
+    case = make_case("cavity", shape=(32, 32), re=100.0,
+                     poisson_method="mg")
+    sim0 = case.sim
+    x = (np.arange(32) + 0.5) / 32
+    blob = np.exp(-((x[:, None] - 0.25) ** 2
+                    + (x[None, :] - 0.6) ** 2) / 0.02)
+    cfg = _adiabatic_cfg(
+        5e-3, theta_init=blob.astype(np.float32),
+        body_bc=ScalarBC.adiabatic(),
+    )
+    solid = np.zeros((32, 32), bool)
+    solid[14:20, 14:20] = True
+    sim = Simulation.build(sim0.grid, sim0.bcs, sim0.params, solid=solid,
+                           scalar=cfg)
+    st = sim.initial_state()
+    total0 = float(jnp.sum(st.theta))
+    frozen0 = np.asarray(st.theta)[solid]
+    st, d = sim.run_scan(st, 300)
+    th = np.asarray(st.theta)
+    assert np.isfinite(th).all()
+    np.testing.assert_allclose(float(jnp.sum(st.theta)), total0, rtol=1e-5)
+    np.testing.assert_array_equal(th[solid], frozen0)
+    # the stirred fluid did change
+    assert np.max(np.abs(th - blob)) > 1e-3
+
+
+def test_isothermal_body_steady_profile_and_flux():
+    """Pure diffusion between a cold wall (theta=0 Dirichlet at x=0) and a
+    hot solid slab (body theta=1 occupying x > 0.75): the exact discrete
+    steady state is LINEAR through cell centers from 0 at the wall to 1 at
+    the first solid cell center, and body_heat_flux equals the analytic
+    alpha * A / x_s."""
+    nx, ny = 32, 8
+    g = GridSpec(shape=(nx, ny), lengths=(1.0, 0.25))
+    bcs = no_slip_box(g)
+    alpha = 0.1
+    cfg = ScalarConfig(
+        bcs={
+            (0, 0): ScalarBC.dirichlet(0.0),
+            (0, 1): ScalarBC.adiabatic(),
+            (1, 0): ScalarBC.adiabatic(),
+            (1, 1): ScalarBC.adiabatic(),
+        },
+        diffusivity=alpha,
+        body_bc=ScalarBC.dirichlet(1.0),
+    )
+    solid = np.zeros((nx, ny), bool)
+    k = 24
+    solid[k:, :] = True
+    params = SimParams(
+        dt=2e-3, nu=1e-2,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=50),
+    )
+    sim = Simulation.build(g, bcs, params, solid=solid, scalar=cfg)
+    st = sim.initial_state()
+    # isothermal clamp applied from step 0
+    np.testing.assert_array_equal(np.asarray(st.theta)[solid], 1.0)
+    st, d = sim.run_scan(st, 4000)     # t = 8 >> L^2/alpha ~ 3.1
+    th = np.asarray(st.theta)
+    h = 1.0 / nx
+    x_s = (k + 0.5) * h                # first solid cell center
+    x = (np.arange(k) + 0.5) * h
+    expected = x / x_s
+    np.testing.assert_allclose(th[:k, 3], expected, atol=2e-3)
+    from navierstokessolver_tpu.scalar import body_heat_flux
+
+    q = float(body_heat_flux(g, cfg, st.theta, jnp.asarray(solid)))
+    hy = 0.25 / ny
+    a_interface = ny * hy              # total interface length
+    q_exact = alpha * a_interface / x_s
+    np.testing.assert_allclose(q, q_exact, rtol=5e-3)
+
+
+def test_heated_cylinder_smoke():
+    """Forced convection from an isothermal cylinder: bounded temperature,
+    clamped body, positive heat flux into the stream."""
+    case = make_case("heated_cylinder", shape=(64, 32), re=20.0,
+                     poisson_method="mg")
+    sim = case.sim
+    assert sim.scalar_solid is not None
+    st = sim.initial_state()
+    st, d = sim.run_scan(st, 120)
+    th = np.asarray(st.theta)
+    solid = np.asarray(sim.scalar_solid)
+    assert np.isfinite(th).all()
+    assert th.min() >= -0.05 and th.max() <= 1.05
+    np.testing.assert_array_equal(th[solid], 1.0)
+    from navierstokessolver_tpu.scalar import body_heat_flux
+
+    q = float(body_heat_flux(sim.grid, sim.scalar, st.theta,
+                             sim.scalar_solid))
+    assert q > 0.0
+    # relative-L2 poisson tol on a 4-cells-per-diameter grid: the absolute
+    # max-divergence floor is coarse here
+    assert float(d.max_div[-1]) < 1e-2

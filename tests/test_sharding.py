@@ -154,3 +154,25 @@ def test_tracers_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(pos_sh), np.asarray(pos_ref), atol=1e-5
     )
+
+
+@requires_8
+def test_heated_cylinder_sharded_matches_single_device():
+    """scalar + immersed obstacle under GSPMD: the scalar_solid mask and
+    the masked interface fluxes shard transparently; the sharded
+    trajectory (theta included) matches the single-device run."""
+    case = make_case("heated_cylinder", shape=(64, 32), re=20.0,
+                     poisson_method="mg")
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 20)
+    mesh = make_mesh(4)
+    sim_sh = sharded_simulation(sim, mesh)
+    out, _ = sim_sh.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 20
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=5e-5
+    )
