@@ -122,10 +122,21 @@ def predictor_3d_sharded(
     upwind_gamma: float = 0.0,
     tile: int = None,
     interpret: bool = False,
+    les_scale: float = None,
 ) -> tuple[Array, Array, Array]:
     """Sharded fused 3D predictor; same contract as predictor_3d (boundary
     faces -- including each dropped global face row, re-appended here as
-    zeros -- carry garbage for the caller's BC pass to overwrite)."""
+    zeros -- carry garbage for the caller's BC pass to overwrite).
+
+    ``les_scale`` (static-Smagorinsky ``cs^2 Delta^2``) switches on the
+    in-kernel LES subgrid-stress term under sharding: each shard computes
+    its LOCAL eddy viscosity with the nu_t Pallas kernel over the SAME
+    halo-refreshed canon windows (the 1-plane velocity aprons are exactly
+    the support the collocated strain needs), then the nu_t ghost planes
+    ride one more ppermute pair per sharded axis -- exchanged in axis
+    order on the progressively EXTENDED array, so corner ghosts (which the
+    off-diagonal stress edge-averages read) carry the true diagonal-
+    neighbor values, matching the unsharded nt_canon_3d exactly."""
     from .sharding import SPATIAL_AXES
 
     from ..bcs import periodic_axes
@@ -152,7 +163,14 @@ def predictor_3d_sharded(
         T, NP0, S1, L2, shape_pad = pk._canon_dims_3d(local_grid, tile)
         for c in range(3):
             x = ul[c][:, :, :-1] if c == 2 else ul[c]
-            for ax in (0, 1):
+            # own axis FIRST: the trimmed boundary face must be
+            # reconstructed on the RAW block, so the subsequent transverse
+            # ghosting covers the face column too (the unsharded canon's
+            # transverse ghosts are reflections OF the face values; filling
+            # the Dirichlet value into already-ghosted rows would differ
+            # exactly at the corners the LES off-diagonal stress reads)
+            axes = (1, 0) if c == 1 else (0, 1)
+            for ax in axes:
                 if not sharded[ax]:
                     if ax == c:
                         if per[ax]:
@@ -212,8 +230,47 @@ def predictor_3d_sharded(
                 x, [(0, shape_pad[d] - x.shape[d]) for d in range(3)]
             )
             canon.append(x)
+        nt_canon = None
+        if les_scale is not None:
+            nu_t = pk.nu_t_3d_from_canon(
+                local_grid, bcs, canon, les_scale, T, interpret
+            )
+            x = nu_t
+            for ax in (0, 1):
+                if sharded[ax]:
+                    name, nd_ = names[ax], sizes[ax]
+                    lo_sl = [slice(None)] * 3
+                    lo_sl[ax] = slice(0, 1)
+                    hi_sl = [slice(None)] * 3
+                    hi_sl[ax] = slice(-1, None)
+                    # replicate (zero-normal-gradient) at true domain
+                    # boundaries, neighbor edge plane at shard seams,
+                    # wraparound ring on periodic axes -- the exchanged
+                    # plane is of the ALREADY-extended array, so stage-2
+                    # ghosts carry stage-1's row ghosts at the corners
+                    lo = _ghost_plane(
+                        x, ax, 0, name, nd_, x[tuple(lo_sl)], per[ax]
+                    )
+                    hi = _ghost_plane(
+                        x, ax, 1, name, nd_, x[tuple(hi_sl)], per[ax]
+                    )
+                    x = jnp.concatenate([lo, x, hi], axis=ax)
+                else:
+                    from ..bcs import _face_slice
+
+                    if per[ax]:
+                        lo = _face_slice(x, ax, slice(-1, None))
+                        hi = _face_slice(x, ax, slice(0, 1))
+                    else:
+                        lo = _face_slice(x, ax, slice(0, 1))
+                        hi = _face_slice(x, ax, slice(-1, None))
+                    x = jnp.concatenate([lo, x, hi], axis=ax)
+            nt_canon = jnp.pad(
+                x, [(0, shape_pad[d] - x.shape[d]) for d in range(3)]
+            )
         res = pk.predictor_3d_from_canon(
-            local_grid, bcs, canon, dt, nu, upwind_gamma, T, interpret
+            local_grid, bcs, canon, dt, nu, upwind_gamma, T, interpret,
+            nt_canon=nt_canon,
         )
         # drop the shared face at each internal boundary (owned by the
         # lower shard) to keep blocks even

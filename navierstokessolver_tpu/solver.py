@@ -103,10 +103,12 @@ class Simulation:
     # (scalar.body_bc selects isothermal/adiabatic; scalar.py module doc).
     scalar_solid: Optional[Array] = None
     # Optional Smagorinsky LES closure (les.py): adds the subgrid stress
-    # divergence to the predictor each stage. Unsharded 3D runs stream the
-    # per-step eddy viscosity into the per-component fused predictor as a
-    # fourth operand (_pallas_les_ok); the whole-step fused paths stay off
-    # by measurement (docs/KERNELS.md "LES through the fused predictor").
+    # divergence to the predictor each stage. 3D runs stream the per-step
+    # eddy viscosity into the per-component fused predictor as a fourth
+    # operand (_pallas_les_ok; sharded static-Smagorinsky runs too via
+    # _pallas_les_sharded_ok -- the nu_t ghost planes ride extra ppermute
+    # pairs); the whole-step fused paths stay off by measurement
+    # (docs/KERNELS.md "LES through the fused predictor").
     les: Optional[object] = None
     # Optional sharp-interface immersed boundary (ibm.py): direct forcing
     # on the first fluid face ring before each projection. Layers on top
@@ -1000,6 +1002,31 @@ class Simulation:
 
         return pallas_kernels.predictor_3d_applicable(self.grid, self.bcs)
 
+    def _pallas_les_sharded_ok(self) -> bool:
+        """SHARDED LES-through-the-kernel gate: the sharded fused
+        predictor (parallel/pallas_sharded.py) streams the per-shard
+        eddy viscosity as a fourth canonical operand, with the nu_t ghost
+        planes riding one extra ppermute pair per sharded axis. Static
+        Smagorinsky only (the dynamic model's test filter + global
+        least-squares reductions stay on the jnp path)."""
+        if self.shardings is None or self.grid.ndim != 3:
+            return False
+        if self.les is None or self.les.model != "smagorinsky":
+            return False
+        use = self.params.use_pallas
+        if use is None:
+            use = (
+                jax.default_backend() == "tpu"
+                and not self.pallas_interpret
+            )
+        if not use or self.diff_solve:
+            return False
+        from .parallel.pallas_sharded import predictor_3d_sharded_applicable
+
+        return predictor_3d_sharded_applicable(
+            self.grid, self.bcs, self.shardings.p.mesh
+        )
+
     def _predict(self, u, dt, forcing=None):
         """``u* = u + dt * RHS_adv_diff(u) [+ forcing]``, BC-applied."""
         g, b, pr = self.grid, self.bcs, self.params
@@ -1033,6 +1060,18 @@ class Simulation:
                     g, b, canon, dt, pr.nu, pr.upwind_gamma,
                     interpret=self.pallas_interpret,
                     nt_canon=pallas_kernels.nt_canon_3d(g, b, nu_t),
+                )
+                return bcs_mod.apply_velocity_bcs(
+                    g, b, u_star, self.face_masks
+                )
+            if forcing is None and self._pallas_les_sharded_ok():
+                from .parallel.pallas_sharded import predictor_3d_sharded
+
+                cfg = self.les
+                u_star = predictor_3d_sharded(
+                    g, b, self.shardings.p.mesh, u, dt, pr.nu,
+                    pr.upwind_gamma, interpret=self.pallas_interpret,
+                    les_scale=cfg.cs * cfg.cs * cfg.filter_width(g) ** 2,
                 )
                 return bcs_mod.apply_velocity_bcs(
                     g, b, u_star, self.face_masks

@@ -180,3 +180,64 @@ def test_taylor_green3d_sharded_end_to_end():
             np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
         )
     assert float(d.max_div[-1]) < 1e-5
+
+
+@requires_8
+@pytest.mark.parametrize("mesh_shape", [(4,), (2, 2)])
+def test_sharded_les_predictor_matches_unsharded(mesh_shape):
+    """Static-Smagorinsky nu_t streamed through the SHARDED fused
+    predictor: the per-shard nu_t kernel runs over the halo-refreshed
+    canon windows and its ghost planes ride extra ppermute pairs
+    (corners included -- the off-diagonal stress edge-averages read
+    them); matches the unsharded LES kernel path exactly."""
+    g = GridSpec(shape=(32, 16, 8), lengths=(2.0, 1.0, 0.5))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.wall((0.0, 1.0, 0.0))
+    u = _random_state(g, bcs, seed=2)
+    dt, nu, gamma = 1e-3, 0.01, 0.2
+    scale = 0.17 ** 2 * float(np.prod(g.spacing)) ** (2.0 / 3.0)
+    nu_t = pk.nu_t_3d_from_canon(
+        g, bcs, pk.build_canon_3d(g, bcs, u), scale, interpret=True
+    )
+    ref = pk.predictor_3d(g, bcs, u, dt, nu, gamma, interpret=True,
+                          nu_t=nu_t)
+    mesh = make_mesh(mesh_shape)
+    got = predictor_3d_sharded(g, bcs, mesh, u, dt, nu, gamma,
+                               interpret=True, les_scale=scale)
+    interior = tuple(slice(1, -1) for _ in range(3))
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got[a])[interior], np.asarray(ref[a])[interior],
+            atol=1e-6,
+        )
+
+
+@requires_8
+def test_sharded_les_solver_end_to_end():
+    """Solver-level: a sharded static-Smagorinsky cavity run through the
+    Pallas LES predictor (_pallas_les_sharded_ok) matches the
+    single-device jnp LES trajectory."""
+    from navierstokessolver_tpu.les import LESConfig
+
+    case = make_case("cavity3d", shape=(16, 16, 16), re=500.0,
+                     poisson_method="mg")
+    sim0 = case.sim
+    from navierstokessolver_tpu.solver import Simulation
+
+    sim = Simulation.build(sim0.grid, sim0.bcs, sim0.params,
+                           les=LESConfig(cs=0.17))
+    ref, _ = sim.run_scan(sim.initial_state(), 10)
+
+    mesh = make_mesh((2, 2))
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_sp = sharded_simulation(
+        dataclasses.replace(sim, params=params, pallas_interpret=True), mesh
+    )
+    assert sim_sp._pallas_les_sharded_ok()
+    out, _ = sim_sp.run_scan(
+        shard_state(sim.initial_state(), mesh, sim.grid), 10
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-6
+        )
