@@ -2406,7 +2406,17 @@ def _fused_corr_kernel(
     Diagnostics mask the garbage rows/sublanes/lanes beyond the physical
     extents. The margin stripe (j == G) zero-fills.
     """
-    if masked:
+    if masked and thermal:
+        # heated-obstacle composition: the ISOTHERMAL body's theta is
+        # clamped by the wrapper, so the flux-form update needs no extra
+        # in-kernel masking (advective interface fluxes ride the already-
+        # masked velocities; the diffusive flux against clamped solid
+        # cells IS the staircase Dirichlet flux -- scalar.scalar_rhs)
+        (th_hbm, c0_hbm, c1_hbm, c2_hbm, fc_hbm,
+         out0, out1, out2, th_out, divmax_ref, velmax_ref,
+         s0, s1, s2, sp, sth, sthlo, sems,
+         cs0, cs1, cs2, cfs, csems) = rest
+    elif masked:
         (c0_hbm, c1_hbm, c2_hbm, fc_hbm,
          out0, out1, out2, divmax_ref, velmax_ref,
          s0, s1, s2, sp, sems, cs0, cs1, cs2, cfs, csems) = rest
@@ -2525,9 +2535,17 @@ def _fused_corr_kernel(
                 (c0w[:, :S0] & CORR_OK_3D) != 0, u0n, u0s)
         grow = _ax_iota(u0n.shape, 0) + j * T
         if halo:
+            # the last shard's domain boundary face: Dirichlet faces are
+            # preserved from u*; an axis-0 HI OUTFLOW face takes the
+            # zero-gradient copy of the CORRECTED inner face (in-register
+            # one row up) -- matching the jnp step's post-correction BC
+            # re-application, so the theta flux and the divergence
+            # diagnostic at the last cell row see the true face value
+            hi_val = (jnp.roll(u0n, 1, axis=0)
+                      if own[(0, 1)][0] == "copy" else u0s)
             u0n = jnp.where(
-                ((grow == 0) & is_first) | ((grow == n0) & is_last),
-                u0s, u0n,
+                (grow == 0) & is_first, u0s,
+                jnp.where((grow == n0) & is_last, hi_val, u0n),
             )
         elif not per[0]:
             u0n = jnp.where((grow == 0) | (grow == n0), u0s, u0n)
@@ -2642,6 +2660,16 @@ def _fused_corr_kernel(
 
             # axis 0: fluxes at faces k (cells k-1,k) and k+1 (cells k,k+1)
             u0f = u0n[:, :S0w]
+            if hi0_copy:
+                # axis-0 HI outflow: the zero-gradient copy onto face n0
+                # happens in the POST-kernel fixup (it can cross a stripe
+                # boundary), but the stripe owning cell n0-1 has the
+                # CORRECTED inner face in-register one row up -- patch it
+                # here so the theta flux at face n0 uses the true copy
+                # (convective outlets never reach the thermal kernel:
+                # solver gate + wrapper assert)
+                gf = _ax_iota(u0f.shape, 0) + j * T
+                u0f = jnp.where(gf == n0, jnp.roll(u0f, 1, axis=0), u0f)
             f_lo0 = u0f[:T] * face_th(th_m0, thc, u0f[:T])
             f_hi0 = u0f[1:T + 1] * face_th(thc, th_p0, u0f[1:T + 1])
             adv = (f_hi0 - f_lo0) * (1.0 / h[0])
@@ -2854,8 +2882,16 @@ def correct_diag_3d_internal(
     hi0_copy = hi0_kind in ("copy", "conv")
     thermal = theta is not None
     if thermal:
-        assert not (masked or hi0_copy), \
-            "fused thermal: no obstacles, no axis-0 HI outflow"
+        # masked composes for ISOTHERMAL bodies only: the caller clamps
+        # theta in solid cells to the body value before AND after the
+        # step (solver gate: scalar.body_bc is DIRICHLET), so the lap
+        # term against solid neighbors is the staircase Dirichlet flux
+        # and the advective interface fluxes ride the masked velocities.
+        # Axis-0 HI OUTFLOW composes too: the theta flux at face n0 uses
+        # the in-register corrected-inner-face copy (kernel patch above);
+        # convective transport stays out (its face update needs the held
+        # face + dt, and the solver gates conv + scalar off anyway).
+        assert hi0_kind != "conv", "fused thermal: no convective outlet"
         thg = theta_ghost_table(scalar_cfg, 3)
         assert thg is not None
         if not halo:

@@ -457,11 +457,28 @@ class Simulation:
             if pallas_kernels.theta_ghost_table(self.scalar, 3) is None:
                 return False
             if self.face_masks is not None or self.corr_masks is not None:
-                return False
-            if self.bcs[(0, 1)].kind is bcs_mod.BCKind.OUTFLOW:
-                # theta's axis-0 flux at face n0 would read the pre-fixup
-                # outflow face inside the kernel
-                return False
+                # heated obstacles compose for ISOTHERMAL bodies with a
+                # PASSIVE scalar: the wrapper clamps theta in solid cells
+                # to the body value around the corrector kernel, so the
+                # in-kernel flux-form update needs no extra masking (the
+                # predictor never streams a passive theta, so its
+                # masked-thermal gate is never hit). Buoyant (natural-
+                # convection) obstacle runs and adiabatic bodies keep the
+                # jnp step.
+                from .scalar import ScalarBCKind
+
+                body = getattr(self.scalar, "body_bc", None)
+                if (self.scalar_solid is None or body is None
+                        or body.kind is not ScalarBCKind.DIRICHLET
+                        or self.ibm is not None
+                        or (self.scalar.buoyancy
+                            and any(b != 0.0
+                                    for b in self.scalar.buoyancy))):
+                    return False
+            # axis-0 HI OUTFLOW composes (round 3): the corrector kernel
+            # patches the theta flux at face n0 with the in-register
+            # corrected-inner-face copy, so heated spheres in crossflow
+            # ride the whole-step path
         if ((self.face_masks is not None or self.corr_masks is not None)
                 and any(bcs_mod.periodic_axes(self.grid, self.bcs))):
             return False
@@ -897,6 +914,20 @@ class Simulation:
             )
             if thermal:
                 iu_new, max_div, max_vel, theta_new = corr
+                if self.scalar_solid is not None:
+                    # isothermal body: re-clamp solid cells to the body
+                    # value (the kernel's flux update wrote garbage
+                    # there; the clamp maintains the invariant the next
+                    # step's diffusive interface flux relies on)
+                    solid_i = pallas_kernels.pad_theta_3d(
+                        g, self.scalar_solid, tile
+                    )
+                    theta_new = jnp.where(
+                        solid_i,
+                        jnp.asarray(self.scalar.body_bc.value,
+                                    theta_new.dtype),
+                        theta_new,
+                    )
             else:
                 iu_new, max_div, max_vel = corr
                 theta_new = istate.theta

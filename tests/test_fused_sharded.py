@@ -538,3 +538,48 @@ def test_pencil_fused_thermal_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
     )
+
+
+@requires_8
+def test_sharded_fused_thermal_outflow_face_exact():
+    """Scalar transport + axis-0 HI OUTFLOW under sharding: the last
+    shard's outflow face takes the zero-gradient copy of the CORRECTED
+    inner face in-kernel (a pre-correction copy leaked a growing theta
+    error at the outlet row before round 3), so theta matches the
+    single-device jnp trajectory to roundoff."""
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.scalar import ScalarBC, ScalarConfig
+    from navierstokessolver_tpu.solver import (
+        PoissonConfig, SimParams, Simulation,
+    )
+
+    g = GridSpec(shape=(32, 16, 16), lengths=(2.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 0)] = BCSpec.inflow((1.0, 0.0, 0.0))
+    bcs[(0, 1)] = BCSpec.outflow()
+    scfg = ScalarConfig(
+        bcs={(a, s): (ScalarBC.dirichlet(1.0) if (a, s) == (1, 0)
+                      else ScalarBC.adiabatic())
+             for a in range(3) for s in (0, 1)},
+        diffusivity=5e-3, upwind_gamma=0.2,
+    )
+    params = SimParams(
+        dt=2e-3, nu=5e-3, upwind_gamma=0.2,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=60),
+    )
+    sim = Simulation.build(g, bcs, params, scalar=scfg)
+    ref, _ = sim.run_scan(sim.initial_state(), 16)
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, _ = sim_sp.run_scan(
+        shard_state(sim.initial_state(), mesh, sim.grid), 16
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=5e-7
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=1e-6
+        )

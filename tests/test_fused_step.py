@@ -885,3 +885,133 @@ def test_kolmogorov_3d_fused_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(got.u[c]), np.asarray(ref.u[c]), atol=5e-5
         )
+
+
+def test_fused3d_heated_obstacle_matches_reference():
+    """Heated (isothermal) obstacle through the fused 3D path: a passive
+    scalar + solid block in a driven closed box. The corrector kernel's
+    masked+thermal operand combination does the flux-form theta update
+    against the clamped solid cells (staircase Dirichlet interface flux);
+    the wrapper re-clamps the body each step. Matches the jnp path."""
+    from navierstokessolver_tpu.scalar import ScalarBC, ScalarConfig
+    from navierstokessolver_tpu.solver import (
+        PoissonConfig, SimParams, Simulation,
+    )
+
+    g = GridSpec(shape=(16, 16, 16), lengths=(1.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(0, 1)] = BCSpec.wall((0.0, 0.4, 0.0))   # stirred lid
+    solid = np.zeros((16, 16, 16), bool)
+    solid[6:10, 6:10, 6:10] = True
+    scfg = ScalarConfig(
+        bcs={(a, s): (ScalarBC.dirichlet(0.0) if (a, s) == (1, 0)
+                      else ScalarBC.adiabatic())
+             for a in range(3) for s in (0, 1)},
+        diffusivity=2e-3,
+        upwind_gamma=0.3,
+        body_bc=ScalarBC.dirichlet(1.0),
+    )
+    params = SimParams(
+        dt=2e-3, nu=5e-3, upwind_gamma=0.3,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=60),
+    )
+    sim_ref = Simulation.build(g, bcs, params, solid=solid, scalar=scfg)
+    assert sim_ref.face_masks is not None and sim_ref.scalar_solid is not None
+    p_fused = dataclasses.replace(params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        Simulation.build(g, bcs, p_fused, solid=solid, scalar=scfg),
+        pallas_interpret=True,
+    )
+    assert sim_fused._fused3d_ok()
+
+    st = sim_ref.initial_state()
+    assert np.all(np.asarray(st.theta)[solid] == 1.0)
+    a, da = sim_ref.run_scan(st, 6)
+    b, db_ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.theta), np.asarray(a.theta), rtol=2e-5, atol=2e-6
+    )
+    # the body stayed clamped and heat actually diffused out
+    th = np.asarray(b.theta)
+    assert np.all(th[solid] == 1.0)
+    assert float(th[5, 8, 8]) > 1e-4
+    np.testing.assert_allclose(
+        float(db_.max_div[-1]), float(da.max_div[-1]), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_fused3d_heated_obstacle_gates():
+    """Adiabatic bodies and buoyant (natural-convection) obstacle runs
+    keep the jnp step -- only the isothermal passive composition opens
+    the fused gate."""
+    from navierstokessolver_tpu.scalar import ScalarBC, ScalarConfig
+    from navierstokessolver_tpu.solver import (
+        PoissonConfig, SimParams, Simulation,
+    )
+
+    g = GridSpec(shape=(16, 16, 16), lengths=(1.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    solid = np.zeros((16, 16, 16), bool)
+    solid[6:10, 6:10, 6:10] = True
+    params = SimParams(
+        dt=2e-3, nu=5e-3,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=60),
+        use_pallas=True,
+    )
+
+    def build(body, buoy=()):
+        scfg = ScalarConfig(
+            bcs={(a, s): ScalarBC.adiabatic()
+                 for a in range(3) for s in (0, 1)},
+            diffusivity=2e-3, body_bc=body, buoyancy=buoy,
+        )
+        return dataclasses.replace(
+            Simulation.build(g, bcs, params, solid=solid, scalar=scfg),
+            pallas_interpret=True,
+        )
+
+    assert build(ScalarBC.dirichlet(1.0))._fused3d_ok()
+    assert not build(ScalarBC.adiabatic())._fused3d_ok()
+    assert not build(ScalarBC.dirichlet(1.0),
+                     buoy=(0.0, 0.0, 1.0))._fused3d_ok()
+
+
+def test_fused3d_heated_sphere_outflow_matches_reference():
+    """Heated sphere in crossflow: passive scalar + obstacle + axis-0 HI
+    OUTFLOW through the fused path. The theta flux at face n0 uses the
+    in-register corrected-inner-face copy (kernel patch); trajectory
+    matches the jnp step."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("sphere", shape=(16, 16, 16), lengths=(8.0, 8.0, 8.0),
+                     center=(2.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg", heated=True, re=50.0)
+    sim_ref = case.sim
+    assert sim_ref.scalar_solid is not None
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+    st = impulsive_start_state(sim_ref)
+    st = dataclasses.replace(st, theta=sim_ref.initial_state().theta)
+    a, da = sim_ref.run_scan(st, 6)
+    b, db_ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.theta), np.asarray(a.theta), rtol=2e-5, atol=2e-6
+    )
+    th = np.asarray(b.theta)
+    solid = np.asarray(sim_ref.scalar_solid)
+    assert np.all(th[solid] == 1.0)
+    # thermal wake advects downstream of the body
+    assert th[8:, 8, 8].max() > 1e-3
