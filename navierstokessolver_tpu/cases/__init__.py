@@ -21,6 +21,9 @@ Beyond the BASELINE set:
                          semi-discrete oracle; time-dependent forcing
   heated_cylinder     -- forced convection from an isothermal cylinder
                          (scalar + obstacle); Churchill-Bernstein Nu oracle
+  heated_enclosure    -- natural convection from a hot cylinder in a cold
+                         box (scalar + obstacle + buoyancy); exact energy-
+                         balance oracle
 
 Each builder accepts overrides so tests can shrink grids.
 """
@@ -42,7 +45,11 @@ from .channel import (
     build_pulsatile_channel,
     build_duct_periodic,
 )
-from .convection import build_heated_cavity, build_rayleigh_benard
+from .convection import (
+    build_heated_cavity,
+    build_heated_enclosure,
+    build_rayleigh_benard,
+)
 from .cylinder import build_cylinder, build_sphere
 from .kolmogorov import build_kolmogorov
 from .taylor_green import build_taylor_green, build_taylor_green3d
@@ -81,6 +88,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
     "taylor_green": build_taylor_green,
     "taylor_green3d": build_taylor_green3d,
     "heated_cavity": build_heated_cavity,
+    "heated_enclosure": build_heated_enclosure,
     "rayleigh_benard": build_rayleigh_benard,
     "decaying_turbulence": build_decaying_turbulence,
     "kolmogorov": build_kolmogorov,

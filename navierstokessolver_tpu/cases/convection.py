@@ -163,3 +163,100 @@ def build_rayleigh_benard(
         suggested_steps=int(round(60.0 / dt)),
         description=f"Rayleigh-Benard Ra={ra:g} Pr={pr} {shape}",
     )
+
+
+def build_heated_enclosure(
+    shape=(64, 64),
+    ra: float = 1e4,
+    pr: float = 0.71,
+    diameter: float = 0.4,
+    center=(0.5, 0.5),
+    dt: float | None = None,
+    poisson_method: str = "mg",
+    poisson_tol: float = 1e-5,
+    poisson_iters: int = 2000,
+    upwind_gamma: float = 0.0,
+    **params_kw,
+):
+    """Natural convection from a hot inner cylinder in a cold square
+    enclosure (the Moukalled-Acharya / Kim et al. configuration): no-slip
+    cold walls (theta = 0), isothermal immersed body (theta = 1),
+    Boussinesq buoyancy along +y. Nondimensionalized on the enclosure
+    side L with the buoyancy velocity scale (g beta = 1, nu =
+    sqrt(Pr/Ra), alpha = 1/sqrt(Ra Pr) -- Ra is the SIDE-based Rayleigh
+    number). Exercises scalar + obstacle + buoyancy together; the
+    steady-state oracle is the exact discrete energy balance: body heat
+    flux == cold-wall heat flux (tests/test_scalar.py)."""
+    from . import Case
+    from ..scalar import ScalarBC, ScalarConfig
+    from .cylinder import cylinder_mask
+
+    nd = len(shape)
+    grid = GridSpec(shape=tuple(shape), lengths=(1.0,) * nd)
+    nu = math.sqrt(pr / ra)
+    alpha = 1.0 / math.sqrt(ra * pr)
+    zeros = (0.0,) * nd
+    bcs = {(a, s): BCSpec.wall(zeros) for a in range(nd) for s in (0, 1)}
+    solid = cylinder_mask(grid, center, diameter / 2.0)
+    buoy = tuple(1.0 if a == nd - 1 else 0.0 for a in range(nd))
+    scalar = ScalarConfig(
+        bcs={(a, s): ScalarBC.dirichlet(0.0)
+             for a in range(nd) for s in (0, 1)},
+        diffusivity=alpha,
+        buoyancy=buoy,
+        theta_ref=0.0,
+        upwind_gamma=upwind_gamma,
+        body_bc=ScalarBC.dirichlet(1.0),
+    )
+    if dt is None:
+        h = min(grid.spacing)
+        dmax = max(nu, alpha)
+        dt = 0.5 * min(h, h * h / (4.0 * dmax))
+    params = SimParams(
+        dt=dt,
+        nu=nu,
+        upwind_gamma=upwind_gamma,
+        poisson=PoissonConfig(
+            method=poisson_method, tol=poisson_tol, max_iters=poisson_iters
+        ),
+        **params_kw,
+    )
+    sim = Simulation.build(grid, bcs, params, solid=solid, scalar=scalar)
+    return Case(
+        name="heated_enclosure",
+        sim=sim,
+        suggested_steps=int(round(30.0 / dt)),
+        description=(f"hot cylinder in cold enclosure Ra={ra:g} Pr={pr} "
+                     f"{shape}"),
+    )
+
+
+def wall_heat_flux(sim: Simulation, theta) -> float:
+    """Total diffusive flux OUT through all Dirichlet domain walls
+    (first-order wall gradient with the ghost convention: 2 (theta_edge -
+    theta_wall) / h per face, times the face area). At steady state this
+    balances ``scalar.body_heat_flux`` exactly for an interior hot body."""
+    import numpy as np
+
+    from ..scalar import ScalarBCKind
+
+    g = sim.grid
+    cfg = sim.scalar
+    theta = jnp.asarray(theta)
+    vol = float(np.prod(g.spacing))
+    total = 0.0
+    for a in range(g.ndim):
+        area = vol / g.spacing[a]
+        for side in (0, 1):
+            bc = cfg.bcs[(a, side)]
+            if bc.kind is not ScalarBCKind.DIRICHLET:
+                continue
+            sl = [slice(None)] * g.ndim
+            sl[a] = slice(0, 1) if side == 0 else slice(-1, None)
+            edge = theta[tuple(sl)]
+            w = jnp.asarray(bc.value, theta.dtype)
+            total += float(
+                jnp.sum(2.0 * (edge - w) / g.spacing[a]) * area
+                * cfg.diffusivity
+            )
+    return total

@@ -304,3 +304,51 @@ def test_heated_cylinder_smoke():
     # relative-L2 poisson tol on a 4-cells-per-diameter grid: the absolute
     # max-divergence floor is coarse here
     assert float(d.max_div[-1]) < 1e-2
+
+
+def test_heated_enclosure_energy_balance():
+    """Natural convection from a hot immersed cylinder in a cold box
+    (scalar + obstacle + buoyancy together): at steady state the heat
+    entering the fluid through the staircase body surface exactly
+    balances the heat leaving through the cold Dirichlet walls, and
+    convection carries more heat than conduction alone (Nu > Nu_cond)."""
+    from navierstokessolver_tpu.cases.convection import wall_heat_flux
+    from navierstokessolver_tpu.scalar import body_heat_flux
+
+    # Ra = 1e6 on the enclosure side: gap-based Ra ~ 2.7e4, solidly in
+    # the convective regime (at Ra_L = 1e4 the 0.3-gap annulus is
+    # conduction-dominated and the enhancement assertion is vacuous)
+    case = make_case("heated_enclosure", shape=(48, 48), ra=1e6, dt=4e-3)
+    sim = case.sim
+    import dataclasses
+
+    sc0 = dataclasses.replace(sim.scalar, buoyancy=(0.0, 0.0))
+    sim0 = Simulation.build(sim.grid, sim.bcs, sim.params, scalar=sc0,
+                            solid=np.asarray(sim.scalar_solid))
+
+    def to_flux_steady(s, state):
+        # iterate until the body flux and the wall flux BALANCE (the
+        # balance residual IS the distance from steady state: until the
+        # stored-energy integral equilibrates, the body injects more
+        # than the walls remove)
+        q = d = None
+        for _ in range(80):
+            state, d = s.run_scan(state, 500)
+            q = float(body_heat_flux(s.grid, s.scalar, state.theta,
+                                     s.scalar_solid))
+            qw = wall_heat_flux(s, state.theta)
+            if abs(qw - q) < 8e-3 * abs(q):
+                break
+        return state, q, d
+
+    st, q_body, d = to_flux_steady(sim, sim.initial_state())
+    q_wall = wall_heat_flux(sim, st.theta)
+    assert q_body > 0.0
+    np.testing.assert_allclose(q_wall, q_body, rtol=1e-2)
+    # convection actually enhances transport over pure conduction
+    _, q_cond, _ = to_flux_steady(sim0, sim0.initial_state())
+    assert q_body > 1.2 * q_cond, (q_body, q_cond)
+    # the buoyant plume rises: theta above the body exceeds theta below
+    th = np.asarray(st.theta)
+    assert th[24, 38] > th[24, 9] + 0.05
+    assert float(d.max_div[-1]) < 1e-4
