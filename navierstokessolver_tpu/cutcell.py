@@ -71,7 +71,12 @@ def face_apertures(
 ) -> tuple[np.ndarray, ...]:
     """Per-axis FULL face-aperture arrays (shape = grid.face_shape(a)):
     the fluid fraction (sdf > 0) of each face, by k^(nd-1) midpoint
-    subsampling. Exact for faces fully in/out; O(1/k^2) on cut faces."""
+    subsampling. Exact for faces fully in/out. On CUT faces the counting
+    estimator of a discontinuous indicator has O(1/k) worst-case error
+    per face (the O(1/k^2) rate holds only in an averaged sense over many
+    faces -- ADVICE r3); an exact-for-planar-cuts alternative would
+    reconstruct the aperture from the SDF's linear interpolant instead
+    of counting subsamples."""
     nd = grid.ndim
     h = grid.spacing
     out = []

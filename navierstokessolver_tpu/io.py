@@ -206,7 +206,7 @@ def _scalar_blob(scalar) -> Optional[dict]:
             return float(arr)
         return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
 
-    return dict(
+    blob = dict(
         diffusivity=scalar.diffusivity,
         buoyancy=list(scalar.buoyancy),
         theta_ref=scalar.theta_ref,
@@ -215,37 +215,42 @@ def _scalar_blob(scalar) -> Optional[dict]:
             f"{a},{s}": [bc.kind.value, bcval(bc.value)]
             for (a, s), bc in sorted(scalar.bcs.items())
         },
-        body_bc=(
-            None if getattr(scalar, "body_bc", None) is None
-            else [scalar.body_bc.kind.value, bcval(scalar.body_bc.value)]
-        ),
     )
+    # Omitted (not None-valued) when unset, so hashes of checkpoints
+    # written before body scalar BCs existed stay valid (ADVICE r3).
+    if getattr(scalar, "body_bc", None) is not None:
+        blob["body_bc"] = [scalar.body_bc.kind.value,
+                           bcval(scalar.body_bc.value)]
+    return blob
 
 
 def config_hash(grid: GridSpec, params, scalar=None, les=None,
                 ibm=False, sharp_pressure=False) -> str:
-    blob = json.dumps(
-        dict(
-            shape=list(grid.shape),
-            lengths=list(grid.lengths),
-            dtype=str(np.dtype(grid.dtype)) if grid.dtype else "float32",
-            dt=params.dt,
-            nu=params.nu,
-            rho=params.rho,
-            upwind_gamma=params.upwind_gamma,
-            integrator=params.integrator,
-            poisson=dataclasses.asdict(params.poisson),
-            scalar=_scalar_blob(scalar),
-            # physics-affecting closure config (a checkpoint from an LES
-            # run must not resume silently as a no-model run)
-            les=None if les is None else dataclasses.asdict(les),
-            # sharp-interface IBM changes the boundary physics too
-            ibm=bool(ibm),
-            # ... and so does the cut-cell apertured pressure operator
-            sharp_pressure=bool(sharp_pressure),
-        ),
-        sort_keys=True,
+    d = dict(
+        shape=list(grid.shape),
+        lengths=list(grid.lengths),
+        dtype=str(np.dtype(grid.dtype)) if grid.dtype else "float32",
+        dt=params.dt,
+        nu=params.nu,
+        rho=params.rho,
+        upwind_gamma=params.upwind_gamma,
+        integrator=params.integrator,
+        poisson=dataclasses.asdict(params.poisson),
+        scalar=_scalar_blob(scalar),
+        # physics-affecting closure config (a checkpoint from an LES
+        # run must not resume silently as a no-model run)
+        les=None if les is None else dataclasses.asdict(les),
+        # sharp-interface IBM changes the boundary physics too
+        ibm=bool(ibm),
     )
+    # The cut-cell apertured pressure operator changes the boundary
+    # physics too -- but the key is included only when SET, so hashes of
+    # checkpoints written before the feature existed stay valid
+    # (ADVICE r3: unconditional embedding invalidated every legacy
+    # checkpoint, including runs that use none of the new features).
+    if sharp_pressure:
+        d["sharp_pressure"] = True
+    blob = json.dumps(d, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 

@@ -71,9 +71,13 @@ def _restrict(r: Array) -> Array:
 def shard_split(shapes: list[tuple[int, ...]], ctx) -> int:
     """Number of leading hierarchy levels that run SHARDED under ``ctx``
     (parallel/halo.py explicit-comm multigrid). Level l stays sharded while
-    every ctx-sharded grid axis (a) divides evenly over its devices and (b)
-    keeps an even local size, so the 2x restriction into l+1 is purely
-    local (children pairs never straddle a shard boundary). Levels past the
+    every ctx-sharded grid axis divides evenly over its devices; an EVEN
+    local size is additionally required only to CONTINUE sharding into
+    level l+1 (so the 2x restriction is purely local, children pairs never
+    straddling a shard boundary). The DEEPEST sharded level itself may
+    have an odd local size -- its restriction gathers the fine residual
+    first, and _rb_sweep applies a global parity offset, so correctness
+    does not depend on evenness there (ADVICE r3 doc fix). Levels past the
     split run REPLICATED: their global extent is at most
     2*min_size*max(devices) cells per axis -- all_gather'ing that is a few
     KB over ICI, and every device then smooths the tiny coarse problem

@@ -42,7 +42,7 @@ AXIS = "sx"
 
 
 def build_face_codes_halo(grid: GridSpec, face_masks, corr_masks,
-                          mesh: Mesh, tile: int = 8):
+                          mesh: Mesh, tile=None):
     """Per-shard uint8 face-code blocks for the slab halo layout, or None
     without obstacles: shard k's block rows [0, b) hold its local codes;
     comp 0 additionally carries row b = the shared face (k+1)*b's code
@@ -69,7 +69,7 @@ def build_face_codes_halo(grid: GridSpec, face_masks, corr_masks,
 
 
 def forcing_to_halo(grid: GridSpec, bcs: BCTable, fields, mesh: Mesh,
-                    tile: int = 8):
+                    tile=None):
     """Spatially-varying per-face forcing volumes (jnp predictor
     convention, solver._forcing_fields_exact) -> per-shard slab halo
     blocks for the fused predictor's forced operand set. Shard k's comp-0
@@ -110,7 +110,7 @@ def forcing_to_halo(grid: GridSpec, bcs: BCTable, fields, mesh: Mesh,
 
 
 def forcing_to_pencil(grid: GridSpec, bcs: BCTable, fields, mesh: Mesh,
-                      tile: int = 8):
+                      tile=None):
     """Per-face forcing volumes -> per-shard PENCIL blocks: comp 0
     carries rows [0, b0] (axis-0 shared face), comp 1 carries columns
     [0, m1] (axis-1 shared face -- its in-register shared-face star's
@@ -150,7 +150,7 @@ def forcing_to_pencil(grid: GridSpec, bcs: BCTable, fields, mesh: Mesh,
     return tuple(out)
 
 
-def pad_fluid_code_halo(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
+def pad_fluid_code_halo(grid: GridSpec, code, mesh: Mesh, tile=None):
     """ops/poisson uint8 stencil code (cells) -> per-shard halo-layout
     blocks (the fused RHS/divergence masking rides its FLUID_BIT)."""
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
@@ -162,7 +162,7 @@ def pad_fluid_code_halo(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
 
 
 def build_face_codes_pencil(grid: GridSpec, face_masks, corr_masks,
-                            mesh: Mesh, tile: int = 8):
+                            mesh: Mesh, tile=None):
     """Per-shard uint8 face-code blocks for the PENCIL ('sx','sy') halo
     layout, or None without obstacles. Shard (kx,ky)'s block carries its
     local codes; comp 0 additionally carries row b0 (the axis-0 shared
@@ -195,7 +195,7 @@ def build_face_codes_pencil(grid: GridSpec, face_masks, corr_masks,
     return tuple(out)
 
 
-def pad_fluid_code_pencil(grid: GridSpec, code, mesh: Mesh, tile: int = 8):
+def pad_fluid_code_pencil(grid: GridSpec, code, mesh: Mesh, tile=None):
     """ops/poisson uint8 stencil code (cells) -> per-shard pencil-layout
     blocks (local cells only; the fused RHS/divergence masking rides the
     FLUID bit)."""
@@ -236,7 +236,30 @@ def fused_step3d_sharded_applicable(
     return pk.fused_step3d_applicable(grid, bcs)
 
 
-def _dims(grid: GridSpec, mesh: Mesh, tile: int = 8):
+def sharded_tile_db(grid: GridSpec, mesh: Mesh):
+    """(tile, db) for the sharded fused kernels, resolved from the LOCAL
+    plane dims -- slab shards keep the GLOBAL plane (split axis 0 only),
+    pencil shards split axis 1 over 'sy'. Mirrors the unsharded
+    pk.fused_tile_db policy: planes above 128K elements run tile=4
+    narrow stripes with double-buffered windows (the tile=8 body's
+    register footprint needs ~211M VMEM at 520x512 planes -- see the
+    gate note in pk.fused_step3d_applicable), so a 512^3 slab-sharded
+    run gets the same narrow-stripe remedy the unsharded tier measured
+    (ADVICE r3: without this, slab shards in the (128K, 288K] plane
+    window silently took the tile=8 VMEM blowup)."""
+    n1 = grid.shape[1]
+    if tuple(mesh.axis_names) == (AXIS, AXIS_Y):
+        n1 //= int(mesh.devices.shape[1])
+    local = GridSpec(
+        shape=(grid.shape[0], n1, grid.shape[2]),
+        lengths=grid.lengths, dtype=grid.dtype,
+    )
+    return pk.fused_tile_db(local)
+
+
+def _dims(grid: GridSpec, mesh: Mesh, tile=None):
+    if tile is None:
+        tile = sharded_tile_db(grid, mesh)[0]
     n_dev = int(mesh.devices.shape[0])
     b = grid.shape[0] // n_dev
     local_grid = GridSpec(
@@ -247,7 +270,7 @@ def _dims(grid: GridSpec, mesh: Mesh, tile: int = 8):
     return n_dev, b, local_grid, pk._halo_dims(local_grid, tile)
 
 
-def to_internal_halo(grid: GridSpec, u, mesh: Mesh, tile: int = 8):
+def to_internal_halo(grid: GridSpec, u, mesh: Mesh, tile=None):
     """Exact global face arrays -> per-shard halo-mode internal layout,
     assembled as one global array per component (shard k's block = rows
     [k*RP, (k+1)*RP)). Called once per scan."""
@@ -270,7 +293,7 @@ def to_internal_halo(grid: GridSpec, u, mesh: Mesh, tile: int = 8):
 
 
 def from_internal_halo(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
-                       tile: int = 8):
+                       tile=None):
     """Halo-mode internal layout -> exact global face arrays (re-attaching
     the trimmed comp-0 boundary face and comp-2's elided face from the BC
     specs, like pk.from_internal_3d)."""
@@ -313,7 +336,7 @@ def _perm_bwd(n, ring: bool = False):
             for k in range(n if ring else n - 1)]
 
 
-def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
+def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                             thermal: bool = False,
                             codes=None, fcode=None, ifld=None):
     """Returns step_fn mapping ((iu0, iu1, iu2), p, theta, p_prev) ->
@@ -328,6 +351,9 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
     per-step code exchange (they are loop-invariant, and only comp 0's
     prefilled shared-face row b is ever read beyond the local rows)."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
+    db = None
+    if tile is None:
+        tile, db = sharded_tile_db(grid, mesh)
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
     n1, n2 = grid.shape[1], grid.shape[2]
     tg, own = pk._ghost_tables(grid, bcs)
@@ -421,7 +447,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
         us, rhs = pk.predictor_rhs_3d_internal(
             local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
-            tile=tile, interpret=sim.pallas_interpret,
+            tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff, base=base,
             forcing=sim._static_forcing(),
             forcing_fields=fld_,
@@ -473,7 +499,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
             theta = _refresh_theta_ghosts(theta, first, last)
         res = pk.correct_diag_3d_internal(
             local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
-            tile=tile, interpret=sim.pallas_interpret,
+            tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff, pp=pp,
             theta=theta,
             scalar_cfg=scalar if theta is not None else None,
@@ -622,7 +648,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile: int = 8,
     return step_fn
 
 
-def theta_to_halo(grid: GridSpec, theta, mesh: Mesh, tile: int = 8):
+def theta_to_halo(grid: GridSpec, theta, mesh: Mesh, tile=None):
     """Cell-centered scalar -> per-shard halo layout (shard k's block =
     rows [k*RP, (k+1)*RP); ghost slots refreshed per step)."""
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
@@ -633,7 +659,7 @@ def theta_to_halo(grid: GridSpec, theta, mesh: Mesh, tile: int = 8):
     return x.reshape(n_dev * RP, S0, L)
 
 
-def theta_from_halo(grid: GridSpec, th, mesh: Mesh, tile: int = 8):
+def theta_from_halo(grid: GridSpec, th, mesh: Mesh, tile=None):
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
     n0, n1, n2 = grid.shape
     x = th.reshape(n_dev, RP, S0, L)[:, :b, :n1, :n2]
@@ -693,7 +719,9 @@ def fused_step3d_pencil_applicable(
     return pk._scalar_bcs_all_axes(bcs)
 
 
-def _dims_pencil(grid: GridSpec, mesh: Mesh, tile: int = 8):
+def _dims_pencil(grid: GridSpec, mesh: Mesh, tile=None):
+    if tile is None:
+        tile = sharded_tile_db(grid, mesh)[0]
     ndx, ndy = (int(s) for s in mesh.devices.shape)
     b0 = grid.shape[0] // ndx
     m1 = grid.shape[1] // ndy
@@ -707,7 +735,7 @@ def _dims_pencil(grid: GridSpec, mesh: Mesh, tile: int = 8):
         pk._halo_dims_pencil(local_grid, tile)
 
 
-def to_internal_pencil(grid: GridSpec, u, mesh: Mesh, tile: int = 8):
+def to_internal_pencil(grid: GridSpec, u, mesh: Mesh, tile=None):
     """Exact global face arrays -> the pencil halo layout, assembled as one
     global array per component: shard (i,j)'s block = rows [i*RP, (i+1)*RP)
     x sublanes [j*SH, (j+1)*SH). Comp 0 trims face n0, comp 1 face n1,
@@ -729,7 +757,7 @@ def to_internal_pencil(grid: GridSpec, u, mesh: Mesh, tile: int = 8):
 
 
 def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
-                         tile: int = 8):
+                         tile=None):
     ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
         grid, mesh, tile
     )
@@ -760,7 +788,7 @@ def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
     return attach(u0i, 0), attach(u1i, 1), attach(u2i, 2)
 
 
-def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
+def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
                            thermal: bool = False,
                            codes=None, fcode=None, ifld=None):
     """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, theta,
@@ -771,6 +799,9 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
     shared row AND comp-1 shared column prefilled, no per-step
     exchange."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
+    db = None
+    if tile is None:
+        tile, db = sharded_tile_db(grid, mesh)
     masked = codes is not None
     forced = ifld is not None
     assert not (masked and thermal), \
@@ -907,7 +938,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
         ff1 = (first1.astype(jnp.float32), last1.astype(jnp.float32))
         us, rhs = pk.predictor_rhs_3d_internal(
             local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
-            tile=tile, interpret=sim.pallas_interpret,
+            tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
             base=base,
             forcing=sim._static_forcing(),
@@ -985,7 +1016,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
             theta = _refresh_theta(theta, first0, last0, first1, last1)
         res = pk.correct_diag_3d_internal(
             local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
-            tile=tile, interpret=sim.pallas_interpret,
+            tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
             pp=pp,
             theta=theta,
@@ -1123,7 +1154,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile: int = 8,
     return step_fn
 
 
-def theta_to_pencil(grid: GridSpec, theta, mesh: Mesh, tile: int = 8):
+def theta_to_pencil(grid: GridSpec, theta, mesh: Mesh, tile=None):
     ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
         grid, mesh, tile
     )
@@ -1135,7 +1166,7 @@ def theta_to_pencil(grid: GridSpec, theta, mesh: Mesh, tile: int = 8):
     return x.reshape(ndx * RP, ndy * SH, L)
 
 
-def theta_from_pencil(grid: GridSpec, th, mesh: Mesh, tile: int = 8):
+def theta_from_pencil(grid: GridSpec, th, mesh: Mesh, tile=None):
     ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
         grid, mesh, tile
     )

@@ -33,8 +33,11 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
 # Compilation on this host is slow (1 core); cache compiled executables on
-# disk so repeated test runs skip XLA compilation.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+# disk so repeated test runs skip XLA compilation. NSS_TEST_CACHE_DIR lets
+# the timing harness (scripts/time_tests.py) point at a throwaway dir to
+# measure genuine cold-cache wall-clocks.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("NSS_TEST_CACHE_DIR", "/tmp/jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # The zstandard C extension on this box SEGFAULTS inside the persistent
