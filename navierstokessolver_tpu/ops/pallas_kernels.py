@@ -2211,8 +2211,12 @@ def predictor_rhs_3d_internal(
     thermal = theta is not None and any(buoy)
     based = base is not None
     forced = forcing_fields is not None
-    if thermal:
-        assert not masked, "fused thermal predictor: no obstacles"
+    # thermal + masked composes (round 4, VERDICT r3 item 4): the buoyancy
+    # face-average adds to rhs_a BEFORE the code gating zeroes closed
+    # faces, matching the jnp order (buoyancy_forcing at all interior
+    # faces, then apply_velocity_bcs(face_masks)). Solid-cell theta is the
+    # wrapper-clamped body value (isothermal) or the freely diffusing
+    # solid field (adiabatic) -- identical to what the jnp predictor reads.
     # based + masked composes: the codes gate the ASSEMBLED star
     # (u* = base + dt*RHS(mid)) after the BC writes and mask the rhs by
     # the fluid bit -- exactly the per-stage order of the jnp rk2 branch
@@ -2394,7 +2398,7 @@ def _fused_corr_kernel(
     db: bool = True, masked: bool = False, hi0_copy: bool = False,
     per: tuple = (False, False, False),
     thermal: bool = False, alpha: float = 0.0, tgamma: float = 0.0,
-    thg: dict = None,
+    thg: dict = None, body_neumann: bool = False,
 ):
     """One axis-0 stripe of the projection corrector + step diagnostics,
     internal layout in AND out (row r <-> global row r).
@@ -2673,7 +2677,23 @@ def _fused_corr_kernel(
             f_lo0 = u0f[:T] * face_th(th_m0, thc, u0f[:T])
             f_hi0 = u0f[1:T + 1] * face_th(thc, th_p0, u0f[1:T + 1])
             adv = (f_hi0 - f_lo0) * (1.0 / h[0])
-            lap = (th_m0 - 2.0 * thc + th_p0) * (1.0 / (h[0] * h[0]))
+            if body_neumann:
+                # adiabatic immersed body (scalar.body_bc NEUMANN): the
+                # diffusive flux closes on fluid-solid faces. The velocity
+                # FACE_OPEN bit is exactly scalar._face_open (interior:
+                # fluid&fluid; boundary: the single adjacent cell), so the
+                # cell-form Laplacian becomes the gated flux form --
+                # identical where every face is open (scalar.scalar_rhs
+                # close_body). Advective interface fluxes need no gate:
+                # the corrected velocities are zero on closed faces.
+                o_lo0 = ((c0w[:T, :S0w] & FACE_OPEN_3D) != 0) \
+                    .astype(thc.dtype)
+                o_hi0 = ((c0w[1:T + 1, :S0w] & FACE_OPEN_3D) != 0) \
+                    .astype(thc.dtype)
+                lap = ((th_p0 - thc) * o_hi0 - (thc - th_m0) * o_lo0) \
+                    * (1.0 / (h[0] * h[0]))
+            else:
+                lap = (th_m0 - 2.0 * thc + th_p0) * (1.0 / (h[0] * h[0]))
 
             def gfix(ax, side, edge_idx):
                 spec = thg[(ax, side)]
@@ -2719,7 +2739,18 @@ def _fused_corr_kernel(
                 t_lo1 = (_shift_wrap(thc, 1, -1, n1)
                          if thg[(1, 0)][0] == "wrap"
                          else _shift_fix(thc, 1, -1, gfix(1, 0, 0)))
-            lap = lap + (t_lo1 - 2.0 * thc + t_hi1) * (1.0 / (h[1] * h[1]))
+            if body_neumann:
+                # faces s live at sublane s (s = 0..n1); face s+1 via roll
+                o1 = (c1w & FACE_OPEN_3D) != 0
+                o_lo1 = o1[:T, :S0w].astype(thc.dtype)
+                o_hi1 = jnp.roll(o1, -1, axis=1)[:T, :S0w] \
+                    .astype(thc.dtype)
+                lap = lap + ((t_hi1 - thc) * o_hi1
+                             - (thc - t_lo1) * o_lo1) \
+                    * (1.0 / (h[1] * h[1]))
+            else:
+                lap = lap + (t_lo1 - 2.0 * thc + t_hi1) \
+                    * (1.0 / (h[1] * h[1]))
 
             # axis 2 (lanes): u2n carries faces 0..n2-1 (hi face elided)
             t_m2 = (_shift_wrap(thc, 2, -1, n2)
@@ -2745,8 +2776,22 @@ def _fused_corr_kernel(
                     fhi_face, jnp.roll(F2, -1, axis=2),
                 )
             adv = adv + (F2hi - F2) * (1.0 / h[2])
-            lap = lap + (t_m2 - 2.0 * thc + t_hi2) \
-                * (1.0 / (h[2] * h[2]))
+            if body_neumann:
+                # faces 0..n2-1 at lanes; the lane-elided face n2's open
+                # bit is the FLUID bit of cell n2-1 (face_masks_from_solid:
+                # a boundary face follows its single adjacent cell)
+                o2 = (c2w[:T, :S0w] & FACE_OPEN_3D) != 0
+                flu = (fw[:T, :S0w] & (1 << 6)) != 0
+                o_hi2 = jnp.where(
+                    _ax_iota(o2.shape, 2) == n2 - 1,
+                    flu, jnp.roll(o2, -1, axis=2),
+                ).astype(thc.dtype)
+                lap = lap + ((t_hi2 - thc) * o_hi2
+                             - (thc - t_m2) * o2.astype(thc.dtype)) \
+                    * (1.0 / (h[2] * h[2]))
+            else:
+                lap = lap + (t_m2 - 2.0 * thc + t_hi2) \
+                    * (1.0 / (h[2] * h[2]))
 
             th_new = thc + scale_dt * (alpha * lap - adv)
             keep_t = ((_ax_iota(th_new.shape, 0) + j * T < n0)
@@ -2830,6 +2875,7 @@ def correct_diag_3d_internal(
     theta=None,
     scalar_cfg=None,
     dt=None,
+    body_neumann: bool = False,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
     internal-layout u_new plus (max |div u|, max_a |u_a|/h_a) -- and,
@@ -2882,11 +2928,13 @@ def correct_diag_3d_internal(
     hi0_copy = hi0_kind in ("copy", "conv")
     thermal = theta is not None
     if thermal:
-        # masked composes for ISOTHERMAL bodies only: the caller clamps
-        # theta in solid cells to the body value before AND after the
-        # step (solver gate: scalar.body_bc is DIRICHLET), so the lap
-        # term against solid neighbors is the staircase Dirichlet flux
-        # and the advective interface fluxes ride the masked velocities.
+        # masked composes for BOTH body kinds: an ISOTHERMAL body's theta
+        # is clamped by the caller before AND after the step (the lap
+        # term against clamped solid neighbors IS the staircase Dirichlet
+        # flux), an ADIABATIC body (``body_neumann``) closes the
+        # diffusive flux on fluid-solid faces in-kernel via the FACE_OPEN
+        # bits; advective interface fluxes ride the masked velocities
+        # either way.
         # Axis-0 HI OUTFLOW composes too: the theta flux at face n0 uses
         # the in-register corrected-inner-face copy (kernel patch above);
         # convective transport stays out (its face update needs the held
@@ -2914,6 +2962,7 @@ def correct_diag_3d_internal(
         alpha=float(scalar_cfg.diffusivity) if thermal else 0.0,
         tgamma=float(scalar_cfg.upwind_gamma) if thermal else 0.0,
         thg=thg if thermal else None,
+        body_neumann=bool(body_neumann and masked and thermal),
     )
     scratch = [
         pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),

@@ -359,8 +359,21 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
     tg, own = pk._ghost_tables(grid, bcs)
     masked = codes is not None
     forced = ifld is not None
-    assert not (masked and thermal), \
-        "sharded fused obstacles: no scalar transport (kernel gate)"
+    # masked + thermal composes (round 4): heated/adiabatic/buoyant
+    # obstacles stream their code blocks AND theta through the same
+    # kernels as unsharded; the isothermal clamp applies per step on the
+    # sharded halo-layout theta (elementwise, no extra exchange).
+    body_neumann = False
+    solid_halo = None
+    if masked and thermal and sim.scalar_solid is not None:
+        from ..scalar import ScalarBCKind
+
+        body_neumann = (sim.scalar.body_bc.kind is ScalarBCKind.NEUMANN)
+        if not body_neumann:
+            solid_halo = theta_to_halo(
+                grid, jnp.asarray(sim.scalar_solid, jnp.float32), mesh,
+                tile,
+            ) > 0.5
     from ..bcs import periodic_axes
 
     # Periodic sharded axis: the ghost rings CLOSE (wraparound ppermute
@@ -505,6 +518,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             scalar_cfg=scalar if theta is not None else None,
             dt=dt if theta is not None else None,
             face_codes=codes_, fluid_code=fc_,
+            body_neumann=body_neumann,
         )
         if theta is not None:
             iu_new, divp, velp, theta_new = res
@@ -560,34 +574,39 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
 
     pred = _mk_pred(based=False)
     pred_based = _mk_pred(based=True) if rk2 else None
-    if masked:
-        def corr_masked_body(dt, us0, us1, us2, p_local, c0, c1, c2, fc):
-            return corr_body(dt, us0, us1, us2, p_local,
-                             codes_=(c0, c1, c2), fc_=fc)
 
-        corr = jax.shard_map(
-            corr_masked_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * 8,
-            out_specs=(spec3,) * 3 + (P(), P()),
+    def _mk_corr(with_theta, with_codes):
+        """shard_map'd corrector over dt, u* x3, p, [theta], [codes x3 +
+        fc] -- any combination (masked + thermal composes)."""
+        n_arr = 4 + (1 if with_theta else 0) + (4 if with_codes else 0)
+
+        def body(dt, *arrs):
+            us0, us1, us2, p_local = arrs[0:4]
+            k = 4
+            th = None
+            if with_theta:
+                th = arrs[k]
+                k += 1
+            cds = fcd = None
+            if with_codes:
+                cds = arrs[k:k + 3]
+                fcd = arrs[k + 3]
+            return corr_body(dt, us0, us1, us2, p_local, theta=th,
+                             codes_=cds, fc_=fcd)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * n_arr,
+            out_specs=(spec3,) * (4 if with_theta else 3) + (P(), P()),
             check_vma=False,
         )
-    else:
-        corr = jax.shard_map(
-            corr_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
-            out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
-            check_vma=False,
-        )
+
+    corr = _mk_corr(thermal, masked)
     corr_half = corr
     if rk2 and thermal:
         # the scalar advances once per STEP (full corrector); the half-
         # step correction is velocity-only, like the unsharded rk2 path
-        corr_half = jax.shard_map(
-            corr_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * 4,
-            out_specs=(spec3,) * 3 + (P(), P()),
-            check_vma=False,
-        )
+        corr_half = _mk_corr(False, masked)
 
     from ..solver import StepDiagnostics
 
@@ -627,8 +646,19 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
         if thermal:
             iu0n, iu1n, iu2n, theta_new, divm, velm = corr(
-                dt, us0, us1, us2, p_new, theta
+                dt, us0, us1, us2, p_new, theta, *code_args
             )
+            if solid_halo is not None:
+                # isothermal body: re-clamp solid cells to the body value
+                # on the sharded-layout theta (elementwise; GSPMD shards
+                # it with zero communication). Adiabatic bodies skip the
+                # clamp -- the kernel closed their interface fluxes
+                # (body_neumann).
+                theta_new = jnp.where(
+                    solid_halo,
+                    jnp.asarray(sim.scalar.body_bc.value, theta_new.dtype),
+                    theta_new,
+                )
         else:
             iu0n, iu1n, iu2n, divm, velm = corr(
                 dt, us0, us1, us2, p_new, *code_args
@@ -804,8 +834,20 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         tile, db = sharded_tile_db(grid, mesh)
     masked = codes is not None
     forced = ifld is not None
-    assert not (masked and thermal), \
-        "pencil fused obstacles: no scalar transport (kernel gate)"
+    # masked + thermal composes (round 4): same treatment as the slab
+    # tier -- code blocks and theta stream together; the isothermal clamp
+    # applies per step on the sharded pencil-layout theta.
+    body_neumann = False
+    solid_halo = None
+    if masked and thermal and sim.scalar_solid is not None:
+        from ..scalar import ScalarBCKind
+
+        body_neumann = (sim.scalar.body_bc.kind is ScalarBCKind.NEUMANN)
+        if not body_neumann:
+            solid_halo = theta_to_pencil(
+                grid, jnp.asarray(sim.scalar_solid, jnp.float32), mesh,
+                tile,
+            ) > 0.5
     ndx, ndy, b0, m1, local_grid, (T, G, RP, SH, _, L) = _dims_pencil(
         grid, mesh, tile
     )
@@ -1023,6 +1065,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             scalar_cfg=scalar if theta is not None else None,
             dt=dt if theta is not None else None,
             face_codes=codes_, fluid_code=fc_,
+            body_neumann=body_neumann,
         )
         if theta is not None:
             iu_new, divp, velp, theta_new = res
@@ -1073,30 +1116,37 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
 
     pred = _mk_pred(based=False)
     pred_based = _mk_pred(based=True) if rk2 else None
-    if masked:
-        def corr_masked_body(dt, us0, us1, us2, p_local, c0, c1, c2, fc):
-            return corr_body(dt, us0, us1, us2, p_local,
-                             codes_=(c0, c1, c2), fc_=fc)
 
-        corr = jax.shard_map(
-            corr_masked_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * 8,
-            out_specs=(spec3,) * 3 + (P(), P()),
+    def _mk_corr(with_theta, with_codes):
+        """dt, u* x3, p, [theta], [codes x3 + fc] -- any combination
+        (masked + thermal composes), mirrors the slab builder."""
+        n_arr = 4 + (1 if with_theta else 0) + (4 if with_codes else 0)
+
+        def body(dt, *arrs):
+            us0, us1, us2, p_local = arrs[0:4]
+            k = 4
+            th = None
+            if with_theta:
+                th = arrs[k]
+                k += 1
+            cds = fcd = None
+            if with_codes:
+                cds = arrs[k:k + 3]
+                fcd = arrs[k + 3]
+            return corr_body(dt, us0, us1, us2, p_local, theta=th,
+                             codes_=cds, fc_=fcd)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(sc,) + (spec3,) * n_arr,
+            out_specs=(spec3,) * (4 if with_theta else 3) + (P(), P()),
             check_vma=False,
         )
-    else:
-        corr = jax.shard_map(
-            corr_body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * (5 if thermal else 4),
-            out_specs=(spec3,) * (4 if thermal else 3) + (P(), P()),
-            check_vma=False,
-        )
+
+    corr = _mk_corr(thermal, masked)
     corr_half = corr
     if rk2 and thermal:
-        corr_half = jax.shard_map(
-            corr_body, mesh=mesh, in_specs=(sc,) + (spec3,) * 4,
-            out_specs=(spec3,) * 3 + (P(), P()), check_vma=False,
-        )
+        corr_half = _mk_corr(False, masked)
 
     from ..solver import StepDiagnostics
 
@@ -1133,8 +1183,19 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
         if thermal:
             iu0n, iu1n, iu2n, theta_new, divm, velm = corr(
-                dt, us0, us1, us2, p_new, theta
+                dt, us0, us1, us2, p_new, theta, *code_args
             )
+            if solid_halo is not None:
+                # isothermal body: re-clamp solid cells to the body value
+                # on the sharded-layout theta (elementwise; GSPMD shards
+                # it with zero communication). Adiabatic bodies skip the
+                # clamp -- the kernel closed their interface fluxes
+                # (body_neumann).
+                theta_new = jnp.where(
+                    solid_halo,
+                    jnp.asarray(sim.scalar.body_bc.value, theta_new.dtype),
+                    theta_new,
+                )
         else:
             iu0n, iu1n, iu2n, divm, velm = corr(
                 dt, us0, us1, us2, p_new, *code_args

@@ -432,15 +432,18 @@ class Simulation:
         if self.shardings is not None or self.les is not None:
             return False
         if self.ibm is not None:
-            # Stationary sharp-interface IBM composes with the fused step:
-            # the direct forcing hits u* BETWEEN the two kernels at the
-            # internal-layout level and the Poisson RHS is patched with the
-            # band delta's divergence (ibm.fused_rhs_patch) -- the band
-            # must be strictly interior (fused_ok, build-time check) so
-            # the internal-layout rolls never read elided/pad faces.
-            # Moving bodies (wet) keep the jnp step: the post-outflow
-            # apply_wet dance isn't replicated in the fused wrapper.
-            if not self.ibm.fused_ok or self.ibm.wet is not None:
+            # Sharp-interface IBM composes with the fused step: the direct
+            # forcing hits u* BETWEEN the two kernels at the internal-
+            # layout level and the Poisson RHS is patched with the band
+            # delta's divergence (ibm.fused_rhs_patch) -- the band must be
+            # strictly interior (fused_ok, build-time check) so the
+            # internal-layout rolls never read elided/pad faces. MOVING
+            # bodies (wet, round 4 / VERDICT r3 item 5) compose too: wet
+            # faces are marked OPEN (never CORR) in the face codes so the
+            # kernels preserve the body velocity the entry/mid-step apply
+            # imposed, and the in-kernel divergence/CFL diagnostics read
+            # the true interface motion -- no post-corrector pass needed.
+            if not self.ibm.fused_ok:
                 return False
         if self._time_dependent():
             # BC values / forcing resolved per step from carried t are
@@ -457,23 +460,20 @@ class Simulation:
             if pallas_kernels.theta_ghost_table(self.scalar, 3) is None:
                 return False
             if self.face_masks is not None or self.corr_masks is not None:
-                # heated obstacles compose for ISOTHERMAL bodies with a
-                # PASSIVE scalar: the wrapper clamps theta in solid cells
-                # to the body value around the corrector kernel, so the
-                # in-kernel flux-form update needs no extra masking (the
-                # predictor never streams a passive theta, so its
-                # masked-thermal gate is never hit). Buoyant (natural-
-                # convection) obstacle runs and adiabatic bodies keep the
-                # jnp step.
-                from .scalar import ScalarBCKind
-
+                # heated obstacles compose for BOTH body kinds and for
+                # buoyant (natural-convection) runs -- round 4, VERDICT
+                # r3 item 4. ISOTHERMAL bodies: the wrapper clamps theta
+                # in solid cells to the body value around the corrector
+                # kernel, so the in-kernel flux update's staircase
+                # Dirichlet flux falls out. ADIABATIC bodies: the
+                # corrector gates the diffusive flux on the FACE_OPEN
+                # bits (body_neumann). Buoyancy streams theta through the
+                # masked predictor (the face-averaged force adds before
+                # the code gating zeroes closed faces, the jnp order).
+                if self.scalar_solid is None or self.ibm is not None:
+                    return False
                 body = getattr(self.scalar, "body_bc", None)
-                if (self.scalar_solid is None or body is None
-                        or body.kind is not ScalarBCKind.DIRICHLET
-                        or self.ibm is not None
-                        or (self.scalar.buoyancy
-                            and any(b != 0.0
-                                    for b in self.scalar.buoyancy))):
+                if body is None:
                     return False
             # axis-0 HI OUTFLOW composes (round 3): the corrector kernel
             # patches the theta flux at face n0 with the in-register
@@ -510,13 +510,21 @@ class Simulation:
             # obstacles stream as STATIC per-shard uint8 code blocks
             # through the halo-mode kernels (no per-step code exchange --
             # fused_sharded.build_face_codes_halo), euler AND rk2 (the
-            # based-mode stage-2 predictor streams the same codes). Slab
-            # tier only; mirrors _fused3d_ok's masked gates: no scalar,
-            # no cut-cell apertures, no periodic axes.
-            if (self.scalar is not None
-                    or self.op.ap is not None
+            # based-mode stage-2 predictor streams the same codes).
+            # Mirrors _fused3d_ok's masked gates: no cut-cell apertures,
+            # no periodic axes. Scalar + obstacle composes (round 4):
+            # heated/adiabatic/buoyant bodies ride both sharded tiers
+            # (theta codes + clamp/body_neumann as unsharded; buoyancy
+            # must be transverse to every sharded axis -- the applicable
+            # functions check that).
+            if (self.op.ap is not None
                     or any(bcs_mod.periodic_axes(self.grid, self.bcs))):
                 return False
+            if self.scalar is not None:
+                body = getattr(self.scalar, "body_bc", None)
+                if (self.scalar_solid is None or body is None
+                        or self.ibm is not None):
+                    return False
         if self._time_dependent():
             return False
         from .parallel.fused_sharded import (
@@ -626,8 +634,27 @@ class Simulation:
 
         if not hasattr(self, "_fc3d_cache"):
             tile, _ = self._tile_db_3d()
+            fm = self.face_masks
+            if (self.ibm is not None and self.ibm.wet is not None
+                    and fm is not None):
+                # moving boundary: WET faces (blocked, adjacent to an open
+                # face) carry the body velocity ub_wet, re-imposed each
+                # step by the entry/mid-step ibm apply -- mark them OPEN
+                # in the codes so the kernels' keep-zeroing preserves
+                # them and the in-kernel divergence/CFL diagnostics read
+                # the true interface velocities (the jnp step restores
+                # them post-BC via apply_wet). They never get a CORR bit:
+                # corr_masks are fluid&fluid, a wet face touches solid.
+                import numpy as _np
+
+                fm = tuple(
+                    jnp.maximum(
+                        f, jnp.asarray(_np.asarray(w) > 0, f.dtype)
+                    )
+                    for f, w in zip(fm, self.ibm.wet)
+                )
             codes = pallas_kernels.build_face_codes_3d(
-                self.grid, self.face_masks, self.corr_masks, tile=tile
+                self.grid, fm, self.corr_masks, tile=tile
             )
             fc = (pallas_kernels.pad_fluid_code_3d(
                       self.grid, self.op.code, tile=tile)
@@ -869,6 +896,16 @@ class Simulation:
                     g, b, istate.u, 0.5 * dt, pr.nu, pr.upwind_gamma,
                     **pred_kw,
                 )
+            if ibm_i is not None:
+                # every projection STAGE sees the interpolated wall values
+                # (the jnp rk2 path calls _project -> ibm.apply per stage)
+                with jax.named_scope("ibm_half"):
+                    ush_f = ibm_i.apply(ush)
+                    rhsh = ibm_mod.fused_rhs_patch(
+                        g, rhsh, ush, ush_f, pr.rho / (0.5 * dt),
+                        self.op.fluid,
+                    )
+                    ush = ush_f
             with jax.named_scope("poisson_half"):
                 ph_, it_extra, _ = self._solve_pressure(rhsh, p_start)
             with jax.named_scope("correction_half"):
@@ -903,6 +940,12 @@ class Simulation:
             p, iters, res = self._solve_pressure(rhs, p_start)
             iters = iters + it_extra
         with jax.named_scope("correction"):
+            body_neumann = False
+            if thermal and self.scalar_solid is not None:
+                from .scalar import ScalarBCKind
+
+                body_neumann = (self.scalar.body_bc.kind
+                                is ScalarBCKind.NEUMANN)
             corr = pallas_kernels.correct_diag_3d_internal(
                 g, b, u_star, p, dt / pr.rho,
                 tile=tile, db=db,
@@ -911,14 +954,18 @@ class Simulation:
                 theta=istate.theta if thermal else None,
                 scalar_cfg=self.scalar if thermal else None,
                 dt=dt if thermal else None,
+                body_neumann=body_neumann,
             )
             if thermal:
                 iu_new, max_div, max_vel, theta_new = corr
-                if self.scalar_solid is not None:
+                if self.scalar_solid is not None and not body_neumann:
                     # isothermal body: re-clamp solid cells to the body
                     # value (the kernel's flux update wrote garbage
                     # there; the clamp maintains the invariant the next
-                    # step's diffusive interface flux relies on)
+                    # step's diffusive interface flux relies on).
+                    # Adiabatic bodies skip the clamp -- their solid
+                    # cells diffuse freely behind closed interface
+                    # fluxes, exactly as in scalar.scalar_rhs.
                     solid_i = pallas_kernels.pad_theta_3d(
                         g, self.scalar_solid, tile
                     )
