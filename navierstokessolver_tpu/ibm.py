@@ -334,6 +334,10 @@ def internal_forcing(grid: GridSpec, ibm: IBMForcing,
         return jnp.pad(x[:, :, :n2], [(0, RP - n0), (0, S0 - n1),
                                       (0, L - n2)])
 
+    def pad_opt(t):
+        return (None if t is None
+                else tuple(pad_comp(a, x) for a, x in enumerate(t)))
+
     return IBMForcing(
         ndim=3,
         dirs=ibm.dirs,
@@ -342,6 +346,12 @@ def internal_forcing(grid: GridSpec, ibm: IBMForcing,
         ),
         w=tuple(pad_comp(a, ibm.w[a]) for a in range(3)),
         band=tuple(pad_comp(a, ibm.band[a]) for a in range(3)),
+        # moving boundaries: the surface/wet velocities ride the same
+        # internal layout, so apply()/apply_wet() work on the carried
+        # scan state directly (round 4, VERDICT r3 item 5)
+        ub=pad_opt(ibm.ub),
+        wet=pad_opt(ibm.wet),
+        ub_wet=pad_opt(ibm.ub_wet),
         fused_ok=ibm.fused_ok,
     )
 
