@@ -35,6 +35,28 @@ Capability note: the reference class has no differentiable solver
 (SURVEY.md SS2; the reference mount is empty -- no file:line citation is
 possible). This is the driver-sanctioned TPU-native capability beyond it
 (VERDICT r2, missing item 1).
+
+Scope (what differentiates, and at what cost):
+
+====================  =========  =======================================
+surface               grad?      notes
+====================  =========  =======================================
+jnp step, unsharded   yes        FD-validated (tests/test_adjoint.py):
+                                 cg / fft / jacobi, 2D and 3D
+GSPMD sharded step    yes        FD-validated on the virtual 8-dev mesh
+poisson_comm="halo"   yes        FD-validated; the backward solve reuses
+                                 the same shard_map + ppermute loop
+forcing fields        yes        the per-face arrays ride _consts as
+                                 traced jit args; grad flows into them
+BC values / dt        yes        traced scalars (lid-recovery test)
+fused Pallas kernels  NO         diff_solve forces the jnp step: the
+                                 kernels have no VJP rules, so a 3D
+                                 gradient run pays the jnp step's ~2x
+                                 cost. Lifting this needs a step-level
+                                 custom VJP (future work, VERDICT r3 #8)
+cut-cell / IBM        forward    geometry arrays get zero cotangents
+                      only       (case geometry, never differentiated)
+====================  =========  =======================================
 """
 
 from __future__ import annotations
