@@ -338,7 +338,8 @@ def _perm_bwd(n, ring: bool = False):
 
 def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                             thermal: bool = False,
-                            codes=None, fcode=None, ifld=None):
+                            codes=None, fcode=None, ifld=None,
+                            rdma: bool = False):
     """Returns step_fn mapping ((iu0, iu1, iu2), p, theta, p_prev) ->
     (same structure, diag) with the iu arrays in the global halo-mode
     layout sharded over 'sx'. ``thermal`` must reflect whether the scan
@@ -384,10 +385,56 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
     spec3 = P(AXIS, None, None)
     pspec = NamedSharding(mesh, spec3)
 
+    def _bc_rows(a, x):
+        """(bc_lo_row, bc_hi_rows): the edge-shard BC synthesis values for
+        component ``a``'s lo/hi ghost slots (shared by the ppermute and
+        remote-DMA refresh variants)."""
+        if a == 0:
+            bc_lo = x[0:1]             # apron; face 0 is BC-overwritten
+            sp = own[(0, 1)]
+            row = (x[b - 1:b] if sp[0] == "copy"
+                   else jnp.full((1,) + x.shape[1:], sp[1], x.dtype))
+        else:
+            al, bl = tg[(a, 0, 0)]
+            bc_lo = al * x[0:1] + bl
+            ah, bh = tg[(a, 0, 1)]
+            row = ah * x[b - 1:b] + bh
+        return bc_lo, jnp.concatenate([row, row], axis=0)
+
+    def _refresh_ghosts_rdma(iu, first, last):
+        """Remote-DMA ghost refresh (round 4, VERDICT r3 item 7): the
+        per-component exchange is a Pallas kernel issuing paired
+        kernel-initiated ICI transfers (parallel/remote_dma.py) instead
+        of jnp-level ppermutes. Edge shards' BC rows are STAGED into the
+        ghost slots first; the kernel preserves them (it only overwrites
+        slots an inbound message targets). Interpret-runnable on the
+        virtual mesh via the TPU interpret machinery."""
+        from . import remote_dma
+
+        interp = False
+        if sim.pallas_interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            interp = pltpu.InterpretParams()
+        upd = jax.lax.dynamic_update_slice
+        out = []
+        for a, x in enumerate(iu):
+            if not ring:
+                bc_lo, bc_hi = _bc_rows(a, x)
+                x = upd(x, jnp.where(last, bc_hi, x[b:b + 2]), (b, 0, 0))
+                x = upd(x, jnp.where(first, bc_lo, x[RP - 1:RP]),
+                        (RP - 1, 0, 0))
+            out.append(remote_dma.exchange_ghost_rows(
+                x, b, AXIS, n_dev, ring, interpret=interp
+            ))
+        return tuple(out)
+
     def _refresh_ghosts(iu, first, last):
         """Fill each component's ghost slots: ppermute halos at interior
         boundaries, BC synthesis at the true edges (wrap halos everywhere
         on a periodic ring)."""
+        if rdma:
+            return _refresh_ghosts_rdma(iu, first, last)
         out = []
         for a, x in enumerate(iu):
             lo_halo = jax.lax.ppermute(
@@ -1281,10 +1328,14 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
                  p_prev=p_prev), diags
 
 
-def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
+def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int,
+                           rdma: bool = False):
     """The sharded-fused analog of the internal-layout scan in
     solver._run_scan_jit: convert once, scan the fused sharded step,
-    convert back. Dispatches to the pencil tier on ('sx','sy') meshes."""
+    convert back. Dispatches to the pencil tier on ('sx','sy') meshes.
+    ``rdma=True`` (slab tier, prototype): the velocity ghost refresh runs
+    as kernel-initiated remote DMAs (parallel/remote_dma.py) instead of
+    jnp ppermutes."""
     if tuple(mesh.axis_names) == (AXIS, AXIS_Y):
         return run_scan_pencil_fused(sim, mesh, state, n_steps)
     grid, bcs = sim.grid, sim.bcs
@@ -1320,7 +1371,8 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int):
             )
         )
     step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None,
-                                      codes=codes, fcode=fcode, ifld=ifld)
+                                      codes=codes, fcode=fcode, ifld=ifld,
+                                      rdma=rdma)
     # CFL-adaptive runs carry the corrector's global max|u_a|/h_a pmax
     # through the scan (entry value from one jnp reduction outside it)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None

@@ -36,6 +36,18 @@ def main() -> None:
                     help="rotation rate alpha = omega R / U (requires "
                          "--ibm); Magnus oracle: mean Cl ~ -2.5 at "
                          "Re=200, alpha=1 (Mittal & Kumar 2003)")
+    # error-budget knobs (VERDICT r3 item 9): sweep ONE at a time
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="override upwind_gamma (case default 0.2)")
+    ap.add_argument("--integrator", default=None,
+                    help="euler | rk2 (case default euler)")
+    ap.add_argument("--dt-scale", type=float, default=1.0,
+                    help="multiply the case's stable dt (e.g. 0.5)")
+    ap.add_argument("--lengths", default="",
+                    help="domain lengths, e.g. 24,8 (default 16,8); pair "
+                         "with --shape to keep h fixed")
+    ap.add_argument("--center", default="",
+                    help="cylinder center, e.g. 4.0,4.01")
     args = ap.parse_args()
     shape = tuple(int(x) for x in args.shape.split(","))
 
@@ -51,16 +63,33 @@ def main() -> None:
         drag_lift_series,
     )
 
-    case = make_case("cylinder", shape=shape, re=args.re,
-                     poisson_method=args.poisson, ibm=args.ibm,
-                     spin=args.spin, sharp_pressure=args.sharp_pressure)
+    kw = dict(shape=shape, re=args.re, poisson_method=args.poisson,
+              ibm=args.ibm, spin=args.spin,
+              sharp_pressure=args.sharp_pressure)
+    if args.gamma is not None:
+        kw["upwind_gamma"] = args.gamma
+    if args.integrator:
+        kw["integrator"] = args.integrator
+    if args.lengths:
+        kw["lengths"] = tuple(float(x) for x in args.lengths.split(","))
+    if args.center:
+        kw["center"] = tuple(float(x) for x in args.center.split(","))
+    case = make_case("cylinder", **kw)
     sim = case.sim
+    if args.dt_scale != 1.0:
+        import dataclasses as _dc
+
+        sim = _dc.replace(sim, params=_dc.replace(
+            sim.params, dt=sim.params.dt * args.dt_scale))
     g = sim.grid
     dt = sim.params.dt
-    # CV box: 1 diameter of margin around the cylinder (center (4, ~4), D=1)
+    # CV box: 1 diameter of margin around the cylinder (default center
+    # (4, ~4), D=1; follows --center when overridden)
+    cx, cy = (float(x) for x in args.center.split(",")) if args.center \
+        else (4.0, g.lengths[1] / 2.0)
     hx, hy = g.spacing
-    i0, i1 = int(2.5 / hx), int(5.5 / hx)
-    j0, j1 = int(2.5 / hy), int(5.5 / hy)
+    i0, i1 = int((cx - 1.5) / hx), int((cx + 1.5) / hx)
+    j0, j1 = int((cy - 1.5) / hy), int((cy + 1.5) / hy)
     box = (i0, i1, j0, j1)
 
     state = impulsive_start_state(sim)
@@ -91,6 +120,9 @@ def main() -> None:
         "sharp_pressure": args.sharp_pressure,
         "spin": args.spin,
         "t_end": done * dt,
+        "gamma": args.gamma, "integrator": args.integrator,
+        "dt_scale": args.dt_scale, "lengths": args.lengths or "16,8",
+        "poisson": args.poisson,
         "wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(out))
