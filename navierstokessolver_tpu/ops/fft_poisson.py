@@ -683,6 +683,142 @@ class DCTPCGSolver:
         self.cap_idx_a = idx_a
         self.cap_idx_b = idx_b
 
+    def halo_consts(self):
+        """Build-time arrays for the explicit-halo (shard_map) dctcg path
+        (round 4, VERDICT r3 item 2 'real target'): 2D matmul mode only.
+
+        The distributed preconditioner runs the transforms as LOCAL dense
+        matmuls around ONE all-to-all pencil transpose per direction: the
+        grid is row-sharded ('sx' slabs), so the axis-1 transform is
+        local; the axis-0 transform happens after transposing to
+        k1-sharded pencils. ``inv_nat`` is the spectral multiplier in
+        NATURAL block-order (k0, k1) layout -- the chain path's reversed
+        tensor transposed -- sharded over k1; the Woodbury sample/source
+        matrices are the per-axis rows/columns the 2D spectral-domain
+        correction already precomputed, so the capacitance term costs one
+        (k0, 2K) psum. The dense per-axis matrices cost ~2x the radix-
+        split chain's MACs -- the halo path trades that for explicit,
+        schedulable communication; measured numbers in docs/SCALING.md.
+        """
+        import numpy as _np
+
+        grid = self.dct.grid
+        if grid.ndim != 2 or self.dct.mode != "matmul":
+            return None
+        if self.cap_cinv is not None and self.cap_vx is None:
+            return None   # capacitance without the 2D spectral arrays
+        F0, V0 = self._axis_matrices(0, grid.shape[0], grid.dtype)
+        F1, V1 = self._axis_matrices(1, grid.shape[1], grid.dtype)
+        inv_nat = jnp.asarray(
+            _np.asarray(self.dct.inv_eig).T.copy(), grid.dtype
+        )
+        hc = dict(
+            F0=jnp.asarray(F0, grid.dtype), V0=jnp.asarray(V0, grid.dtype),
+            F1=jnp.asarray(F1, grid.dtype), V1=jnp.asarray(V1, grid.dtype),
+            inv_nat=inv_nat,
+        )
+        if self.cap_cinv is not None:
+            hc.update(
+                vx=self.cap_vx, vy=self.cap_vy,
+                fx=self.cap_fx, fy=self.cap_fy,
+                cinv=self.cap_cinv, va=self.cap_va, vb=self.cap_vb,
+            )
+        return hc
+
+    def _precond_sharded(self, hc, r: Array, fluid: Array, axis: str,
+                         prec) -> Array:
+        """Distributed (capacitance-corrected) unmasked inverse, executed
+        INSIDE shard_map over ``axis`` ('sx' row slabs). hc leaves arrive
+        per-shard: inv_nat/vy sliced over k1, fy over its k1 rows; the
+        rest replicated."""
+        F0, V0, F1, V1 = hc["F0"], hc["V0"], hc["F1"], hc["V1"]
+        # local axis-1 forward: (b, n1) @ F1^T -> (b, k1)
+        t1 = jnp.matmul(r, F1.T, precision=prec)
+        # pencil transpose: row slabs -> k1 slabs (full rows)
+        t1 = jax.lax.all_to_all(t1, axis, split_axis=1, concat_axis=0,
+                                tiled=True)            # (n0, k1/N)
+        that = jnp.matmul(F0, t1, precision=prec) * hc["inv_nat"]
+        if "cinv" in hc:
+            vx, vy = hc["vx"], hc["vy"]                # (2K, k0), (2K, k1/N)
+            # zp[p] = sum_{k0,k1} vx[p,k0] vy[p,k1] that[k0,k1]
+            S = jnp.matmul(that, vy.T, precision=prec)  # (k0, 2K) local k1
+            S = jax.lax.psum(S, axis)
+            zp = jnp.sum(vx * S.T, axis=1)              # (2K,)
+            K = hc["va"].shape[0]
+            g = hc["va"] * zp[:K] + hc["vb"] * zp[K:]
+            h = hc["cinv"] @ g
+            c = jnp.concatenate([hc["va"] * h, hc["vb"] * h])
+            # shat[k0, k1] = sum_p fx[k0,p] c_p fy[k1,p] (fy rows local)
+            shat = jnp.matmul(
+                hc["fx"], (hc["fy"] * c[None, :]).T, precision=prec
+            )                                           # (k0, k1/N)
+            that = that - hc["inv_nat"] * shat
+        z = jnp.matmul(V0, that, precision=prec)        # (n0, k1/N)
+        z = jax.lax.all_to_all(z, axis, split_axis=0, concat_axis=1,
+                               tiled=True)              # (b, k1)
+        z = jnp.matmul(z, V1.T, precision=prec)         # (b, n1)
+        return z * fluid
+
+    def solve_halo(self, hc, b: Array, p0: Array, tol, max_iters: int,
+                   op: PoissonOp, ctx, axis: str):
+        """Explicit-comm dctcg solve body (inside shard_map): the
+        capacitance branch runs the same Richardson recurrence as
+        :meth:`_solve_richardson` with ctx-aware residuals/norms; the
+        singular branch runs ctx-aware flexible_pcg around the plain
+        distributed spectral preconditioner. Convergence semantics are
+        the single-device ones by construction (shared stopping rule,
+        psum'd reductions)."""
+        from .poisson import deflate, flexible_pcg
+
+        fluid = op.fluid
+        prec = DCTPoissonSolver._prec(None, self.precond_precision)
+        if self.cap_cinv is None:
+            def precond(r):
+                z = -self._precond_sharded(hc, r, fluid, axis, prec)
+                return deflate(op, z, ctx) if op.singular else z
+
+            return flexible_pcg(op, b, p0, tol, max_iters, precond,
+                                ctx=ctx)
+
+        dt = b.dtype
+        b = b * fluid
+        p0 = p0 * fluid
+        bsq = ctx.psum(jnp.sum(b * b))
+        bnorm = jnp.sqrt(bsq)
+        tiny = jnp.asarray(np.finfo(np.float32).tiny, dt)
+        inv_bnorm = 1.0 / jnp.maximum(bnorm, tiny)
+        tol = jnp.asarray(tol, dt)
+
+        def resid(p):
+            return (b - apply_A(op, p, ctx)) * fluid
+
+        def norm(r):
+            return jnp.sqrt(ctx.psum(jnp.sum(r * r))) * inv_bnorm
+
+        r0 = resid(p0)
+        res0 = norm(r0)
+        p1 = p0 + self._precond_sharded(hc, r0, fluid, axis, prec)
+        r1 = resid(p1)
+        res1 = norm(r1)
+
+        def cond(carry):
+            p, r, k, res, prev = carry
+            improving = res < 0.9 * prev
+            return jnp.logical_and(
+                jnp.logical_and(k < max_iters, res > tol), improving
+            )
+
+        def body(carry):
+            p, r, k, res, _ = carry
+            p = p + self._precond_sharded(hc, r, fluid, axis, prec)
+            r = resid(p)
+            return p, r, k + 1, norm(r), res
+
+        p, r, iters, res, _ = jax.lax.while_loop(
+            cond, body, (p1, r1, jnp.int32(1), res1, res0)
+        )
+        return p, iters, res
+
     def _precond_apply(
         self, r: Array, fluid: Array, precision: Optional[str] = None
     ) -> Array:

@@ -54,10 +54,13 @@ class ShardedPoissonSolver:
     _mapped: object = None
     _mg: object = None   # MGPoissonSolver for cfg.method mg/mgcg
 
+    _dctcg: object = None
+    dctcg_consts: object = None
+
     @staticmethod
     def build(
         grid: GridSpec, op: PoissonOp, mesh: Mesh, cfg: PoissonConfig,
-        mg=None,
+        mg=None, dctcg=None,
     ) -> "ShardedPoissonSolver":
         """``mg``: the Simulation's MGPoissonSolver, required for
         cfg.method "mg"/"mgcg" -- the V-cycle then runs inside the same
@@ -73,13 +76,23 @@ class ShardedPoissonSolver:
                 f"names are a prefix of {SPATIAL_AXES} (grid axis i shards "
                 f"over mesh axis i); got {names}"
             )
-        if cfg.method not in ("jacobi", "gs", "sor", "cg", "mg", "mgcg"):
+        if cfg.method not in ("jacobi", "gs", "sor", "cg", "mg", "mgcg",
+                              "dctcg"):
             raise ValueError(
                 f"explicit halo-exchange path supports "
-                f"jacobi/gs/sor/cg/mg/mgcg, not {cfg.method!r}"
+                f"jacobi/gs/sor/cg/mg/mgcg/dctcg, not {cfg.method!r}"
             )
         if cfg.method in ("mg", "mgcg") and mg is None:
             raise ValueError(f"method {cfg.method!r} needs the mg solver")
+        if cfg.method == "dctcg":
+            if dctcg is None:
+                raise ValueError("method 'dctcg' needs the DCTPCGSolver")
+            if grid.ndim != 2 or len(names) != 1:
+                raise ValueError(
+                    "explicit-halo dctcg covers 2D grids on a 1D 'sx' "
+                    "slab mesh (the production cylinder topology); use "
+                    "poisson_comm='gspmd' elsewhere"
+                )
         if op.ap is not None:
             raise ValueError(
                 "cut-cell (sharp_pressure) operators are not supported on "
@@ -138,6 +151,43 @@ class ShardedPoissonSolver:
                           tuple((s, s) for s in level_specs)),
                 out_specs=(spec, P(), P()),
             )
+        elif cfg.method == "dctcg":
+            n_dev = int(mesh.devices.shape[0])
+            if grid.shape[1] % n_dev:
+                raise ValueError(
+                    f"explicit-halo dctcg: axis-1 extent {grid.shape[1]} "
+                    f"must divide over {n_dev} devices (pencil transpose)"
+                )
+            hc0 = dctcg.halo_consts()
+            if hc0 is None:
+                raise ValueError(
+                    "explicit-halo dctcg needs the 2D matmul-mode "
+                    "spectral arrays (DCTPCGSolver.halo_consts)"
+                )
+            axis = names[0]
+            # per-leaf shard specs: k1-sliced leaves ride the mesh axis
+            hc_specs = {
+                k: (P(None, axis) if k in ("inv_nat", "vy")
+                    else P(axis, None) if k == "fy" else P())
+                for k in hc0
+            }
+
+            def body(b, p0, diag, code, hc):
+                op_local = dataclasses.replace(op, diag=diag, code=code)
+                return dctcg.solve_halo(
+                    hc, b, p0, cfg.tol, cfg.max_iters, op_local, ctx, axis
+                )
+
+            mapped = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(spec, spec, spec, spec, hc_specs),
+                out_specs=(spec, P(), P()),
+            )
+            return ShardedPoissonSolver(
+                grid=grid, mesh=mesh, op=op, cfg=cfg, _mapped=mapped,
+                _dctcg=dctcg, dctcg_consts=hc0,
+            )
         else:
             def body(b, p0, diag, code, levels):
                 # diag/code arrive as the local blocks; rebuild a
@@ -157,14 +207,19 @@ class ShardedPoissonSolver:
             grid=grid, mesh=mesh, op=op, cfg=cfg, _mapped=mapped, _mg=mg
         )
 
-    def solve(self, b: Array, p0: Array, op: PoissonOp = None, mg_ops=None):
+    def solve(self, b: Array, p0: Array, op: PoissonOp = None, mg_ops=None,
+              dctcg_consts=None):
         """Returns (p, iters, relative residual), p sharded over the mesh.
 
-        Pass ``op`` (and ``mg_ops`` for mg/mgcg) explicitly when their
-        arrays are threaded as traced jit arguments (Simulation._consts)
-        rather than baked constants.
+        Pass ``op`` (and ``mg_ops`` for mg/mgcg, ``dctcg_consts`` for
+        dctcg) explicitly when their arrays are threaded as traced jit
+        arguments (Simulation._consts) rather than baked constants.
         """
         op = op if op is not None else self.op
+        if self.cfg.method == "dctcg":
+            hc = dctcg_consts if dctcg_consts is not None \
+                else self.dctcg_consts
+            return self._mapped(b, p0, op.diag, op.code, hc)
         if self.cfg.method in ("mg", "mgcg"):
             ops = mg_ops if mg_ops is not None else self._mg.ops
             levels = tuple((o.diag, o.code) for o in ops)

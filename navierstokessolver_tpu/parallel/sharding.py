@@ -119,7 +119,8 @@ def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
         from .halo import ShardedPoissonSolver
 
         halo_solver = ShardedPoissonSolver.build(
-            sim.grid, sim.op, mesh, sim.params.poisson, mg=sim.mg_solver
+            sim.grid, sim.op, mesh, sim.params.poisson, mg=sim.mg_solver,
+            dctcg=sim.dctcg_solver,
         )
     elif poisson_comm != "gspmd":
         raise ValueError(f"unknown poisson_comm {poisson_comm!r}")

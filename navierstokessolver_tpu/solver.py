@@ -810,13 +810,14 @@ class Simulation:
             return adjoint.implicit_solve(adjoint.base_of(self), rhs, p0)
         pr = self.params
         if self.halo_solver is not None:
-            # op (+ mg level ops) passed explicitly: their arrays are
-            # threaded as traced jit arguments (run_scan consts), not
-            # baked program constants.
+            # op (+ mg level ops / dctcg transform arrays) passed
+            # explicitly: their arrays are threaded as traced jit
+            # arguments (run_scan consts), not baked program constants.
             return self.halo_solver.solve(
                 rhs, p0, op=self.op,
                 mg_ops=(self.mg_solver.ops
                         if self.mg_solver is not None else None),
+                dctcg_consts=getattr(self, "_dctcg_halo", None),
             )
         if self.dct_solver is not None:
             from .ops import fft_poisson
@@ -1413,6 +1414,12 @@ class Simulation:
                 d.cap_wbox, d.cap_cinv, d.cap_vx, d.cap_vy,
                 d.cap_fx, d.cap_fy, d.cap_va, d.cap_vb,
             )
+        if (self.halo_solver is not None
+                and getattr(self.halo_solver, "dctcg_consts", None)
+                is not None):
+            # explicit-halo dctcg: the dense per-axis transform matrices
+            # + natural-layout spectral multiplier ride as traced args too
+            c["dctcg_halo"] = self.halo_solver.dctcg_consts
         if self.mg_solver is not None:
             c["mg_ops"] = self.mg_solver.ops
         if self.ibm is not None:
@@ -1442,6 +1449,12 @@ class Simulation:
                 d.cap_wbox, d.cap_cinv, d.cap_vx, d.cap_vy,
                 d.cap_fx, d.cap_fy, d.cap_va, d.cap_vb,
             )
+        if (self.halo_solver is not None
+                and getattr(self.halo_solver, "dctcg_consts", None)
+                is not None):
+            # explicit-halo dctcg: the dense per-axis transform matrices
+            # + natural-layout spectral multiplier ride as traced args too
+            c["dctcg_halo"] = self.halo_solver.dctcg_consts
         if self.mg_solver is not None:
             c["mg_ops"] = self.mg_solver.ops
         if self.ibm is not None:
@@ -1489,6 +1502,8 @@ class Simulation:
             object.__setattr__(bound, "_fc2d_cache", c["fc2d"])
         if "fc3d" in c:
             object.__setattr__(bound, "_fc3d_cache", c["fc3d"])
+        if "dctcg_halo" in c:
+            object.__setattr__(bound, "_dctcg_halo", c["dctcg_halo"])
         if "fc3d_halo" in c:
             object.__setattr__(bound, "_fc3d_halo_cache", c["fc3d_halo"])
         if "fc3d_pencil" in c:

@@ -265,3 +265,37 @@ def test_dctcg_singular_sharded():
     it_ref = np.asarray(diag_ref.poisson_iters)
     it_sh = np.asarray(diag.poisson_iters)
     assert np.max(np.abs(it_sh - it_ref)) <= 2, (it_sh, it_ref)
+
+
+@requires_8
+def test_dctcg_halo_matches_single_device():
+    """dctcg through the EXPLICIT-comm tier (round 4, VERDICT r3 item 2
+    real target): poisson_comm='halo' routes the capacitance-Richardson
+    solve into shard_map -- local dense transforms around one all-to-all
+    pencil transpose per direction, the Woodbury sample as one (k0, 2K)
+    psum, ctx-aware residuals. Fields AND the convergence trajectory
+    match single-device."""
+    case = make_case(
+        "cylinder", shape=(96, 48), lengths=(12.0, 6.0), center=(3.0, 3.01)
+    )
+    sim = case.sim
+    assert sim.dctcg_solver is not None
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+
+    st = impulsive_start_state(sim)
+    ref, dref = sim.run_scan(st, 10)
+    mesh = make_mesh(8)
+    sim_h = sharded_simulation(sim, mesh, poisson_comm="halo")
+    assert sim_h.halo_solver is not None
+    assert sim_h.halo_solver.dctcg_consts is not None
+    out, d = sim_h.run_scan(shard_state(st, mesh, sim.grid), 10)
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=1e-4
+    )
+    it_ref = np.asarray(dref.poisson_iters)
+    it_h = np.asarray(d.poisson_iters)
+    assert np.max(np.abs(it_h - it_ref)) <= 1, (it_h, it_ref)
+    np.testing.assert_allclose(
+        np.asarray(d.poisson_res), np.asarray(dref.poisson_res), atol=2e-6
+    )
+    assert len(out.p.sharding.device_set) == 8
