@@ -299,3 +299,29 @@ def test_dctcg_halo_matches_single_device():
         np.asarray(d.poisson_res), np.asarray(dref.poisson_res), atol=2e-6
     )
     assert len(out.p.sharding.device_set) == 8
+
+
+@requires_8
+def test_dctcg_halo_singular_matches_single_device():
+    """The singular dctcg branch (pure-Neumann enclosure: no Woodbury,
+    spectral preconditioner drives ctx-aware flexible_pcg) through the
+    explicit-halo tier."""
+    case = make_case("heated_enclosure", shape=(32, 32), ra=1e4,
+                     poisson_method="dctcg")
+    sim = case.sim
+    assert sim.dctcg_solver.cap_cinv is None
+    ref, dref = sim.run_scan(case.initial_state(), 10)
+    mesh = make_mesh(8)
+    sim_h = sharded_simulation(sim, mesh, poisson_comm="halo")
+    out, d = sim_h.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u[1]), np.asarray(ref.u[1]), atol=5e-5
+    )
+    it_ref = np.asarray(dref.poisson_iters)
+    it_h = np.asarray(d.poisson_iters)
+    assert np.max(np.abs(it_h - it_ref)) <= 2, (it_h, it_ref)
