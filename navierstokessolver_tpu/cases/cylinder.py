@@ -153,12 +153,17 @@ def build_sphere(
     outlet: str = "outflow",
     poisson_extrapolate: float = 0.8,
     ibm: bool = False,
+    spin: float = 0.0,
     sharp_pressure: bool = False,
     heated: bool = False,
     prandtl: float = 0.7,
     **params_kw,
 ):
     """Flow past a sphere (the 3D analog of the cylinder case).
+
+    ``spin`` (requires ibm): rotation rate alpha = omega*R/u_in about the
+    z axis -- the 3D rotating-body/Magnus configuration, riding the
+    moving-boundary IBM (wet faces carry the surface velocity).
 
     Same topology class as BASELINE config #3 -- inflow/outflow + interior
     obstacle -- extended to 3D; at Re=300 the wake is unsteady (planar-
@@ -196,10 +201,20 @@ def build_sphere(
     sdf = (lambda *cs: np.sqrt(
         sum((c - c0) ** 2 for c, c0 in zip(cs, center))) - radius
     ) if ibm else None
+    vel = None
+    if spin:
+        if not ibm:
+            raise ValueError("spin (rotating sphere) requires ibm=True")
+        omega = spin * u_in / radius
+
+        def vel(x, y, z):  # rigid rotation about the z axis
+            return (-omega * (y - center[1]), omega * (x - center[0]),
+                    np.zeros_like(z))
     if sharp_pressure and not ibm:
         raise ValueError("sharp_pressure requires ibm=True (needs the sdf)")
     scalar = _heated_scalar(grid, nu, prandtl) if heated else None
     sim = Simulation.build(grid, bcs, params, solid=solid, sdf=sdf,
+                           surface_velocity=vel,
                            sharp_pressure=sharp_pressure, scalar=scalar)
     return Case(
         name="sphere",

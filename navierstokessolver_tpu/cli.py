@@ -67,6 +67,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ibm", action="store_true",
                     help="sharp-interface immersed boundary for obstacle "
                          "cases (direct forcing; cylinder/sphere)")
+    ap.add_argument("--spin", type=float, default=0.0,
+                    help="rotation rate alpha = omega R / U for the "
+                         "cylinder/sphere cases (requires --ibm): the "
+                         "rotating-body/Magnus configuration")
     ap.add_argument("--sharp-pressure", action="store_true",
                     help="cut-cell apertured Poisson (cutcell.py): the "
                          "pressure side of the sharp interface; requires "
@@ -153,6 +157,8 @@ def main(argv=None) -> int:
         overrides["upwind_gamma"] = args.upwind_gamma
     if args.ibm:
         overrides["ibm"] = True
+    if args.spin:
+        overrides["spin"] = args.spin
     if args.sharp_pressure:
         overrides["sharp_pressure"] = True
 

@@ -292,6 +292,52 @@ def to_internal_halo(grid: GridSpec, u, mesh: Mesh, tile=None):
     )
 
 
+def ibm_to_halo(grid: GridSpec, ibm, mesh: Mesh, tile=None):
+    """Exact-layout IBMForcing -> per-shard halo-layout operand volumes
+    (round 4: sharded fused IBM). Each per-face volume packs its local
+    rows into the shard's block; ghost-slot rows stay ZERO, so
+    ``IBMForcing.apply`` on a local block leaves the ghost slots
+    untouched (band/wet are zero there) while its axis-0 rolls pick up
+    the refreshed neighbor VELOCITY rows -- a band face's interpolation
+    neighbor one row over the shard boundary reads the true value.
+    Valid for ``fused_ok`` bands (strictly interior globally)."""
+    import dataclasses as _dc
+
+    n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
+    n0, n1, n2 = grid.shape
+
+    def blockify(x, S):
+        x = x.reshape(n_dev, b, x.shape[1], x.shape[2])
+        x = jnp.pad(
+            x,
+            [(0, 0), (0, RP - b), (0, S - x.shape[2]), (0, L - x.shape[3])],
+        )
+        return x.reshape(n_dev * RP, S, L)
+
+    def pack(a, x):
+        if a == 0:
+            return blockify(x[:n0], S0)
+        if a == 1:
+            return blockify(x, S1)
+        return blockify(x[:, :, :n2], S0)
+
+    def pack_t(t):
+        return (None if t is None
+                else tuple(pack(a, x) for a, x in enumerate(t)))
+
+    return _dc.replace(
+        ibm,
+        masks=tuple(
+            tuple(pack(a, m) for m in ibm.masks[a]) for a in range(3)
+        ),
+        w=pack_t(ibm.w),
+        band=pack_t(ibm.band),
+        ub=pack_t(ibm.ub),
+        wet=pack_t(ibm.wet),
+        ub_wet=pack_t(ibm.ub_wet),
+    )
+
+
 def from_internal_halo(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
                        tile=None):
     """Halo-mode internal layout -> exact global face arrays (re-attaching
@@ -339,7 +385,8 @@ def _perm_bwd(n, ring: bool = False):
 def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                             thermal: bool = False,
                             codes=None, fcode=None, ifld=None,
-                            rdma: bool = False):
+                            rdma: bool = False,
+                            ibm_h=None, fluid_x=None):
     """Returns step_fn mapping ((iu0, iu1, iu2), p, theta, p_prev) ->
     (same structure, diag) with the iu arrays in the global halo-mode
     layout sharded over 'sx'. ``thermal`` must reflect whether the scan
@@ -493,17 +540,39 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         th = jax.lax.dynamic_update_slice(th, hi, (b, 0, 0))
         return jax.lax.dynamic_update_slice(th, lo, (RP - 1, 0, 0))
 
+    def _ibm_local(arrs):
+        """Per-shard IBMForcing view over the shard_map-delivered operand
+        blocks (static dirs/fused_ok come from the ibm_h template)."""
+        import dataclasses as _dc
+
+        masks, w, band, ub, wet, ub_wet = arrs
+        return _dc.replace(ibm_h, masks=masks, w=w, band=band,
+                           ub=ub, wet=wet, ub_wet=ub_wet)
+
     def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
-                  codes_=None, fc_=None, fld_=None):
+                  codes_=None, fc_=None, fld_=None, ibm_=None, flu_=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
         iu = _refresh_ghosts((iu0, iu1, iu2), first, last)
+        if ibm_ is not None and base is None:
+            # step/stage entry: re-impose the interpolated surface values
+            # the previous correction perturbed (jnp step's bcs+ibm entry
+            # pass). Band faces near shard boundaries interpolate from
+            # the just-refreshed ghost rows; the apply leaves ghost slots
+            # untouched (band/wet are zero there), and the kernels read
+            # only rows whose ghosts mirror PRE-apply neighbor data one
+            # row past the band -- outside it, where apply is identity.
+            iu = _refresh_ghosts(_ibm_local(ibm_).apply(iu), first, last)
         if base is not None:
             # rk2 stage 2: the base (step-start) field streams through the
             # same stripe windows -- its ghost slots need the same refresh
             # so the in-register shared-face star anchors correctly
             base = _refresh_ghosts(base, first, last)
+            if ibm_ is not None:
+                base = _refresh_ghosts(
+                    _ibm_local(ibm_).apply(base), first, last
+                )
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
         us, rhs = pk.predictor_rhs_3d_internal(
             local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
@@ -516,6 +585,32 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             theta_ref=scalar.theta_ref if scalar is not None else 0.0,
             face_codes=codes_, fluid_code=fc_,
         )
+        if ibm_ is not None:
+            # direct forcing on u* between the kernels (every projection
+            # stage, like the jnp _project), with the Poisson RHS patched
+            # by the forcing delta's divergence. The comp-0 delta at the
+            # SHARED face row b rides one ppermute (the neighbor's row-0
+            # delta feeds cell b-1's divergence); zero at the true domain
+            # edge (fused_ok bands are strictly interior).
+            from .. import ibm as ibm_mod
+
+            op_ibm = _ibm_local(ibm_)
+            us = _refresh_ghosts(us, first, last)
+            usf = op_ibm.apply(us)
+            d0 = usf[0] - us[0]
+            d0_hi = jax.lax.ppermute(
+                d0[0:1], AXIS, _perm_bwd(n_dev, ring)
+            )
+            if not ring:
+                d0_hi = jnp.where(last, jnp.zeros_like(d0_hi), d0_hi)
+            usf0p = jax.lax.dynamic_update_slice(
+                us[0] + d0, d0_hi + us[0][b:b + 1], (b, 0, 0)
+            )
+            rhs = ibm_mod.fused_rhs_patch(
+                local_grid, rhs, us, (usf0p, usf[1], usf[2]),
+                pr.rho / dt, flu_,
+            )
+            us = (usf0p, usf[1], usf[2])
         # the corrector's divergence diagnostic needs the corrected SHARED
         # face: exchange the neighbor's fresh face-0 star into row b
         hi_halo = jax.lax.ppermute(
@@ -583,11 +678,13 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
 
     def _mk_pred(based):
         """shard_map'd predictor over the positional arg layout
-        dt, iu x3, [base x3], [theta], [fld x3], [codes x3 + fc] --
-        every optional set rides as ordinary sx-sharded inputs (the
-        static blocks are loop-invariant; XLA hoists their layout)."""
+        dt, iu x3, [base x3], [theta], [fld x3], [codes x3 + fc],
+        [ibm pytree + fluid] -- every optional set rides as ordinary
+        sx-sharded inputs (the static blocks are loop-invariant; XLA
+        hoists their layout)."""
         n_arr = (3 + (3 if based else 0) + (1 if thermal else 0)
                  + (3 if forced else 0) + (4 if masked else 0))
+        with_ibm = ibm_h is not None
 
         def body(dt, *arrs):
             k = 3
@@ -609,12 +706,22 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                 cds = arrs[k:k + 3]
                 fcd = arrs[k + 3]
                 k += 4
+            ib = flu = None
+            if with_ibm:
+                ib, flu = arrs[k], arrs[k + 1]
+                k += 2
             return pred_body(dt, *iu, theta=th, base=base,
-                             codes_=cds, fc_=fcd, fld_=fl)
+                             codes_=cds, fc_=fcd, fld_=fl,
+                             ibm_=ib, flu_=flu)
 
+        in_specs = (sc,) + (spec3,) * n_arr
+        if with_ibm:
+            # the ibm operand pytree rides under ONE prefix spec; fluid
+            # (cells, exact shape) shards by rows too
+            in_specs = in_specs + (spec3, spec3)
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * n_arr,
+            in_specs=in_specs,
             out_specs=(spec3, spec3, spec3, spec3),
             check_vma=False,
         )
@@ -674,7 +781,11 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         th_args = (theta,) if thermal else ()
         fld_args = tuple(ifld) if forced else ()
         code_args = (*codes, fcode) if masked else ()
-        extra = (*th_args, *fld_args, *code_args)
+        ibm_args = ()
+        if ibm_h is not None:
+            ibm_args = ((ibm_h.masks, ibm_h.w, ibm_h.band,
+                         ibm_h.ub, ibm_h.wet, ibm_h.ub_wet), fluid_x)
+        extra = (*th_args, *fld_args, *code_args, *ibm_args)
         it_extra = 0
         if rk2:
             # midpoint rule, both stages fused+sharded: stage 1 advances
@@ -1370,9 +1481,31 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int,
                 grid, bcs, sim._forcing_fields_exact(), mesh
             )
         )
+    ibm_h = fluid_x = None
+    if sim.ibm is not None:
+        # sharp-interface IBM (round 4): per-shard halo-layout operand
+        # volumes, loop-invariant (ghost-slot rows zero -- ibm_to_halo)
+        import dataclasses as _dc
+
+        cst = jax.lax.with_sharding_constraint
+        ibm_h = ibm_to_halo(grid, sim.ibm, mesh)
+
+        def _cst_t(t):
+            return (None if t is None
+                    else tuple(cst(x, spec3) for x in t))
+
+        ibm_h = _dc.replace(
+            ibm_h,
+            masks=tuple(_cst_t(m) for m in ibm_h.masks),
+            w=_cst_t(ibm_h.w), band=_cst_t(ibm_h.band),
+            ub=_cst_t(ibm_h.ub), wet=_cst_t(ibm_h.wet),
+            ub_wet=_cst_t(ibm_h.ub_wet),
+        )
+        fluid_x = cst(sim.op.fluid, spec3)
     step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None,
                                       codes=codes, fcode=fcode, ifld=ifld,
-                                      rdma=rdma)
+                                      rdma=rdma, ibm_h=ibm_h,
+                                      fluid_x=fluid_x)
     # CFL-adaptive runs carry the corrector's global max|u_a|/h_a pmax
     # through the scan (entry value from one jnp reduction outside it)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None

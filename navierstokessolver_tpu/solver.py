@@ -503,8 +503,19 @@ class Simulation:
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
-        if self.les is not None or self.ibm is not None:
+        if self.les is not None:
             return False
+        if self.ibm is not None:
+            # sharp-interface IBM rides the SLAB tier (round 4): per-shard
+            # halo-layout operand blocks, the apply between the kernels
+            # with a ghost refresh on each side, and the comp-0 shared-
+            # face delta exchanged for the RHS patch. Pencil meshes keep
+            # the jnp GSPMD step (the apply's axis-1 rolls would cross sy
+            # boundaries without column ghosts for the operands).
+            if (not self.ibm.fused_ok
+                    or self.scalar is not None
+                    or tuple(self.shardings.p.mesh.axis_names) != ("sx",)):
+                return False
         masked = self.face_masks is not None or self.corr_masks is not None
         if masked:
             # obstacles stream as STATIC per-shard uint8 code blocks
@@ -629,32 +640,35 @@ class Simulation:
 
         return pallas_kernels.fused_tile_db(self.grid)
 
+    def _fm_for_codes(self):
+        """face_masks for the fused-kernel uint8 codes. Moving boundary:
+        WET faces (blocked, adjacent to an open face) carry the body
+        velocity ub_wet, re-imposed each step by the entry/mid-step ibm
+        apply -- mark them OPEN in the codes so the kernels' keep-zeroing
+        preserves them and the in-kernel divergence/CFL diagnostics read
+        the true interface velocities (the jnp step restores them post-BC
+        via apply_wet). They never get a CORR bit: corr_masks are
+        fluid&fluid, a wet face touches solid."""
+        fm = self.face_masks
+        if (self.ibm is not None and self.ibm.wet is not None
+                and fm is not None):
+            import numpy as _np
+
+            fm = tuple(
+                jnp.maximum(
+                    f, jnp.asarray(_np.asarray(w) > 0, f.dtype)
+                )
+                for f, w in zip(fm, self.ibm.wet)
+            )
+        return fm
+
     def _face_codes_3d(self):
         from .ops import pallas_kernels
 
         if not hasattr(self, "_fc3d_cache"):
             tile, _ = self._tile_db_3d()
-            fm = self.face_masks
-            if (self.ibm is not None and self.ibm.wet is not None
-                    and fm is not None):
-                # moving boundary: WET faces (blocked, adjacent to an open
-                # face) carry the body velocity ub_wet, re-imposed each
-                # step by the entry/mid-step ibm apply -- mark them OPEN
-                # in the codes so the kernels' keep-zeroing preserves
-                # them and the in-kernel divergence/CFL diagnostics read
-                # the true interface velocities (the jnp step restores
-                # them post-BC via apply_wet). They never get a CORR bit:
-                # corr_masks are fluid&fluid, a wet face touches solid.
-                import numpy as _np
-
-                fm = tuple(
-                    jnp.maximum(
-                        f, jnp.asarray(_np.asarray(w) > 0, f.dtype)
-                    )
-                    for f, w in zip(fm, self.ibm.wet)
-                )
             codes = pallas_kernels.build_face_codes_3d(
-                self.grid, fm, self.corr_masks, tile=tile
+                self.grid, self._fm_for_codes(), self.corr_masks, tile=tile
             )
             fc = (pallas_kernels.pad_fluid_code_3d(
                       self.grid, self.op.code, tile=tile)
@@ -675,7 +689,7 @@ class Simulation:
         if not hasattr(self, "_fc3d_halo_cache"):
             mesh = self.shardings.p.mesh
             codes = build_face_codes_halo(
-                self.grid, self.face_masks, self.corr_masks, mesh
+                self.grid, self._fm_for_codes(), self.corr_masks, mesh
             )
             fc = (pad_fluid_code_halo(self.grid, self.op.code, mesh)
                   if codes is not None else None)
