@@ -1258,17 +1258,23 @@ class Simulation:
         step on a resolved copy of the Simulation, advance t by the dt
         actually used (CFL-adaptive runs included). BC KINDS must not
         change in time (the Poisson operator/masks were built from them);
-        only the values may. Resolved values are traced scalars/arrays, so
-        the fused kernels (which bake BC values as compile-time floats)
-        are forced off -- time-dependent runs take the jnp step."""
+        only the values may. BC values resolve to traced scalars, which
+        the fused kernels cannot take (they bake BC values as compile-
+        time floats) -- BC-time-dependent runs take the jnp step. Runs
+        whose ONLY time dependence is the FORCING keep the fused path
+        (round 4): the resolved force becomes traced per-face forcing
+        FIELDS, which stream through the predictor kernel as ordinary
+        operands (forcing_fields)."""
         t = state.t
         b = bcs_mod.resolve_bcs(self.bcs, t)
         forcing = self.forcing
         if forcing is not None and any(callable(f) for f in forcing):
             forcing = tuple(f(t) if callable(f) else f for f in forcing)
+        params = self.params
+        if bcs_mod.bcs_time_dependent(self.bcs):
+            params = dataclasses.replace(params, use_pallas=False)
         sim = dataclasses.replace(
-            self, bcs=b, forcing=forcing,
-            params=dataclasses.replace(self.params, use_pallas=False),
+            self, bcs=b, forcing=forcing, params=params,
         )
         inner = dataclasses.replace(state, t=None)
         new_state, diag = sim.step(inner)

@@ -140,3 +140,59 @@ def test_timedep_gates_fused_paths():
     )
     assert sim._time_dependent()
     assert not sim._fused2d_ok()
+
+
+def test_timedep_forcing_keeps_fused_3d():
+    """Round 4: a run whose ONLY time dependence is the body FORCE keeps
+    the fused 3D whole-step -- the per-step resolved force streams as
+    traced per-face forcing fields through the predictor kernel.
+    Interpret-mode trajectory parity vs the jnp step (t carried by both);
+    BC time dependence still gates the kernels off."""
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.ops.poisson import PoissonConfig
+    from navierstokessolver_tpu.solver import SimParams, Simulation
+
+    g = GridSpec(shape=(16, 16, 16), lengths=(1.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    params = SimParams(
+        dt=2e-3, nu=5e-3,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=60),
+    )
+    prof = jnp.asarray(
+        np.cos(2.0 * np.pi * (np.arange(16) + 0.5) / 16.0)[None, :, None],
+        jnp.float32,
+    )
+    forcing = (lambda t: (0.05 * jnp.sin(8.0 * t) + 0.02) * prof,
+               None, None)
+    sim_ref = Simulation.build(g, bcs, params, forcing=forcing)
+    st0 = sim_ref.initial_state()
+    assert st0.t is not None          # time rides the scan carry
+    a, da = sim_ref.run_scan(st0, 6)
+
+    p_fused = dataclasses.replace(params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        Simulation.build(g, bcs, p_fused, forcing=forcing),
+        pallas_interpret=True,
+    )
+    b, db_ = sim_fused.run_scan(st0, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(float(b.t), float(a.t), rtol=1e-6)
+    # the oscillating force actually drove flow
+    assert float(np.abs(np.asarray(b.u[0])).max()) > 1e-4
+
+    # BC time dependence still forces the jnp step
+    bcs_td = dict(bcs)
+    bcs_td[(0, 1)] = BCSpec.wall((0.0, lambda t: 0.1 * jnp.sin(t), 0.0))
+    sim_bc = dataclasses.replace(
+        Simulation.build(g, bcs_td, p_fused),
+        pallas_interpret=True,
+    )
+    st_bc = sim_bc.initial_state()
+    out_bc, _ = sim_bc.run_scan(st_bc, 2)   # runs via the jnp step
+    assert np.isfinite(np.asarray(out_bc.u[1])).all()
