@@ -944,6 +944,40 @@ def to_internal_pencil(grid: GridSpec, u, mesh: Mesh, tile=None):
     return blockify(u[0]), blockify(u[1]), blockify(u[2])
 
 
+def ibm_to_pencil(grid: GridSpec, ibm, mesh: Mesh, tile=None):
+    """Exact-layout IBMForcing -> per-shard PENCIL-layout operand volumes
+    (ghost slots zero; see ibm_to_halo -- same contract, both axes)."""
+    import dataclasses as _dc
+
+    ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
+        grid, mesh, tile
+    )
+    n0, n1, n2 = grid.shape
+
+    def blockify(x):
+        x = x[:n0, :n1, :n2]
+        x = x.reshape(ndx, b0, ndy, m1, n2)
+        x = jnp.pad(
+            x, [(0, 0), (0, RP - b0), (0, 0), (0, SH - m1), (0, L - n2)]
+        )
+        return x.reshape(ndx * RP, ndy * SH, L)
+
+    def pack_t(t):
+        return None if t is None else tuple(blockify(x) for x in t)
+
+    return _dc.replace(
+        ibm,
+        masks=tuple(
+            tuple(blockify(m) for m in ibm.masks[a]) for a in range(3)
+        ),
+        w=pack_t(ibm.w),
+        band=pack_t(ibm.band),
+        ub=pack_t(ibm.ub),
+        wet=pack_t(ibm.wet),
+        ub_wet=pack_t(ibm.ub_wet),
+    )
+
+
 def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
                          tile=None):
     ndx, ndy, b0, m1, lg, (T, G, RP, SH, _, L) = _dims_pencil(
@@ -978,7 +1012,8 @@ def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
 
 def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
                            thermal: bool = False,
-                           codes=None, fcode=None, ifld=None):
+                           codes=None, fcode=None, ifld=None,
+                           ibm_h=None, fluid_x=None):
     """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, theta,
     p_prev, vel) -> (same, diag). euler/rk2, fixed or CFL dt; ``thermal``
     must reflect whether the carry actually holds a theta.
@@ -1119,21 +1154,45 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             out.append(x)
         return tuple(out)
 
+    def _ibm_local(arrs):
+        """Per-shard IBMForcing view over the shard_map-delivered operand
+        blocks (static dirs/fused_ok come from the ibm_h template)."""
+        import dataclasses as _dc
+
+        masks, w, band, ub, wet, ub_wet = arrs
+        return _dc.replace(ibm_h, masks=masks, w=w, band=band,
+                           ub=ub, wet=wet, ub_wet=ub_wet)
+
+    def _refresh_both(x, first0, last0, first1, last1):
+        return _refresh_rows(
+            _refresh_cols(x, first1, last1), first0, last0
+        )
+
     def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
-                  codes_=None, fc_=None, fld_=None):
+                  codes_=None, fc_=None, fld_=None, ibm_=None, flu_=None):
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
         last0 = (ix == ndx - 1) & (not ring0)
         first1 = (iy == 0) & (not ring1)
         last1 = (iy == ndy - 1) & (not ring1)
-        iu = _refresh_cols((iu0, iu1, iu2), first1, last1)
-        iu = _refresh_rows(iu, first0, last0)
+        iu = _refresh_both((iu0, iu1, iu2), first0, last0, first1, last1)
+        if ibm_ is not None and base is None:
+            # step entry: re-impose the interpolated surface values (see
+            # the slab pred_body note; the two-stage re-refresh restores
+            # post-apply ghosts, corners included)
+            iu = _refresh_both(
+                _ibm_local(ibm_).apply(iu), first0, last0, first1, last1
+            )
         if base is not None:
             # rk2 stage 2: the step-start field streams through the same
             # windows; its ghost slots need the same two-stage refresh
-            base = _refresh_cols(base, first1, last1)
-            base = _refresh_rows(base, first0, last0)
+            base = _refresh_both(base, first0, last0, first1, last1)
+            if ibm_ is not None:
+                base = _refresh_both(
+                    _ibm_local(ibm_).apply(base),
+                    first0, last0, first1, last1,
+                )
         ff0 = (first0.astype(jnp.float32), last0.astype(jnp.float32))
         ff1 = (first1.astype(jnp.float32), last1.astype(jnp.float32))
         us, rhs = pk.predictor_rhs_3d_internal(
@@ -1148,6 +1207,38 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             theta_ref=scalar.theta_ref if scalar is not None else 0.0,
             face_codes=codes_, fluid_code=fc_,
         )
+        if ibm_ is not None:
+            # direct forcing on u* (every projection stage): the comp-0
+            # delta at the shared ROW b0 and the comp-1 delta at the
+            # shared COLUMN m1 each ride one ppermute into the slots the
+            # RHS patch's divergence reads (zero at true domain edges --
+            # fused_ok bands are strictly interior)
+            from .. import ibm as ibm_mod
+
+            op_ibm = _ibm_local(ibm_)
+            us = _refresh_both(us, first0, last0, first1, last1)
+            usf = op_ibm.apply(us)
+            d0 = usf[0] - us[0]
+            d0_hi = jax.lax.ppermute(d0[0:1], AXIS, _perm_bwd(ndx, ring0))
+            if not ring0:
+                d0_hi = jnp.where(last0, jnp.zeros_like(d0_hi), d0_hi)
+            usf0p = jax.lax.dynamic_update_slice(
+                us[0] + d0, d0_hi + us[0][b0:b0 + 1], (b0, 0, 0)
+            )
+            d1 = usf[1] - us[1]
+            d1_hi = jax.lax.ppermute(
+                d1[:, 0:1], AXIS_Y, _perm_bwd(ndy, ring1)
+            )
+            if not ring1:
+                d1_hi = jnp.where(last1, jnp.zeros_like(d1_hi), d1_hi)
+            usf1p = jax.lax.dynamic_update_slice(
+                us[1] + d1, d1_hi + us[1][:, m1:m1 + 1], (0, m1, 0)
+            )
+            rhs = ibm_mod.fused_rhs_patch(
+                local_grid, rhs, us, (usf0p, usf1p, usf[2]),
+                pr.rho / dt, flu_,
+            )
+            us = (usf0p, usf1p, usf[2])
         # corrected-shared-face exchanges for the corrector's divergence:
         # axis-0 (comp 0 row b0) and axis-1 (comp 1 column m1)
         hi_halo = jax.lax.ppermute(us[0][0:1], AXIS, _perm_bwd(ndx, ring0))
@@ -1240,9 +1331,11 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
 
     def _mk_pred(based):
         """Positional layout dt, iu x3, [base x3], [theta], [fld x3],
-        [codes x3 + fc] -- mirrors the slab builder."""
+        [codes x3 + fc], [ibm pytree + fluid] -- mirrors the slab
+        builder."""
         n_arr = (3 + (3 if based else 0) + (1 if thermal else 0)
                  + (3 if forced else 0) + (4 if masked else 0))
+        with_ibm = ibm_h is not None
 
         def body(dt, *arrs):
             k = 3
@@ -1263,12 +1356,20 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             if masked:
                 cds = arrs[k:k + 3]
                 fcd = arrs[k + 3]
+                k += 4
+            ib = flu = None
+            if with_ibm:
+                ib, flu = arrs[k], arrs[k + 1]
             return pred_body(dt, *iu, theta=th, base=base,
-                             codes_=cds, fc_=fcd, fld_=fl)
+                             codes_=cds, fc_=fcd, fld_=fl,
+                             ibm_=ib, flu_=flu)
 
+        in_specs = (sc,) + (spec3,) * n_arr
+        if with_ibm:
+            in_specs = in_specs + (spec3, spec3)
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * n_arr,
+            in_specs=in_specs,
             out_specs=(spec3,) * 4, check_vma=False,
         )
 
@@ -1325,7 +1426,11 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         th_args = (theta,) if thermal else ()
         fld_args = tuple(ifld) if forced else ()
         code_args = (*codes, fcode) if masked else ()
-        extra = (*th_args, *fld_args, *code_args)
+        ibm_args = ()
+        if ibm_h is not None:
+            ibm_args = ((ibm_h.masks, ibm_h.w, ibm_h.band,
+                         ibm_h.ub, ibm_h.wet, ibm_h.ub_wet), fluid_x)
+        extra = (*th_args, *fld_args, *code_args, *ibm_args)
         it_extra = 0
         if rk2:
             us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra)
@@ -1424,8 +1529,28 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
                 grid, bcs, sim._forcing_fields_exact(), mesh
             )
         )
+    ibm_h = fluid_x = None
+    if sim.ibm is not None:
+        import dataclasses as _dc
+
+        cst = jax.lax.with_sharding_constraint
+        ibm_h = ibm_to_pencil(grid, sim.ibm, mesh)
+
+        def _cst_t(t):
+            return (None if t is None
+                    else tuple(cst(x, spec3) for x in t))
+
+        ibm_h = _dc.replace(
+            ibm_h,
+            masks=tuple(_cst_t(m) for m in ibm_h.masks),
+            w=_cst_t(ibm_h.w), band=_cst_t(ibm_h.band),
+            ub=_cst_t(ibm_h.ub), wet=_cst_t(ibm_h.wet),
+            ub_wet=_cst_t(ibm_h.ub_wet),
+        )
+        fluid_x = cst(sim.op.fluid, spec3)
     step_fn = make_pencil_fused_step(sim, mesh, thermal=theta is not None,
-                                     codes=codes, fcode=fcode, ifld=ifld)
+                                     codes=codes, fcode=fcode, ifld=ifld,
+                                     ibm_h=ibm_h, fluid_x=fluid_x)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
             else jnp.zeros((), grid.dtype))
     (iu, p, theta, p_prev, _), diags = jax.lax.scan(

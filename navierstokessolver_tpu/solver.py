@@ -506,15 +506,14 @@ class Simulation:
         if self.les is not None:
             return False
         if self.ibm is not None:
-            # sharp-interface IBM rides the SLAB tier (round 4): per-shard
-            # halo-layout operand blocks, the apply between the kernels
-            # with a ghost refresh on each side, and the comp-0 shared-
-            # face delta exchanged for the RHS patch. Pencil meshes keep
-            # the jnp GSPMD step (the apply's axis-1 rolls would cross sy
-            # boundaries without column ghosts for the operands).
-            if (not self.ibm.fused_ok
-                    or self.scalar is not None
-                    or tuple(self.shardings.p.mesh.axis_names) != ("sx",)):
+            # sharp-interface IBM rides BOTH sharded tiers (round 4):
+            # per-shard operand blocks (ghost-slot rows/columns zero),
+            # the apply between the kernels with a full ghost refresh on
+            # each side (the apply's unit-step rolls then read true
+            # neighbor values across shard boundaries in every sharded
+            # axis), and the comp-0 shared-ROW / comp-1 shared-COLUMN
+            # forcing deltas exchanged for the RHS patch.
+            if not self.ibm.fused_ok or self.scalar is not None:
                 return False
         masked = self.face_masks is not None or self.corr_masks is not None
         if masked:
@@ -708,7 +707,7 @@ class Simulation:
         if not hasattr(self, "_fc3d_pencil_cache"):
             mesh = self.shardings.p.mesh
             codes = build_face_codes_pencil(
-                self.grid, self.face_masks, self.corr_masks, mesh
+                self.grid, self._fm_for_codes(), self.corr_masks, mesh
             )
             fc = (pad_fluid_code_pencil(self.grid, self.op.code, mesh)
                   if codes is not None else None)

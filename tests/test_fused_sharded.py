@@ -788,3 +788,27 @@ def test_sharded_fused_moving_ibm_matches_unsharded():
         )
     # the spin actually moved fluid across shard boundaries
     assert float(np.abs(np.asarray(out.u[0])).max()) > 1e-4
+
+
+@requires_8
+def test_pencil_fused_ibm_matches_unsharded():
+    """IBM through the PENCIL fused tier: operand blocks with zero ghost
+    slots along BOTH axes; the comp-0 shared-row AND comp-1 shared-column
+    forcing deltas ride sy/sx ppermutes for the RHS patch."""
+    case = make_case(
+        "sphere", shape=(32, 16, 16), lengths=(8.0, 4.0, 4.0),
+        center=(2.0, 2.03, 1.97), re=100.0, poisson_method="mg",
+        poisson_extrapolate=0.0, ibm=True,
+    )
+    sim = case.sim
+    st0 = case.initial_state()
+    ref, _ = sim.run_scan(st0, 8)
+
+    mesh = make_mesh((2, 2))
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, _ = sim_sp.run_scan(shard_state(st0, mesh, sim.grid), 8)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
