@@ -71,8 +71,50 @@ class IBMForcing:
     # internal-layout apply (internal_forcing) never reads an elided or
     # padded face. Gates solver._fused3d_ok for IBM runs.
     fused_ok: bool = False
+    # Per-comp static bounding boxes ((lo...), (size...)) of the band+wet
+    # support, 1-cell margin, lane/sublane-aligned (round 4 perf): the
+    # apply is a handful of dense FMAs whose support is a THIN SHELL
+    # around the body -- restricting it to the box turns ~20 full-volume
+    # HBM passes into box-sized ones (a D=64 body in a 512x256x256 domain
+    # is ~100x less traffic). None = full-volume apply (box nearly covers
+    # the domain, or a sharded per-block layout where global offsets
+    # don't translate).
+    box: Optional[tuple] = None
 
     def apply(self, u: Sequence[Array]) -> tuple[Array, ...]:
+        if self.box is not None:
+            return self._apply_boxed(u)
+        return self._apply_full(u)
+
+    def _apply_boxed(self, u: Sequence[Array]) -> tuple[Array, ...]:
+        """The same direct forcing evaluated on the static band bounding
+        box only: crop the component, run the roll/mask math on the crop
+        (crop-edge wraps multiply mask zeros -- the margin guarantees the
+        band sits >= 1 face inside), write the crop back. The operand
+        slices are loop-invariant; XLA hoists them out of the scan."""
+        sl = jax.lax.dynamic_slice
+        out = []
+        for a, comp in enumerate(u):
+            lo, size = self.box[a]
+            crop = sl(comp, lo, size)
+            acc = None
+            for (axis, sign), m in zip(self.dirs, self.masks[a]):
+                term = sl(m, lo, size) * jnp.roll(crop, -sign, axis=axis)
+                acc = term if acc is None else acc + term
+            wb = sl(self.w[a], lo, size)
+            forced = wb * acc
+            if self.ub is not None:
+                forced = forced + (1.0 - wb) * sl(self.ub[a], lo, size)
+            res = jnp.where(sl(self.band[a], lo, size) > 0, forced, crop)
+            if self.wet is not None:
+                res = jnp.where(
+                    sl(self.wet[a], lo, size) > 0,
+                    sl(self.ub_wet[a], lo, size), res,
+                )
+            out.append(jax.lax.dynamic_update_slice(comp, res, lo))
+        return tuple(out)
+
+    def _apply_full(self, u: Sequence[Array]) -> tuple[Array, ...]:
         """Impose the interpolated boundary values on the forcing band.
 
         One explicit pass over pre-forcing values (the standard direct
@@ -107,6 +149,18 @@ class IBMForcing:
         corrupt the divergence diagnostic at interface cells)."""
         if self.wet is None:
             return tuple(u)
+        if self.box is not None:
+            sl = jax.lax.dynamic_slice
+            out = []
+            for a, comp in enumerate(u):
+                lo, size = self.box[a]
+                crop = sl(comp, lo, size)
+                res = jnp.where(
+                    sl(self.wet[a], lo, size) > 0,
+                    sl(self.ub_wet[a], lo, size), crop,
+                )
+                out.append(jax.lax.dynamic_update_slice(comp, res, lo))
+            return tuple(out)
         return tuple(
             jnp.where(w > 0, ubw, comp)
             for comp, w, ubw in zip(u, self.wet, self.ub_wet)
@@ -295,6 +349,34 @@ def build_ibm(
             sl[ax] = [0, 1, -2, -1]
             if band_np[tuple(sl)].any():
                 fused_ok = False
+    # Static per-comp band bounding boxes (1-face margin for the apply's
+    # unit rolls; lane/sublane-aligned so the dynamic slices stay on tile
+    # boundaries). Skipped when the shell covers most of the domain.
+    boxes = []
+    frac_max = 0.0
+    for a in range(nd):
+        supp = np.asarray(band_all[a]) > 0
+        if velocity is not None:
+            supp = supp | (np.asarray(wet_all[a]) > 0)
+        shape = supp.shape
+        if not supp.any():
+            boxes.append(((0,) * nd, (1,) * nd))
+            continue
+        nzs = np.nonzero(supp)
+        lo, hi = [], []
+        for ax in range(nd):
+            align = 128 if ax == nd - 1 else (8 if ax == nd - 2 else 1)
+            l = max(int(nzs[ax].min()) - 1, 0)
+            hh = min(int(nzs[ax].max()) + 2, shape[ax])
+            l = (l // align) * align
+            hh = min(-(-hh // align) * align, shape[ax])
+            lo.append(l)
+            hi.append(hh)
+        size = tuple(h_ - l_ for l_, h_ in zip(lo, hi))
+        frac_max = max(frac_max,
+                       float(np.prod(size)) / float(np.prod(shape)))
+        boxes.append((tuple(lo), size))
+    box = tuple(boxes) if frac_max < 0.5 else None
     return IBMForcing(
         ndim=nd,
         dirs=dirs,
@@ -305,6 +387,7 @@ def build_ibm(
         wet=tuple(wet_all) if velocity is not None else None,
         ub_wet=tuple(ubwet_all) if velocity is not None else None,
         fused_ok=fused_ok,
+        box=box,
     )
 
 
@@ -353,6 +436,10 @@ def internal_forcing(grid: GridSpec, ibm: IBMForcing,
         wet=pad_opt(ibm.wet),
         ub_wet=pad_opt(ibm.ub_wet),
         fused_ok=ibm.fused_ok,
+        # the internal layout keeps row r <-> global row r (sublane/lane
+        # identity too), so the static band box carries over; pad regions
+        # a rounded box may graze hold zero masks (apply = identity there)
+        box=ibm.box,
     )
 
 

@@ -335,6 +335,7 @@ def ibm_to_halo(grid: GridSpec, ibm, mesh: Mesh, tile=None):
         ub=pack_t(ibm.ub),
         wet=pack_t(ibm.wet),
         ub_wet=pack_t(ibm.ub_wet),
+        box=None,   # per-shard blocks: global box offsets don't translate
     )
 
 
@@ -975,6 +976,7 @@ def ibm_to_pencil(grid: GridSpec, ibm, mesh: Mesh, tile=None):
         ub=pack_t(ibm.ub),
         wet=pack_t(ibm.wet),
         ub_wet=pack_t(ibm.ub_wet),
+        box=None,   # per-shard blocks: global box offsets don't translate
     )
 
 
