@@ -2330,7 +2330,12 @@ def predictor_rhs_3d_internal(
             plane = jax.lax.dynamic_slice_in_dim(out0, 0, 1, axis=0)
         elif hi0 == "conv":
             # u_b^{n+1} = u_b^n - C (u_b^n - u*_inner), C = U dt/h in [0,1]
-            old = jax.lax.dynamic_slice_in_dim(iu[0], n0, 1, axis=0)
+            # -- anchored at the STEP-START face: rk2's based stage 2
+            # streams the midpoint in ``iu``, so the held face comes from
+            # ``base`` there (the jnp path's apply_convective_outlets
+            # always reads state.u)
+            src0 = base[0] if based else iu[0]
+            old = jax.lax.dynamic_slice_in_dim(src0, n0, 1, axis=0)
             cclip = jnp.clip(
                 own[(0, 1)][1] * jnp.asarray(dt, jnp.float32)
                 * (1.0 / h[0]), 0.0, 1.0,

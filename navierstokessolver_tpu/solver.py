@@ -450,9 +450,12 @@ class Simulation:
             # traced scalars; the kernels bake BC values as static floats
             return False
         if bcs_mod.has_convective_outlet(self.grid, self.bcs):
-            # rk2's stage-2 transport update must read the STEP-START
-            # face (the fused stage-2 window holds the midpoint field)
-            if self.params.integrator != "euler" or self.scalar is not None:
+            # rk2 composes (round 4): the stage-2 transport update
+            # anchors at the BASE field's carried face in the predictor
+            # fixup (the jnp apply_convective_outlets always reads
+            # state.u). The theta flux at a convective face remains
+            # unfused -- scalar runs keep the jnp step.
+            if self.scalar is not None:
                 return False
         if self.scalar is not None:
             from .ops import pallas_kernels

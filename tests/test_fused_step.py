@@ -1125,3 +1125,39 @@ def test_fused3d_buoyant_obstacle_matches_reference():
         # hot body
         w = np.asarray(b.u[2])
         assert float(np.abs(w).max()) > 1e-5, integrator
+
+
+def test_fused3d_convective_outlet_rk2_matches_reference():
+    """Convective outlet + rk2 through the fused path (round 4): the
+    stage-2 transport update anchors at the BASE field's carried face
+    (jnp's apply_convective_outlets always reads state.u); both stages'
+    conv corrections fuse. Trajectory matches jnp."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("sphere", shape=(16, 16, 16), lengths=(8.0, 8.0, 8.0),
+                     center=(2.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg", outlet="convective",
+                     integrator="rk2")
+    sim_ref = case.sim
+    p_fused = dataclasses.replace(sim_ref.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_ref, params=p_fused, pallas_interpret=True
+    )
+    assert sim_fused._fused3d_ok()
+
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+    st = impulsive_start_state(sim_ref)
+    a, da = sim_ref.run_scan(st, 6)
+    b, db_ = sim_fused.run_scan(st, 6)
+    for ca, cb in zip(a.u, b.u):
+        np.testing.assert_allclose(
+            np.asarray(cb), np.asarray(ca), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(b.p), np.asarray(a.p), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(db_.poisson_iters), np.asarray(da.poisson_iters)
+    )
+    # the convective face actually transports (nonzero outlet velocity)
+    assert float(np.abs(np.asarray(b.u[0])[-1]).max()) > 1e-3
