@@ -2401,6 +2401,7 @@ def _fused_corr_kernel(
     T: int, n: tuple, h: tuple, own: dict, RP: int, halo: bool = False,
     halo1: bool = False,
     db: bool = True, masked: bool = False, hi0_copy: bool = False,
+    conv_last: bool = False,
     per: tuple = (False, False, False),
     thermal: bool = False, alpha: float = 0.0, tgamma: float = 0.0,
     thg: dict = None, body_neumann: bool = False,
@@ -2823,6 +2824,14 @@ def _fused_corr_kernel(
         # post-kernel fixup -- exclude it here, the wrapper maxes it in
         valid = (r_c < (n0 - 1 if hi0_copy else n0)) \
             & (s_c < n1) & (l_c < n2)
+        if conv_last:
+            # sharded convective outlet: the last shard's cell row B-1
+            # reads the held face row B, whose transport update +
+            # Dirichlet-ghost correction happen at the WRAPPER level --
+            # exclude it here, the wrapper folds the recomputed plane in
+            valid = valid & jnp.logical_not(
+                (r_c == n0 - 1) & is_last
+            )
         if masked:
             valid = valid & ((fw[:T, :dd.shape[1]] & (1 << 6)) != 0)
         divm = jnp.max(jnp.where(valid, jnp.abs(dd), 0.0))
@@ -2830,7 +2839,11 @@ def _fused_corr_kernel(
             # the shared face row B is counted by the shard that owns it
             # (the next shard's row 0) except on the last shard, where row
             # B is the domain-boundary face
-            lim0 = jnp.where(is_last, n0 + 1, n0)
+            if conv_last:
+                # ... which the wrapper corrects and folds in (see above)
+                lim0 = jnp.int32(n0)
+            else:
+                lim0 = jnp.where(is_last, n0 + 1, n0)
         else:
             # hi0_copy: face row n0 duplicates row n0-1 after the fixup --
             # its in-kernel (pre-fixup) value must not enter the max
@@ -2881,6 +2894,7 @@ def correct_diag_3d_internal(
     scalar_cfg=None,
     dt=None,
     body_neumann: bool = False,
+    conv_last: bool = False,
 ):
     """Fused corrector + diagnostics over internal-layout u*; returns
     internal-layout u_new plus (max |div u|, max_a |u_a|/h_a) -- and,
@@ -2968,6 +2982,7 @@ def correct_diag_3d_internal(
         tgamma=float(scalar_cfg.upwind_gamma) if thermal else 0.0,
         thg=thg if thermal else None,
         body_neumann=bool(body_neumann and masked and thermal),
+        conv_last=bool(conv_last and halo),
     )
     scratch = [
         pltpu.VMEM((nb * (T + 1), S0, L), jnp.float32),

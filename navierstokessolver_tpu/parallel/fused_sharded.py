@@ -228,11 +228,23 @@ def fused_step3d_sharded_applicable(
             return False
         if scalar.buoyancy and scalar.buoyancy[0] != 0.0:
             return False
-    from ..bcs import has_convective_outlet
+    from ..bcs import BCKind, has_convective_outlet
 
     if has_convective_outlet(grid, bcs):
-        # the convective fixups are single-chip wrapper patches
-        return False
+        # convective composes on the SLAB tier (round 4) for the axis-0
+        # HI outlet only (the production sphere/cylinder topology): the
+        # held face rides the carry as a replicated plane, the transport
+        # update / Dirichlet-ghost correction are last-shard wrapper
+        # fixups. Scalar runs keep the jnp step (theta's conv-face flux
+        # is unfused, like unsharded).
+        if scalar is not None:
+            return False
+        others = [
+            bcs[(a, s)].kind is BCKind.CONVECTIVE
+            for a in range(3) for s in ((0,) if a == 0 else (0, 1))
+        ]
+        if any(others):
+            return False
     return pk.fused_step3d_applicable(grid, bcs)
 
 
@@ -432,6 +444,16 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
     ring = bool(periodic_axes(grid, bcs)[0])
     spec3 = P(AXIS, None, None)
     pspec = NamedSharding(mesh, spec3)
+    # Convective axis-0 HI outlet (round 4): the held face n0 is a STATE
+    # -- it rides the scan carry as one replicated (1, S0, L) plane
+    # (cface). Per stage the wrapper transport-updates it from the star's
+    # inner face, recomputes the last shard's rhs row b-1 (the kernel saw
+    # a placeholder face), and the corrector wrapper applies the
+    # Dirichlet-ghost pressure correction + folds the excluded
+    # diagnostics back in.
+    conv = own[(0, 1)][0] == "conv"
+    conv_U = float(own[(0, 1)][1]) if conv else 0.0
+    h0, h1_, h2_ = (float(x) for x in grid.spacing)
 
     def _bc_rows(a, x):
         """(bc_lo_row, bc_hi_rows): the edge-shard BC synthesis values for
@@ -477,10 +499,12 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             ))
         return tuple(out)
 
-    def _refresh_ghosts(iu, first, last):
+    def _refresh_ghosts(iu, first, last, cface=None):
         """Fill each component's ghost slots: ppermute halos at interior
         boundaries, BC synthesis at the true edges (wrap halos everywhere
-        on a periodic ring)."""
+        on a periodic ring). ``cface``: the field's OWN held convective
+        face plane -- the comp-0 hi ghost on the last shard (the stencil
+        at row b-1 reads the true carried face n0 value)."""
         if rdma:
             return _refresh_ghosts_rdma(iu, first, last)
         out = []
@@ -503,8 +527,12 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             else:
                 if a == 0:
                     sp = own[(0, 1)]
-                    row = (x[b - 1:b] if sp[0] == "copy"
-                           else jnp.full((1,) + x.shape[1:], sp[1], x.dtype))
+                    if conv and cface is not None:
+                        row = cface
+                    elif sp[0] == "copy":
+                        row = x[b - 1:b]
+                    else:
+                        row = jnp.full((1,) + x.shape[1:], sp[1], x.dtype)
                 else:
                     ah, bh = tg[(a, 0, 1)]
                     row = ah * x[b - 1:b] + bh
@@ -551,11 +579,12 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                            ub=ub, wet=wet, ub_wet=ub_wet)
 
     def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
-                  codes_=None, fc_=None, fld_=None, ibm_=None, flu_=None):
+                  codes_=None, fc_=None, fld_=None, ibm_=None, flu_=None,
+                  cface=None, cface_base=None):
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
-        iu = _refresh_ghosts((iu0, iu1, iu2), first, last)
+        iu = _refresh_ghosts((iu0, iu1, iu2), first, last, cface=cface)
         if ibm_ is not None and base is None:
             # step/stage entry: re-impose the interpolated surface values
             # the previous correction perturbed (jnp step's bcs+ibm entry
@@ -564,15 +593,17 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             # untouched (band/wet are zero there), and the kernels read
             # only rows whose ghosts mirror PRE-apply neighbor data one
             # row past the band -- outside it, where apply is identity.
-            iu = _refresh_ghosts(_ibm_local(ibm_).apply(iu), first, last)
+            iu = _refresh_ghosts(_ibm_local(ibm_).apply(iu), first, last,
+                                 cface=cface)
         if base is not None:
             # rk2 stage 2: the base (step-start) field streams through the
             # same stripe windows -- its ghost slots need the same refresh
             # so the in-register shared-face star anchors correctly
-            base = _refresh_ghosts(base, first, last)
+            base = _refresh_ghosts(base, first, last, cface=cface_base)
             if ibm_ is not None:
                 base = _refresh_ghosts(
-                    _ibm_local(ibm_).apply(base), first, last
+                    _ibm_local(ibm_).apply(base), first, last,
+                    cface=cface_base,
                 )
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
         us, rhs = pk.predictor_rhs_3d_internal(
@@ -612,6 +643,41 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                 pr.rho / dt, flu_,
             )
             us = (usf0p, usf[1], usf[2])
+        plane = None
+        if conv:
+            # convective transport update of the held face (last shard):
+            # u_b <- u_b - C (u_b - u*_inner), C = U dt/h0, anchored at
+            # the STEP-START face (cface_base for rk2's based stage 2);
+            # then recompute the last shard's rhs row b-1 (the kernel saw
+            # a placeholder face value there)
+            oldf = cface_base if base is not None else cface
+            inner = us[0][b - 1:b]
+            C = jnp.clip(
+                conv_U * jnp.asarray(dt, jnp.float32) * (1.0 / h0),
+                0.0, 1.0,
+            )
+            plane = oldf - C * (oldf - inner)
+            u1p = us[1][b - 1]
+            d1 = (u1p[1:n1 + 1, :n2] - u1p[:n1, :n2]) * (1.0 / h1_)
+            u2v = us[2][b - 1][:n1, :n2]
+            sp2 = own[(2, 1)]
+            if sp2[0] == "copy":
+                hi2 = u2v[:, n2 - 1:n2]
+            elif sp2[0] == "wrap":
+                hi2 = u2v[:, 0:1]
+            else:
+                hi2 = jnp.full((n1, 1), sp2[1], u2v.dtype)
+            d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
+                * (1.0 / h2_)
+            d0p = (plane[0, :n1, :n2] - inner[0, :n1, :n2]) * (1.0 / h0)
+            plane_rhs = (d1 + d2 + d0p) \
+                * (jnp.asarray(pr.rho, jnp.float32) / dt)
+            if fc_ is not None:
+                fl = ((fc_[b - 1, :n1, :n2] >> 6) & 1)
+                plane_rhs = plane_rhs * fl.astype(plane_rhs.dtype)
+            rhs = rhs.at[b - 1].set(
+                jnp.where(last, plane_rhs, rhs[b - 1])
+            )
         # the corrector's divergence diagnostic needs the corrected SHARED
         # face: exchange the neighbor's fresh face-0 star into row b
         hi_halo = jax.lax.ppermute(
@@ -621,8 +687,12 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             hi = hi_halo
         else:
             sp = own[(0, 1)]
-            bc_row = (us[0][b - 1:b] if sp[0] == "copy"
-                      else jnp.full((1, S0, L), sp[1], us[0].dtype))
+            if conv:
+                bc_row = plane
+            elif sp[0] == "copy":
+                bc_row = us[0][b - 1:b]
+            else:
+                bc_row = jnp.full((1, S0, L), sp[1], us[0].dtype)
             hi = jnp.where(last, bc_row, hi_halo)
         us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
         return us0, us[1], us[2], rhs
@@ -662,17 +732,74 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             dt=dt if theta is not None else None,
             face_codes=codes_, fluid_code=fc_,
             body_neumann=body_neumann,
+            conv_last=conv,
         )
         if theta is not None:
             iu_new, divp, velp, theta_new = res
-            divm = jax.lax.pmax(jnp.max(divp), AXIS)
-            velm = jax.lax.pmax(jnp.max(velp), AXIS)
-            return (iu_new[0], iu_new[1], iu_new[2], theta_new,
-                    divm, velm)
-        iu_new, divp, velp = res
-        divm = jax.lax.pmax(jnp.max(divp), AXIS)
-        velm = jax.lax.pmax(jnp.max(velp), AXIS)
-        return iu_new[0], iu_new[1], iu_new[2], divm, velm
+        else:
+            iu_new, divp, velp = res
+            theta_new = None
+        divl = jnp.max(divp)
+        vell = jnp.max(velp)
+        iu0n, iu1n, iu2n = iu_new
+        cface_new = None
+        if conv:
+            # Dirichlet-ghost pressure correction of the held face on the
+            # last shard (the jnp step's correct_convective_faces), then
+            # fold the kernel-excluded diagnostics back in and write the
+            # corrected face into the out row b (the margin stripe zeroed
+            # it). The plane psums to a REPLICATED carry entry.
+            stage_face = us0[b:b + 1]
+            pedge = jnp.pad(
+                p_local[b - 1:b], [(0, 0), (0, S0 - n1), (0, L - n2)]
+            )
+            scale = jnp.asarray(dt, jnp.float32) / pr.rho
+            plane_c = stage_face + (2.0 * scale * (1.0 / h0)) * pedge
+            iu0n = jax.lax.dynamic_update_slice(
+                iu0n, jnp.where(last, plane_c, iu0n[b:b + 1]), (b, 0, 0)
+            )
+            vell = jnp.maximum(
+                vell,
+                jnp.where(
+                    last,
+                    jnp.max(jnp.abs(plane_c[0, :n1, :n2])) * (1.0 / h0),
+                    0.0,
+                ),
+            )
+            u1p = iu1n[b - 1]
+            d1 = (u1p[1:n1 + 1, :n2] - u1p[:n1, :n2]) * (1.0 / h1_)
+            u2v = iu2n[b - 1][:n1, :n2]
+            sp2 = own[(2, 1)]
+            if sp2[0] == "copy":
+                hi2 = u2v[:, n2 - 1:n2]
+            elif sp2[0] == "wrap":
+                hi2 = u2v[:, 0:1]
+            else:
+                hi2 = jnp.full((n1, 1), sp2[1], u2v.dtype)
+            d2 = (jnp.concatenate([u2v[:, 1:], hi2], axis=1) - u2v) \
+                * (1.0 / h2_)
+            d0p = (plane_c[0, :n1, :n2] - iu0n[b - 1, :n1, :n2]) \
+                * (1.0 / h0)
+            dplane = d1 + d2 + d0p
+            if fc_ is not None:
+                fl = ((fc_[b - 1, :n1, :n2] >> 6) & 1)
+                dplane = dplane * fl.astype(dplane.dtype)
+            divl = jnp.maximum(
+                divl,
+                jnp.where(last, jnp.max(jnp.abs(dplane)), 0.0),
+            )
+            cface_new = jax.lax.psum(
+                jnp.where(last, plane_c, jnp.zeros_like(plane_c)), AXIS
+            )
+        divm = jax.lax.pmax(divl, AXIS)
+        velm = jax.lax.pmax(vell, AXIS)
+        outs = (iu0n, iu1n, iu2n)
+        if theta_new is not None:
+            outs = outs + (theta_new,)
+        outs = outs + (divm, velm)
+        if conv:
+            outs = outs + (cface_new,)
+        return outs
 
     rk2 = pr.integrator == "rk2"
     sc = P()   # replicated per-step dt scalar
@@ -711,15 +838,26 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             if with_ibm:
                 ib, flu = arrs[k], arrs[k + 1]
                 k += 2
+            cf = cfb = None
+            if conv:
+                cf = arrs[k]
+                k += 1
+                if based:
+                    cfb = arrs[k]
+                    k += 1
             return pred_body(dt, *iu, theta=th, base=base,
                              codes_=cds, fc_=fcd, fld_=fl,
-                             ibm_=ib, flu_=flu)
+                             ibm_=ib, flu_=flu,
+                             cface=cf, cface_base=cfb)
 
         in_specs = (sc,) + (spec3,) * n_arr
         if with_ibm:
             # the ibm operand pytree rides under ONE prefix spec; fluid
             # (cells, exact shape) shards by rows too
             in_specs = in_specs + (spec3, spec3)
+        if conv:
+            # the held convective face plane(s) are replicated
+            in_specs = in_specs + (P(),) * (2 if based else 1)
         return jax.shard_map(
             body, mesh=mesh,
             in_specs=in_specs,
@@ -749,10 +887,13 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             return corr_body(dt, us0, us1, us2, p_local, theta=th,
                              codes_=cds, fc_=fcd)
 
+        out_specs = (spec3,) * (4 if with_theta else 3) + (P(), P())
+        if conv:
+            out_specs = out_specs + (P(),)   # the corrected face plane
         return jax.shard_map(
             body, mesh=mesh,
             in_specs=(sc,) + (spec3,) * n_arr,
-            out_specs=(spec3,) * (4 if with_theta else 3) + (P(), P()),
+            out_specs=out_specs,
             check_vma=False,
         )
 
@@ -768,7 +909,11 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
     dt_cap = jnp.asarray(pr.dt, grid.dtype)
 
     def step_fn(carry):
-        iu, p, theta, p_prev, vel = carry
+        if conv:
+            iu, p, theta, p_prev, vel, cface = carry
+        else:
+            iu, p, theta, p_prev, vel = carry
+            cface = None
         if pr.cfl is None:
             dt = dt_cap
         else:
@@ -787,26 +932,31 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             ibm_args = ((ibm_h.masks, ibm_h.w, ibm_h.band,
                          ibm_h.ub, ibm_h.wet, ibm_h.ub_wet), fluid_x)
         extra = (*th_args, *fld_args, *code_args, *ibm_args)
+        cf_args = (cface,) if conv else ()
         it_extra = 0
         if rk2:
             # midpoint rule, both stages fused+sharded: stage 1 advances
             # half a step and projects; stage 2 streams the midpoint field
             # as the stencil source anchored at the step-start state
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra, *cf_args)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
-            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)[:3]
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra)
+            ch = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)
+            iuh = ch[:3]
+            # rk2's stage 2 reads the MIDPOINT field's corrected face for
+            # its stencils while the transport update stays anchored at
+            # the step-start face (cface)
+            cf2 = (ch[-1], cface) if conv else ()
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra, *cf2)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu, *extra)
+            us0, us1, us2, rhs = pred(dt, *iu, *extra, *cf_args)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
         if thermal:
-            iu0n, iu1n, iu2n, theta_new, divm, velm = corr(
-                dt, us0, us1, us2, p_new, theta, *code_args
-            )
+            cres = corr(dt, us0, us1, us2, p_new, theta, *code_args)
+            iu0n, iu1n, iu2n, theta_new, divm, velm = cres[:6]
             if solid_halo is not None:
                 # isothermal body: re-clamp solid cells to the body value
                 # on the sharded-layout theta (elementwise; GSPMD shards
@@ -819,10 +969,10 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                     theta_new,
                 )
         else:
-            iu0n, iu1n, iu2n, divm, velm = corr(
-                dt, us0, us1, us2, p_new, *code_args
-            )
+            cres = corr(dt, us0, us1, us2, p_new, *code_args)
+            iu0n, iu1n, iu2n, divm, velm = cres[:5]
             theta_new = None
+        cface_new = cres[-1] if conv else None
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,
@@ -831,8 +981,11 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             dt=dt,
         )
         p_prev_new = p if p_prev is not None else None
-        return ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new,
-                velm), diag
+        out_carry = ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new,
+                     velm)
+        if conv:
+            out_carry = out_carry + (cface_new,)
+        return out_carry, diag
 
     return step_fn
 
@@ -1637,11 +1790,29 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int,
     # through the scan (entry value from one jnp reduction outside it)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
             else jnp.zeros((), grid.dtype))
-    (iu, p, theta, p_prev, _), diags = jax.lax.scan(
-        lambda c, _: step_fn(c), (iu, p, theta, p_prev, vel0),
-        xs=None, length=n_steps,
+    carry = (iu, p, theta, p_prev, vel0)
+    _, own = pk._ghost_tables(grid, bcs)
+    conv = own[(0, 1)][0] == "conv"
+    if conv:
+        # the held convective face n0 is a STATE: it rides the carry as
+        # one replicated (1, S0, L) plane
+        n_dev, b, lg, (T, G, RP, S0, S1, L) = _dims(grid, mesh)
+        n0, n1, n2 = grid.shape
+        cface0 = jnp.pad(
+            state.u[0][n0:n0 + 1], [(0, 0), (0, S0 - n1), (0, L - n2)]
+        )
+        carry = carry + (cface0,)
+    carry, diags = jax.lax.scan(
+        lambda c, _: step_fn(c), carry, xs=None, length=n_steps,
     )
+    if conv:
+        iu, p, theta, p_prev, _, cface = carry
+    else:
+        iu, p, theta, p_prev, _ = carry
     u0, u1, u2 = from_internal_halo(grid, bcs, iu, mesh)
+    if conv:
+        n0, n1, n2 = grid.shape
+        u0 = u0.at[n0].set(cface[0, :n1, :n2])
     theta_out = (theta_from_halo(grid, theta, mesh)
                  if theta is not None else None)
     return State(u=(u0, u1, u2), p=p, theta=theta_out, p_prev=p_prev), diags

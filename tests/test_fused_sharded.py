@@ -812,3 +812,45 @@ def test_pencil_fused_ibm_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
         )
+
+
+@requires_8
+@pytest.mark.parametrize("integrator", ["euler", "rk2"])
+def test_sharded_fused_convective_outlet_matches_unsharded(integrator):
+    """Convective outlet through the SHARDED fused whole-step (round 4):
+    the held face n0 rides the scan carry as one replicated plane; the
+    transport update, rhs row b-1 recompute, and Dirichlet-ghost
+    correction are last-shard wrapper fixups with the excluded
+    diagnostics folded back. Trajectory + diagnostics match the
+    single-device jnp path, euler AND rk2 (obstacle codes included)."""
+    case = make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
+                     center=(4.0, 4.1, 3.9), diameter=1.6,
+                     poisson_method="mg", outlet="convective",
+                     integrator=integrator)
+    sim = case.sim
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+
+    st = impulsive_start_state(sim)
+    ref, dref = sim.run_scan(st, 8)
+
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_ok()
+    out, d = sim_sp.run_scan(shard_state(st, mesh, sim.grid), 8)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5,
+            err_msg=integrator,
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-4, err_msg=integrator)
+    np.testing.assert_allclose(
+        np.asarray(d.max_div), np.asarray(dref.max_div),
+        rtol=1e-3, atol=1e-6, err_msg=integrator,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d.max_cfl), np.asarray(dref.max_cfl),
+        rtol=1e-4, atol=1e-7, err_msg=integrator,
+    )
+    # the convective face transports (nonzero outlet velocity)
+    assert float(np.abs(np.asarray(out.u[0])[-1]).max()) > 1e-3
