@@ -49,11 +49,19 @@ poisson_comm="halo"   yes        FD-validated; the backward solve reuses
 forcing fields        yes        the per-face arrays ride _consts as
                                  traced jit args; grad flows into them
 BC values / dt        yes        traced scalars (lid-recovery test)
-fused Pallas kernels  NO         diff_solve forces the jnp step: the
-                                 kernels have no VJP rules, so a 3D
-                                 gradient run pays the jnp step's ~2x
-                                 cost. Lifting this needs a step-level
-                                 custom VJP (future work, VERDICT r3 #8)
+fused Pallas kernels  yes        step-level custom VJP (fused_step):
+  (unsharded 2D/3D)              the fused whole-step kernels run the
+                                 FORWARD pass, the backward pass
+                                 differentiates the equivalent jnp step
+                                 (same math to kernel tolerance --
+                                 interpret-parity tested) with this
+                                 module's IFT pressure solve inside.
+                                 Gradients agree with the jnp path to
+                                 the tolerance the primals do.
+sharded fused tiers   NO         diff_solve + sharding keeps the jnp
+                                 GSPMD step (FD-validated above); the
+                                 slab/pencil internal layouts are not
+                                 yet threaded through a step-level VJP
 cut-cell / IBM        forward    geometry arrays get zero cotangents
                       only       (case geometry, never differentiated)
 ====================  =========  =======================================
@@ -73,9 +81,11 @@ def differentiable(sim):
 
     ``jax.grad`` then flows through ``sim.step`` / ``sim.run_scan`` (e.g.
     with respect to the initial state, forcing arrays, or time-dependent BC
-    parameters closed over via ``lambda t: param``). Forces the jnp step:
-    the fused Pallas kernels have no VJP rules, and the gates check
-    ``diff_solve``.
+    parameters closed over via ``lambda t: param``). Unsharded runs whose
+    base configuration passes a fused whole-step gate keep the fused Pallas
+    kernels for the FORWARD pass via the step-level custom VJP
+    (:func:`fused_step`); everything else (and every backward pass) uses
+    the jnp step, whose pressure solves carry the IFT custom VJP.
     """
     if sim.diff_solve:
         return sim
@@ -163,3 +173,75 @@ def _ift_bwd(shell, consts, cot):
 
 
 _ift_solve.defvjp(_ift_fwd, _ift_bwd)
+
+
+# -- step-level custom VJP: fused forward, jnp backward -----------------------
+#
+# The fused whole-step Pallas kernels have no VJP rules, but they compute
+# the SAME projection step as Simulation._step_jnp (interpret-mode parity
+# tested for every composition the gates admit). So a differentiable run
+# whose base configuration takes a fused path uses the kernels for the
+# forward/primal pass and differentiates the jnp step in the backward pass
+# (rematerializing it from the step-entry state -- O(1) residual memory per
+# step, the standard remat trade). The pressure solve inside the backward
+# jnp step routes through the IFT custom VJP above (diff_solve=True), so no
+# while_loop is ever reverse-differentiated. Gradient error vs the pure-jnp
+# path is bounded by the primal fused-vs-jnp kernel tolerance.
+
+
+def fused_step(sim, state):
+    """One projection step of the differentiable ``sim``: fused kernels
+    forward, jnp-step VJP backward. Called from ``Simulation.step`` when
+    ``diff_solve`` is set and the non-differentiable base configuration
+    passes a fused whole-step gate (unsharded 2D/3D)."""
+    shell = getattr(sim, "_shell", sim)  # tracer-free diff template
+    consts = getattr(sim, "_consts_in", None)
+    if consts is None:  # direct .step() outside run_scan/_bind
+        consts = sim._consts()
+    base = base_of(shell)
+    if getattr(base, "_adjoint_diff", None) is None:
+        # backpointer for _fused_step_bwd (cached: stable static identity)
+        object.__setattr__(base, "_adjoint_diff", shell)
+    return _fused_step(base, consts, state)
+
+
+def _diff_leaf_ids(leaves):
+    return [
+        i for i, l in enumerate(leaves)
+        if jnp.issubdtype(jnp.result_type(l), jnp.inexact)
+    ]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_step(base_shell, consts, state):
+    return base_shell._bind(consts).step(state)
+
+
+def _fused_step_fwd(base_shell, consts, state):
+    return base_shell._bind(consts).step(state), (consts, state)
+
+
+def _fused_step_bwd(base_shell, res, cot):
+    consts, state = res
+    diff_shell = base_shell._adjoint_diff
+    leaves, treedef = jax.tree_util.tree_flatten(consts)
+    didx = _diff_leaf_ids(leaves)
+
+    def f(diff_leaves, st):
+        full = list(leaves)
+        for i, leaf in zip(didx, diff_leaves):
+            full[i] = leaf
+        c = jax.tree_util.tree_unflatten(treedef, full)
+        return diff_shell._bind(c)._step_jnp(st)
+
+    _, vjp_fn = jax.vjp(f, [leaves[i] for i in didx], state)
+    cot_d, cot_state = vjp_fn(cot)
+    pos = {i: k for k, i in enumerate(didx)}
+    cot_leaves = [
+        cot_d[pos[i]] if i in pos else _zero_cot(jnp.asarray(l))
+        for i, l in enumerate(leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, cot_leaves), cot_state
+
+
+_fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)

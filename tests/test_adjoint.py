@@ -17,6 +17,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from navierstokessolver_tpu import adjoint
 from navierstokessolver_tpu.bcs import BCSpec
@@ -267,3 +268,81 @@ def test_grad_sharded_and_forcing_matches_fd_f64():
             assert abs(ad - fd) <= 1e-6 + 1e-4 * abs(fd), (name, ad, fd)
         # the gradient is genuinely nonzero somewhere
         assert any(abs(ad) > 1e-8 for ad, _ in rows), name
+
+
+# -- fused forward / jnp backward (adjoint.fused_step) ------------------------
+
+def _fused_pair(case):
+    """(diff_fused, diff_jnp, plain_fused) Simulations for ``case``."""
+    sim_jnp = case.sim
+    p_fused = dataclasses.replace(sim_jnp.params, use_pallas=True)
+    sim_fused = dataclasses.replace(
+        sim_jnp, params=p_fused, pallas_interpret=True
+    )
+    return (adjoint.differentiable(sim_fused),
+            adjoint.differentiable(sim_jnp), sim_fused)
+
+
+def _check_fused_grad(case, n=2, atol_scale=3e-5):
+    """The step-level custom VJP (VERDICT r3 missing #5 lift): the
+    differentiable-fused run's FORWARD is bit-identical to the plain fused
+    run (the primal path IS the production kernels), and its gradient
+    matches the FD-validated jnp diff path to kernel tolerance."""
+    d_fused, d_jnp, sim_fused = _fused_pair(case)
+    base = adjoint.base_of(d_fused)
+    assert base._fused3d_ok() or base._fused2d_ok()
+    st0 = case.initial_state()
+
+    st_a, _ = sim_fused.run_scan(st0, n)
+    st_b, _ = d_fused.run_scan(st0, n)
+    for a, b in zip(st_a.u, st_b.u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(st_a.p), np.asarray(st_b.p))
+
+    def loss_fn(sim):
+        def loss(du):
+            st = dataclasses.replace(st0, u=(st0.u[0] + du,) + st0.u[1:])
+            st, _ = sim.run_scan(st, n)
+            return sum(jnp.sum(u ** 2) for u in st.u)
+        return loss
+
+    g_f = np.asarray(jax.grad(loss_fn(d_fused))(jnp.zeros_like(st0.u[0])))
+    g_j = np.asarray(jax.grad(loss_fn(d_jnp))(jnp.zeros_like(st0.u[0])))
+    assert np.all(np.isfinite(g_f))
+    assert np.abs(g_f).max() > 0.0
+    scale = max(np.abs(g_j).max(), 1.0)
+    np.testing.assert_allclose(g_f, g_j, rtol=0, atol=atol_scale * scale)
+
+
+def test_fused_step_grad_parity_3d_euler():
+    _check_fused_grad(make_case(
+        "cavity3d", shape=(16, 16, 16), re=100.0,
+        poisson_method="cg", poisson_tol=1e-6, poisson_iters=3000,
+    ))
+
+
+def test_fused_step_grad_parity_2d():
+    _check_fused_grad(make_case(
+        "cavity", shape=(32, 32), poisson_method="cg",
+        poisson_tol=1e-6, poisson_iters=3000,
+    ))
+
+
+@pytest.mark.heavy
+def test_fused_step_grad_parity_3d_rk2():
+    _check_fused_grad(make_case(
+        "cavity3d", shape=(16, 16, 16), re=100.0,
+        poisson_method="cg", poisson_tol=1e-6, poisson_iters=3000,
+        integrator="rk2",
+    ))
+
+
+@pytest.mark.heavy
+def test_fused_step_grad_parity_obstacle_dctcg():
+    # sphere: uint8 face codes + the dctcg production solver in the loop
+    _check_fused_grad(make_case("sphere", shape=(24, 16, 16)))
+
+
+@pytest.mark.heavy
+def test_fused_step_grad_parity_scalar_buoyancy():
+    _check_fused_grad(make_case("heated_cavity", shape=(16, 16, 16), ra=1e4))
