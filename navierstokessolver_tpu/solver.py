@@ -1449,7 +1449,7 @@ class Simulation:
             c["fc2d"] = self._face_codes_2d()
         if gate._fused3d_ok():
             c["fc3d"] = self._face_codes_3d()
-        if self._fused3d_sharded_ok() and (
+        if gate._fused3d_sharded_ok() and (
                 self.face_masks is not None or self.corr_masks is not None):
             if tuple(self.shardings.p.mesh.axis_names) == ("sx", "sy"):
                 c["fc3d_pencil"] = self._face_codes_3d_pencil()
@@ -1675,6 +1675,10 @@ def _run_scan_stats_jit(sim: Simulation, consts, state: State, stats, n_steps: i
         st, diag = sim.step(st)
         return (st, stats_mod.accumulate(sim.grid, acc, st)), diag
 
+    if sim.diff_solve:
+        # same per-step remat as _run_scan_jit's diff branch (memory +
+        # the GSPMD uneven-shard residual-stacking NaN fix)
+        body = jax.checkpoint(body)
     (state, stats), diags = jax.lax.scan(
         body, (state, stats), xs=None, length=n_steps
     )
@@ -1692,6 +1696,17 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         return run_scan_sharded_fused(
             sim, sim.shardings.p.mesh, state, n_steps
         )
+    if sim.diff_solve:
+        # Sharded differentiable runs whose BASE configuration passes the
+        # sharded fused whole-step gate keep the slab/pencil fused tiers
+        # for the FORWARD scan via a scan-level custom VJP; the backward
+        # pass differentiates the jnp GSPMD scan (per-step remat, IFT
+        # pressure solves inside) -- adjoint.fused_scan_sharded.
+        from . import adjoint
+
+        base = adjoint.base_of(sim._shell)
+        if base._fused3d_sharded_ok():
+            return adjoint.fused_scan_sharded(sim, state, n_steps)
     # CFL-adaptive fused runs: the corrector kernel's masked max|u_a|/h_a
     # rides the carry and sets the next step's dt (the entry value comes
     # from one jnp reduction over the exact-layout state, outside the loop).
@@ -1755,6 +1770,15 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         return State(u=(u0, u1, u2), p=istate.p, theta=theta,
                      p_prev=istate.p_prev), diags
     step_fn = sim.make_step_fn()
+    if sim.diff_solve:
+        # Reverse-mode runs remat each step from its carry (the standard
+        # O(1)-residual trade). This is also a CORRECTNESS fix under
+        # sharding: without it the scan transpose stacks per-step
+        # residuals whose leading grid axis is unevenly sharded (n+1
+        # staggered faces over the mesh), and slicing those stacked
+        # residuals in the backward scan read GSPMD shard padding --
+        # observed as NaN cotangents (3D cavity, cg, >= 2 steps).
+        step_fn = jax.checkpoint(step_fn)
     return jax.lax.scan(step_fn, state, xs=None, length=n_steps)
 
 

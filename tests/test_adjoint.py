@@ -346,3 +346,64 @@ def test_fused_step_grad_parity_obstacle_dctcg():
 @pytest.mark.heavy
 def test_fused_step_grad_parity_scalar_buoyancy():
     _check_fused_grad(make_case("heated_cavity", shape=(16, 16, 16), ra=1e4))
+
+
+# -- sharded fused forward / jnp GSPMD backward (adjoint.fused_scan_sharded) --
+
+def _check_fused_sharded_grad(case, mesh_shape, n=2, atol_scale=3e-5):
+    """Scan-level custom VJP: the sharded differentiable run's FORWARD is
+    bit-identical to the plain sharded fused scan (slab/pencil tiers), and
+    its gradient matches the FD-validated jnp GSPMD diff path to kernel
+    tolerance."""
+    from navierstokessolver_tpu.parallel.sharding import (
+        make_mesh, shard_state, sharded_simulation,
+    )
+
+    ndev = int(np.prod(np.atleast_1d(mesh_shape)))
+    if len(jax.devices()) < ndev:
+        pytest.skip(f"needs {ndev} (virtual) devices")
+    mesh = make_mesh(mesh_shape)
+    p = dataclasses.replace(case.sim.params, use_pallas=True)
+    sim_f = sharded_simulation(
+        dataclasses.replace(case.sim, params=p, pallas_interpret=True), mesh
+    )
+    sim_j = sharded_simulation(case.sim, mesh)
+    d_f, d_j = adjoint.differentiable(sim_f), adjoint.differentiable(sim_j)
+    assert adjoint.base_of(d_f)._fused3d_sharded_ok()
+    st0 = shard_state(case.initial_state(), mesh, case.sim.grid)
+
+    st_a, _ = sim_f.run_scan(st0, n)
+    st_b, _ = d_f.run_scan(st0, n)
+    for a, b in zip(st_a.u, st_b.u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(st_a.p), np.asarray(st_b.p))
+
+    def loss_fn(sim):
+        def loss(du):
+            st = dataclasses.replace(st0, u=(st0.u[0] + du,) + st0.u[1:])
+            st, _ = sim.run_scan(st, n)
+            return sum(jnp.sum(u ** 2) for u in st.u)
+        return loss
+
+    g_f = np.asarray(jax.grad(loss_fn(d_f))(jnp.zeros_like(st0.u[0])))
+    g_j = np.asarray(jax.grad(loss_fn(d_j))(jnp.zeros_like(st0.u[0])))
+    assert np.all(np.isfinite(g_f))
+    assert np.abs(g_f).max() > 0.0
+    scale = max(np.abs(g_j).max(), 1.0)
+    np.testing.assert_allclose(g_f, g_j, rtol=0, atol=atol_scale * scale)
+
+
+@pytest.mark.heavy
+def test_fused_scan_sharded_grad_parity_slab():
+    _check_fused_sharded_grad(make_case(
+        "cavity3d", shape=(16, 16, 16), re=100.0,
+        poisson_method="cg", poisson_tol=1e-6, poisson_iters=3000,
+    ), mesh_shape=2)
+
+
+@pytest.mark.heavy
+def test_fused_scan_sharded_grad_parity_pencil():
+    _check_fused_sharded_grad(make_case(
+        "cavity3d", shape=(16, 16, 16), re=100.0,
+        poisson_method="cg", poisson_tol=1e-6, poisson_iters=3000,
+    ), mesh_shape=(2, 2))
