@@ -25,8 +25,10 @@ numerics); the reference mount was empty this session (SURVEY.md SS0) so
 there is no reference counterpart to cite -- this extends the SURVEY SS2
 "obstacle mask" row's accuracy beyond the reference class.
 
-TPU-first: apertures are computed ONCE at build time in numpy (face
-subsampling of the SDF -- exact to O(1/k^2), no geometry code on device);
+TPU-first: apertures are computed ONCE at build time in numpy (clipped
+linear reconstruction of the SDF on a subcell lattice -- EXACT for planar
+cuts, O(1/k^2) worst-case on smooth curved boundaries, no geometry code
+on device);
 the per-iteration cost over the staircase operator is two extra f32
 coefficient reads per axis, and everything stays branch-free inside the
 same lax.while_loop solvers.
@@ -47,8 +49,9 @@ ALPHA_MIN = 0.01
 
 
 def _face_samples(grid: GridSpec, axis: int, k: int):
-    """Coordinate arrays sampling each face normal to ``axis`` with a
-    k^(nd-1) stencil (midpoint subcells), broadcast-ready."""
+    """Coordinate arrays sampling each face normal to ``axis`` on a
+    per-cell CORNER lattice of k+1 points per transverse axis (subcell
+    corners, shared corners duplicated per cell), broadcast-ready."""
     nd = grid.ndim
     h = grid.spacing
     coords = []
@@ -58,46 +61,114 @@ def _face_samples(grid: GridSpec, axis: int, k: int):
             c = np.arange(n + 1, dtype=np.float64) * h[d]
         else:
             base = np.arange(n, dtype=np.float64) * h[d]
-            sub = (np.arange(k, dtype=np.float64) + 0.5) * (h[d] / k)
-            c = (base[:, None] + sub[None, :]).ravel()   # n*k samples
+            sub = np.arange(k + 1, dtype=np.float64) * (h[d] / k)
+            c = (base[:, None] + sub[None, :]).ravel()   # n*(k+1) samples
         shape = [1] * nd
         shape[d] = -1
         coords.append(c.reshape(shape))
     return coords
 
 
+def _seg_frac(v0: np.ndarray, v1: np.ndarray) -> np.ndarray:
+    """Length fraction of {phi > 0} on a segment with endpoint SDF values
+    ``v0``/``v1``, from the linear reconstruction: ((v1)+ - (v0)+)/(v1-v0)
+    (sign-symmetric; exact for any affine phi). Degenerate v0 == v1 falls
+    back to the indicator."""
+    b = v1 - v0
+    pos0 = np.maximum(v0, 0.0)
+    pos1 = np.maximum(v1, 0.0)
+    safe = np.abs(b) > 1e-300
+    f = np.where(safe, (pos1 - pos0) / np.where(safe, b, 1.0),
+                 (v0 > 0.0).astype(np.float64))
+    return np.clip(f, 0.0, 1.0)
+
+
+def _rect_frac(v00, v10, v01, v11) -> np.ndarray:
+    """Area fraction of {phi > 0} on a rectangle with corner SDF values
+    ``vXY`` (X along the first transverse axis, Y along the second), from
+    the AFFINE least-squares reconstruction of the four corners:
+
+        area = ((w11)+^2 + (w00)+^2 - (w10)+^2 - (w01)+^2) / (2 b c)
+
+    (w = affine-fit corner values, b/c the fit's edge slopes; the identity
+    is the closed form of integrating the 1D clipped-segment rule, and is
+    invariant under either axis flip so any nonzero b, c works). Exact for
+    planar interfaces -- affine data has zero twist, so w == v and the
+    formula integrates the half-plane clip exactly. Near-degenerate slopes
+    (cut parallel to an axis) fall back to the 1D segment rule, which is
+    exact there."""
+    b = 0.5 * ((v10 - v00) + (v11 - v01))   # mean slope, first axis
+    c = 0.5 * ((v01 - v00) + (v11 - v10))   # mean slope, second axis
+    m = 0.25 * (v00 + v10 + v01 + v11)
+    w00 = m - 0.5 * (b + c)
+    w10 = m + 0.5 * (b - c)
+    w01 = m - 0.5 * (b - c)
+    w11 = m + 0.5 * (b + c)
+    pos = lambda x: np.maximum(x, 0.0)  # noqa: E731
+    num = pos(w11) ** 2 + pos(w00) ** 2 - pos(w10) ** 2 - pos(w01) ** 2
+    scale = np.abs(b) + np.abs(c) + np.abs(m) + 1e-300
+    bc_ok = (np.abs(b) > 1e-9 * scale) & (np.abs(c) > 1e-9 * scale)
+    den = 2.0 * b * c
+    area = np.where(bc_ok, num / np.where(bc_ok, den, 1.0), 0.0)
+    # b ~ 0: phi constant along the first axis -> 1D cut along the second
+    # (and vice versa); both ~ 0: indicator of the (constant) value
+    area = np.where(bc_ok, area,
+                    np.where(np.abs(b) <= np.abs(c),
+                             _seg_frac(w00, w01), _seg_frac(w00, w10)))
+    return np.clip(area, 0.0, 1.0)
+
+
+def _lat_take(lat, ax1, lo1, hi1, ax2, lo2, hi2):
+    """Slice the (lo, hi) lattice-corner range along two lattice axes."""
+    x = np.take(lat, range(lo1, hi1), axis=ax1)
+    return np.take(x, range(lo2, hi2), axis=ax2)
+
+
 def face_apertures(
-    grid: GridSpec, sdf: Callable, k: int = 8
+    grid: GridSpec, sdf: Callable, k: int = 4
 ) -> tuple[np.ndarray, ...]:
     """Per-axis FULL face-aperture arrays (shape = grid.face_shape(a)):
-    the fluid fraction (sdf > 0) of each face, by k^(nd-1) midpoint
-    subsampling. Exact for faces fully in/out. On CUT faces the counting
-    estimator of a discontinuous indicator has O(1/k) worst-case error
-    per face (the O(1/k^2) rate holds only in an averaged sense over many
-    faces -- ADVICE r3); an exact-for-planar-cuts alternative would
-    reconstruct the aperture from the SDF's linear interpolant instead
-    of counting subsamples."""
+    the fluid fraction (sdf > 0) of each face, from the SDF's LINEAR
+    reconstruction on a k-per-axis subcell lattice (corner samples;
+    :func:`_seg_frac` on 2D grids' face segments, :func:`_rect_frac` on
+    3D grids' face rectangles). EXACT for planar interfaces at any angle
+    (every subcell sees affine data); for smooth curved boundaries each
+    cut subcell carries the linear-interpolant error O((h/k)^2), so the
+    per-face worst case is O(1/k^2) -- strictly better than the O(1/k)
+    worst case of the former midpoint-counting estimator (ADVICE r3)."""
     nd = grid.ndim
     h = grid.spacing
     out = []
     for a in range(nd):
         phi = np.asarray(sdf(*_face_samples(grid, a, k)), np.float64)
         full_shape = tuple(
-            (grid.shape[d] + 1) if d == a else grid.shape[d] * k
+            (grid.shape[d] + 1) if d == a else grid.shape[d] * (k + 1)
             for d in range(nd)
         )
         phi = np.broadcast_to(phi, full_shape)
-        frac = (phi > 0.0).astype(np.float64)
-        # average the k subsamples along every transverse axis
-        for d in range(nd):
-            if d == a:
-                continue
-            sh = list(frac.shape)
-            n = sh[d] // k
-            sh[d] = n
-            sh.insert(d + 1, k)
-            frac = frac.reshape(sh).mean(axis=d + 1)
-        alpha = frac
+        # split every transverse axis into (cell, corner-lattice) pairs
+        tr = [d for d in range(nd) if d != a]
+        sh = list(phi.shape)
+        for j, d in enumerate(tr):
+            ax = d + j  # account for axes already inserted
+            n = sh[ax] // (k + 1)
+            sh[ax] = n
+            sh.insert(ax + 1, k + 1)
+        lat = phi.reshape(sh)
+        if nd == 2:
+            lax = tr[0] + 1  # the single inserted lattice axis
+            v0 = np.take(lat, range(0, k), axis=lax)
+            v1 = np.take(lat, range(1, k + 1), axis=lax)
+            alpha = _seg_frac(v0, v1).mean(axis=lax)
+        else:
+            # lattice axes for the two transverse dirs after insertion
+            l1 = tr[0] + 1
+            l2 = tr[1] + 2
+            v00 = _lat_take(lat, l1, 0, k, l2, 0, k)
+            v10 = _lat_take(lat, l1, 1, k + 1, l2, 0, k)
+            v01 = _lat_take(lat, l1, 0, k, l2, 1, k + 1)
+            v11 = _lat_take(lat, l1, 1, k + 1, l2, 1, k + 1)
+            alpha = _rect_frac(v00, v10, v01, v11).mean(axis=(l1, l2))
         # consistency with the IBM velocity treatment: a face whose
         # CENTER is inside the body has its velocity DOF forced toward
         # the body value (ibm.py clamps w = phi_f/phi_nbr to 0 there), so

@@ -97,7 +97,11 @@ def test_cut_operator_symmetric_and_constants_in_nullspace():
     # constants are in the nullspace over fluid cells (row sums 0)
     ones = jnp.asarray(fl)
     a1 = np.asarray(apply_A(op, ones) * op.fluid)
-    assert np.abs(a1).max() < 1e-4
+    # exact cancellation in f64; in f32 each row's +-alpha/h^2 terms leave
+    # ~eps/h^2 roundoff (reconstructed apertures are arbitrary reals, not
+    # the dyadic multiples the old counting estimator produced)
+    tol = 8 * np.finfo(np.float32).eps / float(g.spacing[0]) ** 2
+    assert np.abs(a1).max() < tol
 
 
 def test_sharp_pressure_projection_exact():
@@ -132,3 +136,62 @@ def test_sharp_pressure_rejects_spectral_methods():
     with pytest.raises(ValueError, match="iterative"):
         make_case("cylinder", shape=(64, 32), lengths=(8.0, 4.0),
                   poisson_method="dctcg", ibm=True, sharp_pressure=True)
+
+
+def test_apertures_exact_for_planar_cuts_2d():
+    """The clipped linear reconstruction is EXACT for planar interfaces
+    at any angle (ADVICE r3: the former midpoint counting was O(1/k) on
+    cut faces), even at k=1."""
+    g = GridSpec(shape=(16, 16), lengths=(1.0, 1.0))
+    nx, ny, d0 = 0.6, 0.8, 0.37
+    al = cutcell.face_apertures(g, lambda x, y: nx * x + ny * y - d0, k=1)
+    h = 1.0 / 16
+    for i in range(17):
+        for j in range(16):
+            x, y0, y1 = i * h, j * h, (j + 1) * h
+            v0, v1 = nx * x + ny * y0 - d0, nx * x + ny * y1 - d0
+            if v0 <= 0 and v1 <= 0:
+                a = 0.0
+            elif v0 > 0 and v1 > 0:
+                a = 1.0
+            else:
+                a = max(v0, v1) / abs(v1 - v0)
+            # the face-center closing + ALPHA_MIN postprocess
+            if nx * x + ny * (y0 + y1) / 2 - d0 <= 0 or a < cutcell.ALPHA_MIN:
+                a = 0.0
+            assert abs(a - al[0][i, j]) < 1e-12, (i, j, a, al[0][i, j])
+
+
+def test_apertures_exact_for_planar_cuts_3d():
+    """3D rectangle apertures of a tilted plane match a dense midpoint
+    reference far below the counting estimator's own error."""
+    g = GridSpec(shape=(8, 8, 8), lengths=(1.0, 1.0, 1.0))
+    n = np.array([0.48, 0.6, 0.64])
+    n /= np.linalg.norm(n)
+    sdf = lambda x, y, z: n[0] * x + n[1] * y + n[2] * z - 0.52  # noqa: E731
+    al1 = cutcell.face_apertures(g, sdf, k=1)
+    al_hi = cutcell.face_apertures(g, sdf, k=16)  # 16^2 subcells, each exact
+    for a in range(3):
+        np.testing.assert_allclose(al1[a], al_hi[a], atol=1e-12)
+
+
+def test_apertures_second_order_on_circle():
+    """On a smooth curved boundary each cut subcell carries the linear-
+    interpolant's O((h/k)^2) error: doubling k cuts the max error ~4x."""
+    g = GridSpec(shape=(32, 32), lengths=(1.0, 1.0))
+    circ = lambda x, y: np.hypot(x - 0.5, y - 0.5) - 0.31  # noqa: E731
+    ref = cutcell.face_apertures(g, circ, k=64)
+    errs = []
+    for k in (1, 2, 4):
+        a = cutcell.face_apertures(g, circ, k=k)
+        errs.append(sum(np.abs(a[d] - ref[d]).sum() for d in range(2)))
+    # summed error over all cut faces drops ~4x per doubling (the max
+    # norm is noisier: a single worst face sits wherever the circle is
+    # locally most curved relative to the subcell lattice)
+    # measured sums: 0.124 / 0.050 / 0.014 (ratios 2.5x, 3.7x; the first
+    # doubling is weakest because k=1 already resolves most faces exactly)
+    assert errs[0] > 2.0 * errs[1]
+    assert errs[1] > 3.0 * errs[2]
+    maxe = max(np.abs(cutcell.face_apertures(g, circ, k=4)[d]
+                      - ref[d]).max() for d in range(2))
+    assert maxe < 2e-3
