@@ -400,7 +400,17 @@ class Simulation:
         if not use or self.grid.ndim != 3 or self.diff_solve:
             return False
         if self.op.ap is not None:
-            return False  # cut-cell rhs/divergence is jnp-only (apertures)
+            # cut-cell apertured pressure COMPOSES (round 4): the kernels
+            # run the masked step on the cut-derived open/corr codes
+            # (binary == apertured outside the cut band), the wrapper
+            # patches the Poisson RHS with the boxed apertured-divergence
+            # delta and folds the boxed apertured |div| max into the
+            # diagnostics (band cells kernel-excluded via the FLUID bit
+            # -- see cutcell.py "fused 3D whole-step composition").
+            # Scalar transport with apertures stays jnp (the in-kernel
+            # theta fluxes would need aperture weighting).
+            if self.scalar is not None or self._cut3d_np() is None:
+                return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
         # rk2 + obstacles IS fused (round 3): the stage-2 based-mode
@@ -664,6 +674,37 @@ class Simulation:
             )
         return fm
 
+    def _cut3d_np(self):
+        """Static cut-cell fused-composition constants (band bounding
+        box + boxed dalpha/alpha face arrays -- cutcell.fused_cut_consts),
+        cached; None when there is no apertured operator or the band is
+        not strictly interior (the fused gate then refuses)."""
+        if not hasattr(self, "_cut3d_np_cache"):
+            out = None
+            if self.op.ap is not None and self.grid.ndim == 3:
+                from . import cutcell
+
+                wet = self.ibm.wet if self.ibm is not None else None
+                out = cutcell.fused_cut_consts(self.grid, self.op.ap, wet)
+            object.__setattr__(self, "_cut3d_np_cache", out)
+        return self._cut3d_np_cache
+
+    def _cut3d_dev(self):
+        """The boxed per-axis alpha arrays as device arrays of the grid
+        dtype (threaded through _consts/_bind like every per-cell
+        array)."""
+        if not hasattr(self, "_cut3d_dev_cache"):
+            _, alb, _ = self._cut3d_np()
+            dt_ = self.grid.dtype
+            out = tuple(jnp.asarray(a, dt_) for a in alb)
+            if not any(isinstance(x, jax.core.Tracer) for x in out):
+                # only cache concrete arrays: under jit, jnp.asarray
+                # lifts the numpy constants into the trace as tracers,
+                # and caching those on the static sim leaks them
+                object.__setattr__(self, "_cut3d_dev_cache", out)
+            return out
+        return self._cut3d_dev_cache
+
     def _face_codes_3d(self):
         from .ops import pallas_kernels
 
@@ -672,8 +713,26 @@ class Simulation:
             codes = pallas_kernels.build_face_codes_3d(
                 self.grid, self._fm_for_codes(), self.corr_masks, tile=tile
             )
+            code = self.op.code
+            if codes is not None and self._cut3d_np() is not None:
+                # cut-cell composition: band cells' BINARY divergence is
+                # O(u/h) even though the apertured one projects to ~0 --
+                # clear their FLUID bit in the KERNEL-ONLY padded code
+                # copy so the in-kernel |div| max excludes them; the
+                # wrapper folds the boxed apertured max back in
+                # (cutcell.fused_div_max_cut). op.code itself (and
+                # op.fluid) stay untouched.
+                import numpy as _np
+
+                from .ops.poisson import FLUID_BIT
+
+                band = self._cut3d_np()[2]
+                carr = _np.asarray(code)
+                code = jnp.asarray(_np.where(
+                    band, carr & _np.uint8(~(1 << FLUID_BIT) & 0xFF), carr
+                ))
             fc = (pallas_kernels.pad_fluid_code_3d(
-                      self.grid, self.op.code, tile=tile)
+                      self.grid, code, tile=tile)
                   if codes is not None else None)
             object.__setattr__(self, "_fc3d_cache", (codes, fc))
         return self._fc3d_cache
@@ -923,6 +982,14 @@ class Simulation:
                         self.op.fluid,
                     )
                     ush = ush_f
+            if self.op.ap is not None:
+                from . import cutcell
+
+                with jax.named_scope("cut_rhs_half"):
+                    rhsh = cutcell.fused_rhs_patch_cut(
+                        g, rhsh, ush, self._cut3d_dev(),
+                        self._cut3d_np()[0], pr.rho / (0.5 * dt),
+                    )
             with jax.named_scope("poisson_half"):
                 ph_, it_extra, _ = self._solve_pressure(rhsh, p_start)
             with jax.named_scope("correction_half"):
@@ -953,6 +1020,16 @@ class Simulation:
                     g, rhs, u_star, u_forced, pr.rho / dt, self.op.fluid
                 )
                 u_star = u_forced
+        if self.op.ap is not None:
+            # cut-cell: upgrade the kernel's binary-masked divergence to
+            # the apertured one on the band box (identical outside it)
+            from . import cutcell
+
+            with jax.named_scope("cut_rhs"):
+                rhs = cutcell.fused_rhs_patch_cut(
+                    g, rhs, u_star, self._cut3d_dev(),
+                    self._cut3d_np()[0], pr.rho / dt,
+                )
         with jax.named_scope("poisson"):
             p, iters, res = self._solve_pressure(rhs, p_start)
             iters = iters + it_extra
@@ -995,6 +1072,16 @@ class Simulation:
             else:
                 iu_new, max_div, max_vel = corr
                 theta_new = istate.theta
+        if self.op.ap is not None:
+            # fold the boxed apertured |div| max over the band back into
+            # the diagnostic (the kernel's max excluded band cells via
+            # the cleared FLUID bit -- _face_codes_3d)
+            from . import cutcell
+
+            with jax.named_scope("cut_div"):
+                max_div = jnp.maximum(max_div, cutcell.fused_div_max_cut(
+                    g, iu_new, self._cut3d_dev(), self._cut3d_np()[0]
+                ))
         diag = StepDiagnostics(
             poisson_iters=iters,
             poisson_res=res,
@@ -1449,6 +1536,8 @@ class Simulation:
             c["fc2d"] = self._face_codes_2d()
         if gate._fused3d_ok():
             c["fc3d"] = self._face_codes_3d()
+            if self._cut3d_np() is not None:
+                c["cut3d"] = self._cut3d_dev()
         if gate._fused3d_sharded_ok() and (
                 self.face_masks is not None or self.corr_masks is not None):
             if tuple(self.shardings.p.mesh.axis_names) == ("sx", "sy"):
@@ -1552,6 +1641,13 @@ class Simulation:
             object.__setattr__(bound, "_fc2d_cache", c["fc2d"])
         if "fc3d" in c:
             object.__setattr__(bound, "_fc3d_cache", c["fc3d"])
+        if "cut3d" in c:
+            object.__setattr__(bound, "_cut3d_dev_cache", c["cut3d"])
+        if self.op.ap is not None:
+            # the STATIC band/box constants come from the unbound shell's
+            # concrete apertures (the bound op.ap is a tracer; the gates
+            # call _cut3d_np inside jit)
+            object.__setattr__(bound, "_cut3d_np_cache", self._cut3d_np())
         if "dctcg_halo" in c:
             object.__setattr__(bound, "_dctcg_halo", c["dctcg_halo"])
         if "fc3d_halo" in c:

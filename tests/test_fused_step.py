@@ -1161,3 +1161,62 @@ def test_fused3d_convective_outlet_rk2_matches_reference():
     )
     # the convective face actually transports (nonzero outlet velocity)
     assert float(np.abs(np.asarray(b.u[0])[-1]).max()) > 1e-3
+
+
+# -- cut-cell apertured pressure through the fused whole-step (round 4) -------
+
+def _sharp_sphere(**kw):
+    from navierstokessolver_tpu.cases import make_case
+
+    kw.setdefault("poisson_method", "mg")
+    return make_case("sphere", shape=(32, 16, 16), lengths=(16.0, 8.0, 8.0),
+                     re=100.0, ibm=True, sharp_pressure=True, **kw)
+
+
+def _check_cut_fused(case, n=5, atol_u=5e-6, atol_p=5e-6, atol_d=1e-5):
+    """Interpret-mode parity of the cut-cell fused composition
+    (cutcell.py "fused 3D whole-step composition"): boxed apertured-rhs
+    replace + FLUID-bit band exclusion + boxed |div| fold vs the jnp
+    apertured step."""
+    sim = case.sim
+    p = dataclasses.replace(sim.params, use_pallas=True)
+    sim_f = dataclasses.replace(sim, params=p, pallas_interpret=True)
+    assert sim.op.ap is not None
+    assert sim_f._fused3d_ok()
+    st0 = case.initial_state()
+    ref, dref = sim.run_scan(st0, n)
+    out, d = sim_f.run_scan(st0, n)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=atol_u
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=atol_p)
+    np.testing.assert_allclose(np.asarray(d.max_div),
+                               np.asarray(dref.max_div), atol=atol_d)
+    # diag maxima: the winning cell flips under roundoff between the two
+    # paths; the FIELDS above carry the tight parity assertion
+    np.testing.assert_allclose(np.asarray(d.max_cfl),
+                               np.asarray(dref.max_cfl), atol=5e-6)
+
+
+def test_cut_fused_sphere_euler_mg():
+    _check_cut_fused(_sharp_sphere())
+
+
+def test_cut_fused_sphere_rk2():
+    _check_cut_fused(_sharp_sphere(integrator="rk2"))
+
+
+def test_cut_fused_sphere_cg():
+    # looser p atol: cg's trajectory diverges at roundoff once the rhs
+    # differs in the last bit (4/8192 cells at 1e-4 relative)
+    _check_cut_fused(_sharp_sphere(poisson_method="cg", poisson_tol=1e-6,
+                                   poisson_iters=3000), atol_p=3e-5)
+
+
+def test_cut_fused_spinning_sphere():
+    # moving-body IBM x cut-cell: wet faces ride OPEN codes, their
+    # apertures are closed so the boxed apertured rhs/div ignore them
+    # exactly like the jnp divergence_ap
+    _check_cut_fused(_sharp_sphere(spin=0.5))
