@@ -314,7 +314,10 @@ def _check_fused_grad(case, n=2, atol_scale=3e-5):
     np.testing.assert_allclose(g_f, g_j, rtol=0, atol=atol_scale * scale)
 
 
+@pytest.mark.heavy
 def test_fused_step_grad_parity_3d_euler():
+    # heavy: interpret-mode 3D kernels; the 2D variant below keeps the
+    # step-level custom VJP covered in the quick tier
     _check_fused_grad(make_case(
         "cavity3d", shape=(16, 16, 16), re=100.0,
         poisson_method="cg", poisson_tol=1e-6, poisson_iters=3000,
