@@ -48,27 +48,6 @@ from .grid import GridSpec
 ALPHA_MIN = 0.01
 
 
-def _face_samples(grid: GridSpec, axis: int, k: int):
-    """Coordinate arrays sampling each face normal to ``axis`` on a
-    per-cell CORNER lattice of k+1 points per transverse axis (subcell
-    corners, shared corners duplicated per cell), broadcast-ready."""
-    nd = grid.ndim
-    h = grid.spacing
-    coords = []
-    for d in range(nd):
-        n = grid.shape[d]
-        if d == axis:
-            c = np.arange(n + 1, dtype=np.float64) * h[d]
-        else:
-            base = np.arange(n, dtype=np.float64) * h[d]
-            sub = np.arange(k + 1, dtype=np.float64) * (h[d] / k)
-            c = (base[:, None] + sub[None, :]).ravel()   # n*(k+1) samples
-        shape = [1] * nd
-        shape[d] = -1
-        coords.append(c.reshape(shape))
-    return coords
-
-
 def _seg_frac(v0: np.ndarray, v1: np.ndarray) -> np.ndarray:
     """Length fraction of {phi > 0} on a segment with endpoint SDF values
     ``v0``/``v1``, from the linear reconstruction: ((v1)+ - (v0)+)/(v1-v0)
@@ -118,12 +97,6 @@ def _rect_frac(v00, v10, v01, v11) -> np.ndarray:
     return np.clip(area, 0.0, 1.0)
 
 
-def _lat_take(lat, ax1, lo1, hi1, ax2, lo2, hi2):
-    """Slice the (lo, hi) lattice-corner range along two lattice axes."""
-    x = np.take(lat, range(lo1, hi1), axis=ax1)
-    return np.take(x, range(lo2, hi2), axis=ax2)
-
-
 def face_apertures(
     grid: GridSpec, sdf: Callable, k: int = 4
 ) -> tuple[np.ndarray, ...]:
@@ -135,47 +108,22 @@ def face_apertures(
     (every subcell sees affine data); for smooth curved boundaries each
     cut subcell carries the linear-interpolant error O((h/k)^2), so the
     per-face worst case is O(1/k^2) -- strictly better than the O(1/k)
-    worst case of the former midpoint-counting estimator (ADVICE r3)."""
+    worst case of the former midpoint-counting estimator (ADVICE r3).
+
+    SPARSE evaluation: one dense SDF pass over the face CENTERS
+    classifies faces via the signed-distance bound -- ``sdf`` is a true
+    distance near the interface (every ``cases/`` body is; 1-Lipschitz),
+    so |phi(center)| exceeding 1.5x the face half-diagonal PROVES the
+    face uniformly in/out -- and the subcell reconstruction runs only on
+    the O(surface) shell of candidates. At 256x128x128 this turned a
+    ~7-minute dense-lattice build into seconds."""
     nd = grid.ndim
     h = grid.spacing
     out = []
     for a in range(nd):
-        phi = np.asarray(sdf(*_face_samples(grid, a, k)), np.float64)
-        full_shape = tuple(
-            (grid.shape[d] + 1) if d == a else grid.shape[d] * (k + 1)
-            for d in range(nd)
-        )
-        phi = np.broadcast_to(phi, full_shape)
-        # split every transverse axis into (cell, corner-lattice) pairs
         tr = [d for d in range(nd) if d != a]
-        sh = list(phi.shape)
-        for j, d in enumerate(tr):
-            ax = d + j  # account for axes already inserted
-            n = sh[ax] // (k + 1)
-            sh[ax] = n
-            sh.insert(ax + 1, k + 1)
-        lat = phi.reshape(sh)
-        if nd == 2:
-            lax = tr[0] + 1  # the single inserted lattice axis
-            v0 = np.take(lat, range(0, k), axis=lax)
-            v1 = np.take(lat, range(1, k + 1), axis=lax)
-            alpha = _seg_frac(v0, v1).mean(axis=lax)
-        else:
-            # lattice axes for the two transverse dirs after insertion
-            l1 = tr[0] + 1
-            l2 = tr[1] + 2
-            v00 = _lat_take(lat, l1, 0, k, l2, 0, k)
-            v10 = _lat_take(lat, l1, 1, k + 1, l2, 0, k)
-            v01 = _lat_take(lat, l1, 0, k, l2, 1, k + 1)
-            v11 = _lat_take(lat, l1, 1, k + 1, l2, 1, k + 1)
-            alpha = _rect_frac(v00, v10, v01, v11).mean(axis=(l1, l2))
-        # consistency with the IBM velocity treatment: a face whose
-        # CENTER is inside the body has its velocity DOF forced toward
-        # the body value (ibm.py clamps w = phi_f/phi_nbr to 0 there), so
-        # keeping a partial aperture open on it would count a systematic
-        # flux deficit into the continuity equation -- close it. The open
-        # set then matches where the velocity DOF is meaningful (alpha of
-        # surviving cut faces is in ~(0.5, 1]).
+        # dense face-center values: classification AND the IBM-consistency
+        # closing below share this one evaluation
         centers = []
         for d in range(nd):
             if d == a:
@@ -186,8 +134,46 @@ def face_apertures(
             shp[d] = -1
             centers.append(c.reshape(shp))
         phi_c = np.broadcast_to(
-            np.asarray(sdf(*centers), np.float64), alpha.shape
+            np.asarray(sdf(*centers), np.float64), grid.face_shape(a)
         )
+        alpha = (phi_c > 0.0).astype(np.float64)
+        halfdiag = 0.5 * float(np.sqrt(sum(h[t] ** 2 for t in tr)))
+        idx = np.argwhere(np.abs(phi_c) <= 1.5 * halfdiag)
+        if idx.size:
+            # per-candidate subcell corner lattices, sdf broadcast over
+            # (N, k+1[, k+1]) -- dimension order preserved
+            args = []
+            lat_shape = [len(idx)] + [k + 1] * (nd - 1)
+            for d in range(nd):
+                if d == a:
+                    col = idx[:, d].astype(np.float64) * h[d]
+                    col = col.reshape([-1] + [1] * (nd - 1))
+                else:
+                    off = np.arange(k + 1, dtype=np.float64) * (h[d] / k)
+                    shp = [1] * len(lat_shape)
+                    shp[1 + tr.index(d)] = -1
+                    col = (idx[:, d].astype(np.float64) * h[d]
+                           ).reshape([-1] + [1] * (nd - 1)) \
+                        + off.reshape(shp)
+                args.append(col)
+            phi = np.broadcast_to(
+                np.asarray(sdf(*args), np.float64), lat_shape
+            )
+            if nd == 2:
+                fr = _seg_frac(phi[:, :-1], phi[:, 1:]).mean(axis=1)
+            else:
+                fr = _rect_frac(
+                    phi[:, :-1, :-1], phi[:, 1:, :-1],
+                    phi[:, :-1, 1:], phi[:, 1:, 1:],
+                ).mean(axis=(1, 2))
+            alpha[tuple(idx.T)] = fr
+        # consistency with the IBM velocity treatment: a face whose
+        # CENTER is inside the body has its velocity DOF forced toward
+        # the body value (ibm.py clamps w = phi_f/phi_nbr to 0 there), so
+        # keeping a partial aperture open on it would count a systematic
+        # flux deficit into the continuity equation -- close it. The open
+        # set then matches where the velocity DOF is meaningful (alpha of
+        # surviving cut faces is in ~(0.5, 1]).
         alpha = np.where(phi_c > 0.0, alpha, 0.0)
         alpha[alpha < ALPHA_MIN] = 0.0
         out.append(alpha)
@@ -197,28 +183,39 @@ def face_apertures(
 def volume_fractions(
     grid: GridSpec, sdf: Callable, k: int = 4
 ) -> np.ndarray:
-    """Cell fluid-volume fractions by k^nd midpoint subsampling."""
+    """Cell fluid-volume fractions by k^nd midpoint subsampling -- SPARSE
+    like :func:`face_apertures`: a dense cell-center SDF pass classifies
+    cells via the signed-distance bound (|phi(center)| > 1.5x the cell
+    half-diagonal proves the cell uniformly in/out), midpoint subsampling
+    runs only on the O(surface) candidate shell."""
     nd = grid.ndim
     h = grid.spacing
-    coords = []
+    centers = []
     for d in range(nd):
-        base = np.arange(grid.shape[d], dtype=np.float64) * h[d]
-        sub = (np.arange(k, dtype=np.float64) + 0.5) * (h[d] / k)
-        c = (base[:, None] + sub[None, :]).ravel()
-        shape = [1] * nd
-        shape[d] = -1
-        coords.append(c.reshape(shape))
-    phi = np.asarray(sdf(*coords), np.float64)
-    frac = np.broadcast_to(
-        (phi > 0.0).astype(np.float64),
-        tuple(grid.shape[d] * k for d in range(nd)),
+        c = (np.arange(grid.shape[d], dtype=np.float64) + 0.5) * h[d]
+        shp = [1] * nd
+        shp[d] = -1
+        centers.append(c.reshape(shp))
+    phi_c = np.broadcast_to(
+        np.asarray(sdf(*centers), np.float64), grid.shape
     )
-    for d in range(nd):
-        sh = list(frac.shape)
-        n = sh[d] // k
-        sh[d] = n
-        sh.insert(d + 1, k)
-        frac = frac.reshape(sh).mean(axis=d + 1)
+    frac = (phi_c > 0.0).astype(np.float64)
+    halfdiag = 0.5 * float(np.sqrt(sum(hh ** 2 for hh in h)))
+    idx = np.argwhere(np.abs(phi_c) <= 1.5 * halfdiag)
+    if idx.size:
+        lat_shape = [len(idx)] + [k] * nd
+        args = []
+        for d in range(nd):
+            sub = (np.arange(k, dtype=np.float64) + 0.5) * (h[d] / k)
+            shp = [1] * (nd + 1)
+            shp[1 + d] = -1
+            args.append(
+                (idx[:, d].astype(np.float64) * h[d]).reshape(
+                    [-1] + [1] * nd
+                ) + sub.reshape(shp)
+            )
+        phi = np.broadcast_to(np.asarray(sdf(*args), np.float64), lat_shape)
+        frac[tuple(idx.T)] = (phi > 0.0).reshape(len(idx), -1).mean(axis=1)
     return frac
 
 
