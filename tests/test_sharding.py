@@ -325,3 +325,49 @@ def test_dctcg_halo_singular_matches_single_device():
     it_ref = np.asarray(dref.poisson_iters)
     it_h = np.asarray(d.poisson_iters)
     assert np.max(np.abs(it_h - it_ref)) <= 2, (it_h, it_ref)
+
+
+@requires_8
+def test_cutcell_sharp_pressure_sharded_2d():
+    """Cut-cell apertured pressure (sharp_pressure) under GSPMD: the
+    apertured operator/divergence/correction triple is plain jnp over
+    static replicated aperture arrays, so the sharded jnp step partitions
+    it like any stencil -- 1-vs-8 slab parity on the IBM+sharp cylinder
+    (SURVEY SS2 obstacle row x SS5 comm backend: the sharp-interface
+    production solver's multi-chip story, mirroring r3's dctcg ask)."""
+    from navierstokessolver_tpu.cases.cylinder import impulsive_start_state
+
+    case = make_case("cylinder", shape=(96, 48), lengths=(12.0, 6.0),
+                     center=(3.0, 3.01), ibm=True, sharp_pressure=True,
+                     poisson_method="cg")
+    sim = case.sim
+    st = impulsive_start_state(sim)
+    ref, _ = sim.run_scan(st, 10)
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    out, _ = sim_sh.run_scan(shard_state(st, mesh, sim.grid), 10)
+    np.testing.assert_allclose(
+        np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=1e-4
+    )
+    assert len(out.p.sharding.device_set) == 8
+
+
+@requires_8
+def test_cutcell_sharp_pressure_sharded_3d_pencil():
+    """3D sphere with sharp pressure + mg, slab AND pencil meshes vs the
+    single-device run (the sharded jnp step; fused tiers document the
+    aperture fallback in docs/SCALING.md known limits)."""
+    case = make_case("sphere", shape=(32, 16, 16), lengths=(8.0, 4.0, 4.0),
+                     center=(2.0, 2.01, 2.02), ibm=True, sharp_pressure=True,
+                     poisson_method="mg")
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 8)
+    for spec in (8, (2, 4)):
+        mesh = make_mesh(spec)
+        sim_sh = sharded_simulation(sim, mesh)
+        out, _ = sim_sh.run_scan(
+            shard_state(case.initial_state(), mesh, sim.grid), 8
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=1e-4
+        )
