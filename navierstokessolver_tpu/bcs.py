@@ -123,6 +123,20 @@ def bcs_time_dependent(bcs: BCTable) -> bool:
     )
 
 
+def bcs_values_traced(bcs: BCTable) -> bool:
+    """True when any BC velocity entry is a non-concretizable (traced)
+    scalar -- the shape a time-dependent run's :func:`resolve_bcs` output
+    takes inside ``jit``. The fused 3D whole-step streams such values
+    through its SMEM scalar vector (ops/pallas_kernels hoisting); every
+    other Pallas tier gates itself off on this predicate."""
+    import jax
+
+    return any(
+        isinstance(v, jax.core.Tracer)
+        for spec in bcs.values() for v in spec.velocity
+    )
+
+
 def resolve_bcs(bcs: BCTable, t) -> dict:
     """Evaluate callable BC velocity entries at (traced) time ``t``.
 

@@ -338,7 +338,8 @@ def _predictor3d_kernel(
     out_ref[...] = c0 + dt * rhs
 
 
-def _scalar_bc(bcs: BCTable, face, comp: int, ndim: int):
+def _scalar_bc(bcs: BCTable, face, comp: int, ndim: int,
+               allow_traced: bool = False):
     v = bcs[face].component(comp, ndim)
     if not (np.isscalar(v) or getattr(v, "ndim", 1) == 0):
         return None
@@ -346,8 +347,12 @@ def _scalar_bc(bcs: BCTable, face, comp: int, ndim: int):
         return float(v)
     except Exception:
         # traced value (time-dependent BC resolved inside jit) or other
-        # non-concretizable scalar: not bake-able into a kernel
-        return None
+        # non-concretizable scalar: not bake-able into a kernel. The
+        # fused 3D whole-step CAN take it (allow_traced): the wrappers
+        # hoist traced table values into the kernels' SMEM scalar vector
+        # (_hoist_tables) and the kernel bodies read them back
+        # (_resolve_tables), so only that path opts in.
+        return v if allow_traced else None
 
 
 def predictor_3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
@@ -1211,7 +1216,8 @@ def predictor_2d(
 # ---------------------------------------------------------------------------
 
 
-def _scalar_bcs_all_axes(bcs: BCTable, ndim: int = 3) -> bool:
+def _scalar_bcs_all_axes(bcs: BCTable, ndim: int = 3,
+                         allow_traced: bool = False) -> bool:
     from ..bcs import BCKind
 
     for ax in range(ndim):
@@ -1227,12 +1233,18 @@ def _scalar_bcs_all_axes(bcs: BCTable, ndim: int = 3) -> bool:
             if bcs[(ax, side)].kind is BCKind.CONVECTIVE:
                 continue   # velocity slot holds the phase speed, not a BC
             for c in range(ndim):
-                if _scalar_bc(bcs, (ax, side), c, ndim) is None:
+                if _scalar_bc(bcs, (ax, side), c, ndim,
+                              allow_traced=allow_traced) is None:
                     return False
     return True
 
 
-def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
+def fused_step3d_applicable(grid: GridSpec, bcs: BCTable,
+                            allow_traced: bool = False) -> bool:
+    """``allow_traced``: admit TRACED scalar BC values (a time-dependent
+    run's per-step resolved Dirichlet values) -- the wrappers hoist them
+    into the kernels' SMEM scalar vector. Default False: every caller
+    that bakes values as compile-time floats keeps its old gate."""
     from ..bcs import BCKind, periodic_axes
 
     if grid.ndim != 3 or grid.dtype != jnp.float32:
@@ -1268,7 +1280,7 @@ def fused_step3d_applicable(grid: GridSpec, bcs: BCTable) -> bool:
     # no case driving it -- keep it gated.
     if bcs[(0, 0)].kind is BCKind.OUTFLOW:
         return False
-    return _scalar_bcs_all_axes(bcs)
+    return _scalar_bcs_all_axes(bcs, allow_traced=allow_traced)
 
 
 def fused_tile_db(grid: GridSpec):
@@ -1289,19 +1301,24 @@ def fused_tile_db(grid: GridSpec):
 def _tangential_ghost(bcs: BCTable, c: int, ax: int, side: int):
     """(alpha, beta) with ghost = alpha*edge + beta for component c's ghost
     beyond the (ax, side) face: wall/inflow reflection through the Dirichlet
-    value, slip/outflow edge copy (matches bcs.pad_transverse)."""
+    value, slip/outflow edge copy (matches bcs.pad_transverse). beta may be
+    a TRACED scalar (time-dependent BC values resolved inside jit) -- the
+    fused-step wrappers hoist it into the SMEM scalar vector."""
     from ..bcs import BCKind
 
     bc = bcs[(ax, side)]
     if bc.kind in (BCKind.WALL, BCKind.INFLOW):
-        return (-1.0, 2.0 * _scalar_bc(bcs, (ax, side), c, 3))
+        return (-1.0, 2.0 * _scalar_bc(bcs, (ax, side), c, 3,
+                                       allow_traced=True))
     return (1.0, 0.0)
 
 
 def _own_face_spec(bcs: BCTable, a: int, side: int):
     """Boundary-face value of component a on its own axis: ('d', v) for
     Dirichlet (wall/inflow/slip), ('copy',) for outflow (zero-gradient copy
-    of the adjacent inner face) -- matches bcs.apply_velocity_bcs."""
+    of the adjacent inner face) -- matches bcs.apply_velocity_bcs. The
+    Dirichlet value may be TRACED (see _tangential_ghost); the convective
+    phase speed stays a compile-time float."""
     from ..bcs import BCKind
 
     bc = bcs[(a, side)]
@@ -1311,7 +1328,7 @@ def _own_face_spec(bcs: BCTable, a: int, side: int):
         return ("wrap",)
     if bc.kind is BCKind.CONVECTIVE:
         return ("conv", float(bc.velocity[0]) if bc.velocity else 1.0)
-    return ("d", _scalar_bc(bcs, (a, side), a, 3))
+    return ("d", _scalar_bc(bcs, (a, side), a, 3, allow_traced=True))
 
 
 def _ax_iota(shape, axis):
@@ -1397,6 +1414,51 @@ def _ghost_tables(grid: GridSpec, bcs: BCTable):
             for side in (0, 1):
                 tg[(a, ax, side)] = _tangential_ghost(bcs, a, ax, side)
     return tg, own
+
+
+def _is_sc_marker(v) -> bool:
+    return type(v) is tuple and len(v) == 2 and v[0] == "sc"
+
+
+def _hoist_tables(tg: dict, own: dict, parts: list):
+    """Traced ghost-table values -> ``('sc', idx)`` markers, appending
+    each distinct traced scalar to ``parts`` (the kernels' SMEM scalar
+    vector, stacked by the caller AFTER this runs). Static float values
+    pass through untouched, so static-BC configs bake exactly as before
+    (bit-identical kernels). Only Dirichlet values are hoistable: the
+    alpha coefficients and the convective phase speed are structural
+    compile-time floats."""
+    seen: dict = {}
+
+    def hv(v):
+        if isinstance(v, (int, float)):
+            return v
+        key = id(v)
+        if key not in seen:
+            seen[key] = len(parts)
+            parts.append(jnp.asarray(v, jnp.float32))
+        return ("sc", seen[key])
+
+    tg_k = {k: (a, hv(b)) for k, (a, b) in tg.items()}
+    own_k = {k: (("d", hv(s[1])) if s[0] == "d" else s)
+             for k, s in own.items()}
+    return tg_k, own_k
+
+
+def _resolve_tables(tg, own, sc_ref):
+    """Kernel-body inverse of :func:`_hoist_tables`: ``('sc', i)``
+    markers become SMEM scalar reads (traced per-step BC values); floats
+    pass through. Runs once at trace time at the top of each fused
+    kernel body."""
+    def rs(v):
+        return sc_ref[v[1]] if _is_sc_marker(v) else v
+
+    tg_r = ({k: (a, rs(b)) for k, (a, b) in tg.items()}
+            if tg is not None else None)
+    own_r = ({k: (("d", rs(s[1])) if s[0] == "d" else s)
+              for k, s in own.items()}
+             if own is not None else None)
+    return tg_r, own_r
 
 
 def theta_ghost_table(scfg, ndim: int = 3):
@@ -1740,6 +1802,8 @@ def _fused_pred_kernel(
     off = phase * R3
     dt = sc_ref[0]
     rho_over_dt = sc_ref[1]
+    # traced BC values (time-dependent runs): markers -> SMEM reads
+    tg, own = _resolve_tables(tg, own, sc_ref)
     if halo:
         is_first = sc_ref[2] > 0.5
         is_last = sc_ref[3] > 0.5
@@ -2199,6 +2263,12 @@ def predictor_rhs_3d_internal(
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags]
     if halo1:
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags1]
+    # Time-dependent BC VALUES: traced table entries ride the SMEM scalar
+    # vector (appended after the fixed slots, so the kernel's static
+    # sc_ref[0..5] reads are unmoved); the kernel body reads them back
+    # via _resolve_tables. Static configs hoist nothing -- tg_k/own_k are
+    # the plain float tables and the kernels bake exactly as before.
+    tg_k, own_k = _hoist_tables(tg, own, parts)
     sc = jnp.stack(parts)
     force = (0.0, 0.0, 0.0)
     if forcing is not None:
@@ -2243,7 +2313,7 @@ def predictor_rhs_3d_internal(
     kern = functools.partial(
         _fused_pred_kernel,
         T=T, n=(n0, n1, n2), h=h, nu=nu, gamma=upwind_gamma,
-        tg=tg, own=own, RP=RP, halo=halo, halo1=halo1, db=db,
+        tg=tg_k, own=own_k, RP=RP, halo=halo, halo1=halo1, db=db,
         masked=masked, per=per,
         force=force, buoy=buoy, tref=float(theta_ref), thermal=thermal,
         based=based, forced=forced,
@@ -2509,6 +2579,8 @@ def _fused_corr_kernel(
     for cp in _dma(j, phase):
         cp.wait()
     scale = sc_ref[0]
+    # traced BC values (time-dependent runs): markers -> SMEM reads
+    _, own = _resolve_tables(None, own, sc_ref)
     sc_idx = 1
     if halo:
         is_first = sc_ref[1] > 0.5
@@ -2972,9 +3044,12 @@ def correct_diag_3d_internal(
         parts += [jnp.asarray(f, jnp.float32) for f in edge_flags1]
     if thermal:
         parts.append(jnp.asarray(dt, jnp.float32))
+    # traced BC values -> SMEM appends (after the fixed slots; see
+    # predictor_rhs_3d_internal)
+    _, own_k = _hoist_tables({}, own, parts)
     sc = jnp.stack(parts)
     kern = functools.partial(
-        _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own, RP=RP,
+        _fused_corr_kernel, T=T, n=(n0, n1, n2), h=h, own=own_k, RP=RP,
         halo=halo, halo1=halo1, db=db, masked=masked, hi0_copy=hi0_copy,
         per=per,
         thermal=thermal,

@@ -265,7 +265,11 @@ class Simulation:
 
     def initial_state(self) -> State:
         st = zero_state(self.grid)
-        u = bcs_mod.apply_velocity_bcs(self.grid, self.bcs, st.u, self.face_masks)
+        # time-dependent BC callables: impose the t=0 values (a callable
+        # own-axis inflow value is not face-settable unresolved)
+        b = (bcs_mod.resolve_bcs(self.bcs, 0.0)
+             if bcs_mod.bcs_time_dependent(self.bcs) else self.bcs)
+        u = bcs_mod.apply_velocity_bcs(self.grid, b, st.u, self.face_masks)
         theta = None
         if self.scalar is not None:
             init = getattr(self.scalar, "theta_init", None)
@@ -399,6 +403,17 @@ class Simulation:
             )
         if not use or self.grid.ndim != 3 or self.diff_solve:
             return False
+        traced = bcs_mod.bcs_values_traced(self.bcs)
+        if traced and (self.ibm is not None or self.op.ap is not None
+                       or self.scalar is not None):
+            # time-dependent BC VALUES (traced scalars riding the SMEM
+            # hoist -- pallas_kernels._hoist_tables) compose with the
+            # plain/masked/forced/rk2/outflow/convective whole-step; the
+            # IBM / cut-cell / thermal wrapper compositions are not yet
+            # parity-tested with per-step values and keep the jnp step.
+            # (Checked BEFORE the cut-cell block: _cut3d_np concretizes
+            # op.ap, which is a traced arg under _bind.)
+            return False
         if self.op.ap is not None:
             # cut-cell apertured pressure COMPOSES (round 4): the kernels
             # run the masked step on the cut-derived open/corr codes
@@ -456,8 +471,9 @@ class Simulation:
             if not self.ibm.fused_ok:
                 return False
         if self._time_dependent():
-            # BC values / forcing resolved per step from carried t are
-            # traced scalars; the kernels bake BC values as static floats
+            # BC/forcing CALLABLES present: this sim still carries t.
+            # _step_timedep resolves them and re-dispatches on a resolved
+            # clone, whose traced VALUES are handled below.
             return False
         if bcs_mod.has_convective_outlet(self.grid, self.bcs):
             # rk2 composes (round 4): the stage-2 transport update
@@ -497,7 +513,9 @@ class Simulation:
             return False
         from .ops import pallas_kernels
 
-        return pallas_kernels.fused_step3d_applicable(self.grid, self.bcs)
+        return pallas_kernels.fused_step3d_applicable(
+            self.grid, self.bcs, allow_traced=traced
+        )
 
     def _fused3d_sharded_ok(self) -> bool:
         """Sharded whole-step fused path (parallel/fused_sharded.py): 1D
@@ -513,6 +531,12 @@ class Simulation:
                 and not self.pallas_interpret
             )
         if not use or self.diff_solve:
+            return False
+        if bcs_mod.bcs_values_traced(self.bcs):
+            # time-dependent BC VALUES keep the jnp GSPMD step under
+            # sharding (the unsharded whole-step streams them via the
+            # SMEM hoist; the sharded wrappers' build-time ghost/BC
+            # packing is not yet traced-value-aware)
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
@@ -1129,9 +1153,21 @@ class Simulation:
         internal layout, run one internal step, convert back."""
         from .ops import pallas_kernels
 
+        tile, _ = self._tile_db_3d()
+        if bcs_mod.bcs_values_traced(self.bcs):
+            # time-dependent BC VALUES: the carried boundary faces hold
+            # the PREVIOUS step's values (the corrector preserved what
+            # last step's predictor wrote). The jnp step re-applies BCs at
+            # entry, so mirror it here -- tangential GHOSTS need nothing
+            # (synthesized in-kernel from the current hoisted tables);
+            # only the stored own-axis faces are refreshed. Static-BC
+            # runs skip this (the invariant makes it a no-op). Runs
+            # BEFORE the CFL reduction, like the jnp step's entry pass.
+            u = bcs_mod.apply_velocity_bcs(self.grid, self.bcs, state.u,
+                                           self.face_masks)
+            state = dataclasses.replace(state, u=u)
         vel = (self._vel_inv(state.u) if self.params.cfl is not None
                else None)
-        tile, _ = self._tile_db_3d()
         iu = pallas_kernels.to_internal_3d(self.grid, state.u, tile)
         itheta = (pallas_kernels.pad_theta_3d(self.grid, state.theta, tile)
                   if state.theta is not None else None)
@@ -1347,13 +1383,17 @@ class Simulation:
         step on a resolved copy of the Simulation, advance t by the dt
         actually used (CFL-adaptive runs included). BC KINDS must not
         change in time (the Poisson operator/masks were built from them);
-        only the values may. BC values resolve to traced scalars, which
-        the fused kernels cannot take (they bake BC values as compile-
-        time floats) -- BC-time-dependent runs take the jnp step. Runs
-        whose ONLY time dependence is the FORCING keep the fused path
-        (round 4): the resolved force becomes traced per-face forcing
-        FIELDS, which stream through the predictor kernel as ordinary
-        operands (forcing_fields)."""
+        only the values may. BC values resolve to traced scalars; the
+        unsharded fused 3D whole-step STREAMS them (round 4): the ghost-
+        table hoist rides them through the kernels' SMEM scalar vector
+        and an entry BC pass refreshes the carried own-axis Dirichlet
+        faces, so oscillating-lid / pulsatile-inflow runs keep the fused
+        kernels (IBM / cut-cell / thermal / sharded compositions still
+        take the jnp step -- see _fused3d_ok). Runs whose ONLY time
+        dependence is the FORCING keep the fused path on every tier the
+        static config would: the resolved force becomes traced per-face
+        forcing FIELDS, which stream through the predictor kernel as
+        ordinary operands (forcing_fields)."""
         t = state.t
         b = bcs_mod.resolve_bcs(self.bcs, t)
         forcing = self.forcing
@@ -1361,10 +1401,25 @@ class Simulation:
             forcing = tuple(f(t) if callable(f) else f for f in forcing)
         params = self.params
         if bcs_mod.bcs_time_dependent(self.bcs):
-            params = dataclasses.replace(params, use_pallas=False)
+            # BC VALUES resolve to traced scalars. The unsharded fused 3D
+            # whole-step streams them through the kernels' SMEM scalar
+            # vector (round 4: pallas_kernels._hoist_tables) -- probe the
+            # resolved clone's own gate; every OTHER Pallas tier bakes
+            # values as compile-time floats and is forced off.
+            probe = dataclasses.replace(self, bcs=b, forcing=forcing)
+            if not probe._fused3d_ok():
+                params = dataclasses.replace(params, use_pallas=False)
         sim = dataclasses.replace(
             self, bcs=b, forcing=forcing, params=params,
         )
+        # dataclasses.replace drops object.__setattr__ caches; under
+        # _bind the masks/ops are TRACED args, so the resolved clone must
+        # inherit the eagerly-built static caches (face codes etc.)
+        # rather than rebuild them from tracers.
+        for attr in ("_fc3d_cache", "_fc2d_cache", "_cut3d_np_cache",
+                     "_cut3d_dev_cache", "_tile_db_3d_cache"):
+            if hasattr(self, attr):
+                object.__setattr__(sim, attr, getattr(self, attr))
         inner = dataclasses.replace(state, t=None)
         new_state, diag = sim.step(inner)
         return dataclasses.replace(new_state, t=t + diag.dt), diag
@@ -1534,7 +1589,22 @@ class Simulation:
             # build the uint8 face codes EAGERLY (from concrete masks) and
             # thread them as traced args like every other per-cell array
             c["fc2d"] = self._face_codes_2d()
-        if gate._fused3d_ok():
+        fused3d = gate._fused3d_ok()
+        if (not fused3d and bcs_mod.bcs_time_dependent(self.bcs)
+                and self.ibm is None and self.op.ap is None
+                and self.scalar is None):
+            # BC-value time dependence: if the t=0-resolved clone takes
+            # the fused whole-step (concrete values here, so the probe is
+            # cache-safe; the ibm/cut/scalar guards mirror _fused3d_ok's
+            # traced exclusions so this probe equals the step-time
+            # decision), thread the face codes eagerly -- the per-step
+            # resolved sim inherits them via _step_timedep's cache carry
+            # instead of rebuilding from the traced masks.
+            probe = dataclasses.replace(
+                gate, bcs=bcs_mod.resolve_bcs(self.bcs, 0.0)
+            )
+            fused3d = probe._fused3d_ok()
+        if fused3d:
             c["fc3d"] = self._face_codes_3d()
             if self._cut3d_np() is not None:
                 c["cut3d"] = self._cut3d_dev()

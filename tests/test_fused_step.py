@@ -1220,3 +1220,46 @@ def test_cut_fused_spinning_sphere():
     # apertures are closed so the boxed apertured rhs/div ignore them
     # exactly like the jnp divergence_ap
     _check_cut_fused(_sharp_sphere(spin=0.5))
+
+
+@pytest.mark.heavy
+def test_pulsing_inflow_obstacle_timedep_fused_parity():
+    """Time-dependent INFLOW VALUE (own-axis Dirichlet, traced through
+    the SMEM hoist) past an obstacle: outflow outlet (euler), then
+    convective outlet (rk2). The entry BC pass re-imposes the current
+    inflow value on the carried faces; masked boundary faces stay
+    zeroed (apply_velocity_bcs(face_masks) at entry, kernel codes in
+    the step)."""
+    from navierstokessolver_tpu.cases.cylinder import cylinder_mask
+    from navierstokessolver_tpu.solver import (
+        PoissonConfig,
+        SimParams,
+        Simulation,
+    )
+    from test_timedep import _fused_timedep_parity
+
+    g = GridSpec(shape=(32, 16, 16), lengths=(8.0, 4.0, 4.0))
+
+    def pin(t):
+        return 1.0 + 0.3 * jnp.sin(4.0 * t)
+
+    solid = cylinder_mask(g, (2.0, 2.01, 2.02), 0.5)
+    base = {
+        (1, 0): BCSpec.slip(), (1, 1): BCSpec.slip(),
+        (2, 0): BCSpec.slip(), (2, 1): BCSpec.slip(),
+    }
+    params = SimParams(
+        dt=2e-3, nu=0.02,
+        poisson=PoissonConfig(method="cg", tol=1e-6, max_iters=600),
+    )
+    bcs = dict(base)
+    bcs[(0, 0)] = BCSpec.inflow((pin, 0.0, 0.0))
+    bcs[(0, 1)] = BCSpec.outflow()
+    _fused_timedep_parity(Simulation.build(g, bcs, params, solid=solid))
+
+    bcs_c = dict(bcs)
+    bcs_c[(0, 1)] = BCSpec.convective(1.0)
+    params_rk2 = dataclasses.replace(params, integrator="rk2")
+    _fused_timedep_parity(
+        Simulation.build(g, bcs_c, params_rk2, solid=solid)
+    )

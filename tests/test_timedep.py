@@ -196,3 +196,48 @@ def test_timedep_forcing_keeps_fused_3d():
     st_bc = sim_bc.initial_state()
     out_bc, _ = sim_bc.run_scan(st_bc, 2)   # runs via the jnp step
     assert np.isfinite(np.asarray(out_bc.u[1])).all()
+
+
+def _fused_timedep_parity(sim, n_steps=5, atol_u=3e-5, atol_p=5e-4):
+    """jnp timedep run vs the SAME sim with use_pallas=True (interpret
+    mode): the fused 3D whole-step streams the per-step resolved BC
+    values through the kernels' SMEM scalar vector
+    (pallas_kernels._hoist_tables) and refreshes the carried own-axis
+    Dirichlet faces at entry. p is only determined up to the iterative
+    tolerance; u parity is the real assertion."""
+    import navierstokessolver_tpu.bcs as bcs_mod
+
+    ref, _ = sim.run_scan(sim.initial_state(), n_steps)
+    pf = dataclasses.replace(sim.params, use_pallas=True)
+    sim_f = dataclasses.replace(sim, params=pf, pallas_interpret=True)
+    probe = dataclasses.replace(
+        sim_f, bcs=bcs_mod.resolve_bcs(sim_f.bcs, jnp.float32(0.0))
+    )
+    assert probe._fused3d_ok(), "traced-BC fused gate unexpectedly closed"
+    out, _ = sim_f.run_scan(sim_f.initial_state(), n_steps)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[c]), np.asarray(ref.u[c]), atol=atol_u
+        )
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=atol_p)
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
+
+
+def test_oscillating_lid_3d_fused_parity():
+    """Oscillating lid (tangential wall value = cos(2 pi t)) keeps the
+    fused 3D whole-step: euler, then rk2 + CFL-adaptive dt."""
+    grid = GridSpec(shape=(16, 16, 16), lengths=(1.0, 1.0, 1.0))
+
+    def lid(t):
+        return jnp.cos(2.0 * jnp.pi * t)
+
+    bcs = no_slip_box(grid)
+    bcs[(0, 1)] = BCSpec.wall((0.0, lid, 0.0))
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="cg", tol=1e-6, max_iters=500),
+    )
+    _fused_timedep_parity(Simulation.build(grid, bcs, params))
+    params_rk2 = dataclasses.replace(params, integrator="rk2", cfl=0.4)
+    _fused_timedep_parity(Simulation.build(grid, bcs, params_rk2))
