@@ -403,17 +403,17 @@ class Simulation:
             )
         if not use or self.grid.ndim != 3 or self.diff_solve:
             return False
+        # time-dependent BC VALUES (traced scalars riding the SMEM hoist
+        # -- pallas_kernels._hoist_tables) compose with EVERY whole-step
+        # composition this gate admits: plain/masked/forced, euler+rk2,
+        # CFL, outflow+convective outlets, IBM (static and moving), cut-
+        # cell apertures, and scalar transport (interpret parity in
+        # test_timedep.py / test_fused_step.py) -- the wrapper-level
+        # compositions are jnp and take tracers; only the in-kernel ghost
+        # values needed the hoist. No traced-specific exclusions remain
+        # unsharded; the sharded tiers gate traced off (_fused3d_
+        # sharded_ok).
         traced = bcs_mod.bcs_values_traced(self.bcs)
-        if traced and (self.ibm is not None or self.op.ap is not None
-                       or self.scalar is not None):
-            # time-dependent BC VALUES (traced scalars riding the SMEM
-            # hoist -- pallas_kernels._hoist_tables) compose with the
-            # plain/masked/forced/rk2/outflow/convective whole-step; the
-            # IBM / cut-cell / thermal wrapper compositions are not yet
-            # parity-tested with per-step values and keep the jnp step.
-            # (Checked BEFORE the cut-cell block: _cut3d_np concretizes
-            # op.ap, which is a traced arg under _bind.)
-            return False
         if self.op.ap is not None:
             # cut-cell apertured pressure COMPOSES (round 4): the kernels
             # run the masked step on the cut-derived open/corr codes
@@ -1388,8 +1388,9 @@ class Simulation:
         table hoist rides them through the kernels' SMEM scalar vector
         and an entry BC pass refreshes the carried own-axis Dirichlet
         faces, so oscillating-lid / pulsatile-inflow runs keep the fused
-        kernels (IBM / cut-cell / thermal / sharded compositions still
-        take the jnp step -- see _fused3d_ok). Runs whose ONLY time
+        kernels -- including the IBM / cut-cell / thermal compositions
+        (sharded runs still take the jnp GSPMD step -- see
+        _fused3d_sharded_ok). Runs whose ONLY time
         dependence is the FORCING keep the fused path on every tier the
         static config would: the resolved force becomes traced per-face
         forcing FIELDS, which stream through the predictor kernel as
@@ -1399,6 +1400,18 @@ class Simulation:
         forcing = self.forcing
         if forcing is not None and any(callable(f) for f in forcing):
             forcing = tuple(f(t) if callable(f) else f for f in forcing)
+        def _carry_caches(dst):
+            # dataclasses.replace drops object.__setattr__ caches; under
+            # _bind the masks/ops/apertures are TRACED args, so resolved
+            # clones must inherit the eagerly-built static caches (face
+            # codes, cut-cell band constants) rather than rebuild them
+            # from tracers.
+            for attr in ("_fc3d_cache", "_fc2d_cache", "_cut3d_np_cache",
+                         "_cut3d_dev_cache", "_tile_db_3d_cache"):
+                if hasattr(self, attr):
+                    object.__setattr__(dst, attr, getattr(self, attr))
+            return dst
+
         params = self.params
         if bcs_mod.bcs_time_dependent(self.bcs):
             # BC VALUES resolve to traced scalars. The unsharded fused 3D
@@ -1406,20 +1419,14 @@ class Simulation:
             # vector (round 4: pallas_kernels._hoist_tables) -- probe the
             # resolved clone's own gate; every OTHER Pallas tier bakes
             # values as compile-time floats and is forced off.
-            probe = dataclasses.replace(self, bcs=b, forcing=forcing)
+            probe = _carry_caches(
+                dataclasses.replace(self, bcs=b, forcing=forcing)
+            )
             if not probe._fused3d_ok():
                 params = dataclasses.replace(params, use_pallas=False)
-        sim = dataclasses.replace(
+        sim = _carry_caches(dataclasses.replace(
             self, bcs=b, forcing=forcing, params=params,
-        )
-        # dataclasses.replace drops object.__setattr__ caches; under
-        # _bind the masks/ops are TRACED args, so the resolved clone must
-        # inherit the eagerly-built static caches (face codes etc.)
-        # rather than rebuild them from tracers.
-        for attr in ("_fc3d_cache", "_fc2d_cache", "_cut3d_np_cache",
-                     "_cut3d_dev_cache", "_tile_db_3d_cache"):
-            if hasattr(self, attr):
-                object.__setattr__(sim, attr, getattr(self, attr))
+        ))
         inner = dataclasses.replace(state, t=None)
         new_state, diag = sim.step(inner)
         return dataclasses.replace(new_state, t=t + diag.dt), diag
@@ -1590,16 +1597,13 @@ class Simulation:
             # thread them as traced args like every other per-cell array
             c["fc2d"] = self._face_codes_2d()
         fused3d = gate._fused3d_ok()
-        if (not fused3d and bcs_mod.bcs_time_dependent(self.bcs)
-                and self.ibm is None and self.op.ap is None
-                and self.scalar is None):
+        if not fused3d and bcs_mod.bcs_time_dependent(self.bcs):
             # BC-value time dependence: if the t=0-resolved clone takes
             # the fused whole-step (concrete values here, so the probe is
-            # cache-safe; the ibm/cut/scalar guards mirror _fused3d_ok's
-            # traced exclusions so this probe equals the step-time
-            # decision), thread the face codes eagerly -- the per-step
-            # resolved sim inherits them via _step_timedep's cache carry
-            # instead of rebuilding from the traced masks.
+            # cache-safe and equals the step-time decision), thread the
+            # face codes eagerly -- the per-step resolved sim inherits
+            # them via _step_timedep's cache carry instead of rebuilding
+            # from the traced masks.
             probe = dataclasses.replace(
                 gate, bcs=bcs_mod.resolve_bcs(self.bcs, 0.0)
             )

@@ -1263,3 +1263,33 @@ def test_pulsing_inflow_obstacle_timedep_fused_parity():
     _fused_timedep_parity(
         Simulation.build(g, bcs_c, params_rk2, solid=solid)
     )
+
+
+@pytest.mark.heavy
+def test_timedep_fused_compositions_ibm_cut_thermal():
+    """Traced BC values through the IBM, cut-cell and heated-obstacle
+    whole-step compositions: the wrapper glue (direct forcing, apertured
+    rhs patch, theta clamp) is jnp and takes tracers; only the in-kernel
+    ghost values needed the SMEM hoist. Pulsing inflow past a sphere,
+    each composition vs its jnp timedep twin."""
+    from navierstokessolver_tpu.cases import make_case
+    from test_timedep import _fused_timedep_parity
+
+    def pin(t):
+        return 1.0 + 0.3 * jnp.sin(4.0 * t)
+
+    def mk(**kw):
+        case = make_case("sphere", shape=(32, 16, 16),
+                         lengths=(8.0, 4.0, 4.0), center=(2.0, 2.01, 2.02),
+                         poisson_method="cg", poisson_tol=1e-6, **kw)
+        sim = case.sim
+        b = dict(sim.bcs)
+        b[(0, 0)] = BCSpec.inflow((pin, 0.0, 0.0))
+        return dataclasses.replace(sim, bcs=b)
+
+    _fused_timedep_parity(mk(ibm=True), atol_u=5e-5)            # IBM euler
+    _fused_timedep_parity(mk(ibm=True, integrator="rk2"),       # IBM rk2
+                          atol_u=5e-5)
+    _fused_timedep_parity(mk(ibm=True, sharp_pressure=True),    # cut-cell
+                          atol_u=5e-5)
+    _fused_timedep_parity(mk(heated=True), atol_u=5e-5)         # thermal

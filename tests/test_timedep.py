@@ -221,6 +221,10 @@ def _fused_timedep_parity(sim, n_steps=5, atol_u=3e-5, atol_p=5e-4):
         )
     np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
                                atol=atol_p)
+    if out.theta is not None and ref.theta is not None:
+        np.testing.assert_allclose(
+            np.asarray(out.theta), np.asarray(ref.theta), atol=atol_u
+        )
     np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
 
 
