@@ -24,6 +24,9 @@ Beyond the BASELINE set:
   heated_enclosure    -- natural convection from a hot cylinder in a cold
                          box (scalar + obstacle + buoyancy); exact energy-
                          balance oracle
+  oscillating_lid     -- cavity whose lid slides at cos(omega t): time-
+                         dependent BC VALUES resolved inside one scan;
+                         keeps the fused 3D whole-step (SMEM value hoist)
 
 Each builder accepts overrides so tests can shrink grids.
 """
@@ -38,7 +41,7 @@ import numpy as np
 from ..grid import GridSpec, State
 from ..solver import Simulation
 
-from .cavity import build_cavity, build_cavity3d
+from .cavity import build_cavity, build_cavity3d, build_oscillating_lid
 from .channel import (
     build_channel,
     build_channel_periodic,
@@ -79,6 +82,7 @@ _REGISTRY: dict[str, Callable[..., Case]] = {
         }
     ),
     "cavity3d": build_cavity3d,
+    "oscillating_lid": build_oscillating_lid,
     "channel": build_channel,
     "channel_periodic": build_channel_periodic,
     "duct_periodic": build_duct_periodic,

@@ -371,3 +371,40 @@ def test_cutcell_sharp_pressure_sharded_3d_pencil():
         np.testing.assert_allclose(
             np.asarray(out.u[0]), np.asarray(ref.u[0]), atol=1e-4
         )
+
+
+@requires_8
+def test_timedep_bc_values_sharded():
+    """Time-dependent BC VALUES under GSPMD: sharded runs resolve the
+    callables inside the jitted scan exactly like unsharded ones and
+    take the jnp GSPMD step (traced values gate the sharded fused tiers
+    off -- solver._fused3d_sharded_ok); 1-vs-8 parity on the
+    oscillating-lid cavity, t carried and equal."""
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.ops.poisson import PoissonConfig
+    from navierstokessolver_tpu.solver import SimParams, Simulation
+
+    grid = GridSpec(shape=(16, 16, 16), lengths=(1.0, 1.0, 1.0))
+    bcs = no_slip_box(grid)
+    bcs[(0, 1)] = BCSpec.wall(
+        (0.0, lambda t: jnp.cos(2.0 * jnp.pi * t), 0.0)
+    )
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="cg", tol=1e-6, max_iters=500),
+    )
+    sim = Simulation.build(grid, bcs, params)
+    ref, _ = sim.run_scan(sim.initial_state(), 10)
+    mesh = make_mesh(8)
+    sim_sh = sharded_simulation(sim, mesh)
+    out, _ = sim_sh.run_scan(
+        shard_state(sim.initial_state(), mesh, sim.grid), 10
+    )
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[c]), np.asarray(ref.u[c]), atol=1e-4
+        )
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)

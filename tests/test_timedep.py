@@ -186,7 +186,9 @@ def test_timedep_forcing_keeps_fused_3d():
     # the oscillating force actually drove flow
     assert float(np.abs(np.asarray(b.u[0])).max()) > 1e-4
 
-    # BC time dependence still forces the jnp step
+    # BC time dependence keeps the fused step too (round 4, SMEM value
+    # hoist; full parity in test_oscillating_lid_3d_fused_parity) --
+    # smoke that the dispatch runs clean
     bcs_td = dict(bcs)
     bcs_td[(0, 1)] = BCSpec.wall((0.0, lambda t: 0.1 * jnp.sin(t), 0.0))
     sim_bc = dataclasses.replace(
@@ -194,7 +196,7 @@ def test_timedep_forcing_keeps_fused_3d():
         pallas_interpret=True,
     )
     st_bc = sim_bc.initial_state()
-    out_bc, _ = sim_bc.run_scan(st_bc, 2)   # runs via the jnp step
+    out_bc, _ = sim_bc.run_scan(st_bc, 2)
     assert np.isfinite(np.asarray(out_bc.u[1])).all()
 
 
@@ -245,3 +247,28 @@ def test_oscillating_lid_3d_fused_parity():
     _fused_timedep_parity(Simulation.build(grid, bcs, params))
     params_rk2 = dataclasses.replace(params, integrator="rk2", cfl=0.4)
     _fused_timedep_parity(Simulation.build(grid, bcs, params_rk2))
+
+
+def test_oscillating_lid_case_registry():
+    """The oscillating_lid registry case drives a Stokes-layer flow: one
+    scan, t advances, fields finite, and the near-lid tangential flow
+    reverses between the lid's extremes (cos(omega t) = +1 vs -1)."""
+    from navierstokessolver_tpu.cases import make_case
+
+    case = make_case("oscillating_lid", shape=(16, 16, 16), re=50.0,
+                     poisson_method="cg", dt=2.5e-3)
+    sim = case.sim
+    dt = sim.params.dt
+    half_period = 0.5  # omega = 2 pi -> period 1.0
+    n_half = int(round(half_period / dt))
+    st, d = sim.run_scan(case.initial_state(), n_half)
+    u0 = np.asarray(st.u[0])     # lid slides in +x = comp 0; lid at axis-2 HI
+    near_lid_1 = u0[:, :, -1].mean()
+    st2, _ = sim.run_scan(st, n_half)
+    near_lid_2 = np.asarray(st2.u[0])[:, :, -1].mean()
+    assert np.isfinite(near_lid_1) and np.isfinite(near_lid_2)
+    # at t = half period the lid is at -1, at t = period back at +1; the
+    # near-lid cell follows within the thin Stokes layer
+    assert near_lid_1 < 0.0 < near_lid_2
+    np.testing.assert_allclose(float(st2.t), 2 * n_half * dt, rtol=1e-5)
+    assert float(np.asarray(d.max_div)[-1]) < 1e-3
