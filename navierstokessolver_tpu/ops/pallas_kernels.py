@@ -1501,6 +1501,56 @@ def refresh_theta_axis0_ghosts(theta: Array, thg, n0: int, RP: int) -> Array:
     return upd(theta, lo_row, RP - 1, axis=0)
 
 
+def refresh_dirichlet_faces_internal_3d(grid: GridSpec, bcs: BCTable, iu,
+                                        face_masks=None):
+    """Re-impose the own-axis Dirichlet boundary-face values on the
+    INTERNAL carried layout (the timedep fused scan's entry pass: the
+    carried faces hold the previous step's values; tangential ghosts are
+    synthesized in-kernel from the current hoisted tables, so only the
+    stored face planes need refreshing). Pad regions stay identically
+    zero (the scan-carry invariant); ``face_masks`` (exact-layout, may be
+    traced) re-zero obstacle-closed boundary faces exactly like
+    bcs.apply_velocity_bcs. Values may be traced scalars."""
+    n0, n1, n2 = grid.shape
+    iu0, iu1, iu2 = iu
+    upd = jax.lax.dynamic_update_slice_in_dim
+
+    def dval(a, side):
+        spec = _own_face_spec(bcs, a, side)
+        return spec[1] if spec[0] == "d" else None
+
+    def plane(arr, axis, pos, a, valid_axes, side):
+        shape = list(arr.shape)
+        shape[axis] = 1
+        shape = tuple(shape)
+        vx, vy = valid_axes
+        valid = ((_ax_iota(shape, vx[0]) < vx[1])
+                 & (_ax_iota(shape, vy[0]) < vy[1]))
+        v = dval(a, side)
+        p = jnp.where(valid, jnp.asarray(v, arr.dtype), 0.0)
+        if face_masks is not None:
+            fm = jnp.take(face_masks[a], pos, axis=axis)
+            fm = jnp.expand_dims(fm, axis)
+            pads = [(0, shape[d] - fm.shape[d]) for d in range(3)]
+            p = p * jnp.pad(fm, pads).astype(arr.dtype)
+        return p
+
+    for side, row in ((0, 0), (1, n0)):
+        if dval(0, side) is not None:
+            iu0 = upd(iu0, plane(iu0, 0, row, 0, ((1, n1), (2, n2)), side),
+                      row, axis=0)
+    for side, col in ((0, 0), (1, n1)):
+        if dval(1, side) is not None:
+            iu1 = upd(iu1, plane(iu1, 1, col, 1, ((0, n0), (2, n2)), side),
+                      col, axis=1)
+    if dval(2, 0) is not None:
+        iu2 = upd(iu2, plane(iu2, 2, 0, 2, ((0, n0), (1, n1)), 0),
+                  0, axis=2)
+    # comp 2's hi boundary face is lane-elided (reconstructed from the
+    # current spec by from_internal_3d / the kernels) -- nothing stored.
+    return iu0, iu1, iu2
+
+
 def pad_theta_3d(grid: GridSpec, theta: Array, tile: int = 8) -> Array:
     """Cell-centered scalar -> the fused-step internal layout (rows pad to
     RP; the axis-0 ghost rows are refreshed per step by the corrector

@@ -1396,22 +1396,7 @@ class Simulation:
         forcing FIELDS, which stream through the predictor kernel as
         ordinary operands (forcing_fields)."""
         t = state.t
-        b = bcs_mod.resolve_bcs(self.bcs, t)
-        forcing = self.forcing
-        if forcing is not None and any(callable(f) for f in forcing):
-            forcing = tuple(f(t) if callable(f) else f for f in forcing)
-        def _carry_caches(dst):
-            # dataclasses.replace drops object.__setattr__ caches; under
-            # _bind the masks/ops/apertures are TRACED args, so resolved
-            # clones must inherit the eagerly-built static caches (face
-            # codes, cut-cell band constants) rather than rebuild them
-            # from tracers.
-            for attr in ("_fc3d_cache", "_fc2d_cache", "_cut3d_np_cache",
-                         "_cut3d_dev_cache", "_tile_db_3d_cache"):
-                if hasattr(self, attr):
-                    object.__setattr__(dst, attr, getattr(self, attr))
-            return dst
-
+        b, forcing = self._resolve_timedep(t)
         params = self.params
         if bcs_mod.bcs_time_dependent(self.bcs):
             # BC VALUES resolve to traced scalars. The unsharded fused 3D
@@ -1419,17 +1404,36 @@ class Simulation:
             # vector (round 4: pallas_kernels._hoist_tables) -- probe the
             # resolved clone's own gate; every OTHER Pallas tier bakes
             # values as compile-time floats and is forced off.
-            probe = _carry_caches(
-                dataclasses.replace(self, bcs=b, forcing=forcing)
-            )
+            probe = self._timedep_resolved(b, forcing)
             if not probe._fused3d_ok():
                 params = dataclasses.replace(params, use_pallas=False)
-        sim = _carry_caches(dataclasses.replace(
-            self, bcs=b, forcing=forcing, params=params,
-        ))
+        sim = self._timedep_resolved(b, forcing, params)
         inner = dataclasses.replace(state, t=None)
         new_state, diag = sim.step(inner)
         return dataclasses.replace(new_state, t=t + diag.dt), diag
+
+    def _resolve_timedep(self, t):
+        """(bcs, forcing) with the time callables evaluated at ``t``."""
+        b = bcs_mod.resolve_bcs(self.bcs, t)
+        forcing = self.forcing
+        if forcing is not None and any(callable(f) for f in forcing):
+            forcing = tuple(f(t) if callable(f) else f for f in forcing)
+        return b, forcing
+
+    def _timedep_resolved(self, b, forcing, params=None) -> "Simulation":
+        """Resolved clone carrying the eagerly-built static caches.
+        dataclasses.replace drops object.__setattr__ caches; under _bind
+        the masks/ops/apertures are TRACED args, so resolved clones must
+        inherit the caches (face codes, cut-cell band constants) rather
+        than rebuild them from tracers."""
+        sim = dataclasses.replace(
+            self, bcs=b, forcing=forcing, params=params or self.params,
+        )
+        for attr in ("_fc3d_cache", "_fc2d_cache", "_cut3d_np_cache",
+                     "_cut3d_dev_cache"):
+            if hasattr(self, attr):
+                object.__setattr__(sim, attr, getattr(self, attr))
+        return sim
 
     def step(self, state: State) -> tuple[State, StepDiagnostics]:
         if state.t is not None:
@@ -1939,6 +1943,60 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
                  if istate.theta is not None else None)
         return State(u=(u0, u1, u2), p=istate.p, theta=theta,
                      p_prev=istate.p_prev), diags
+    if (state.t is not None and bcs_mod.bcs_time_dependent(sim.bcs)
+            and not sim.diff_solve and sim.params.cfl is None
+            and sim.grid.ndim == 3 and sim.shardings is None):
+        # BC-value-time-dependent fused runs: carry the INTERNAL layout
+        # through the scan like the static fused branch above (the
+        # per-step _step_timedep -> _step_fused3d route would pay
+        # exact<->internal repacking + a full entry BC pass EVERY step).
+        # Per step: resolve the callables at the carried t, refresh only
+        # the stored own-axis Dirichlet face planes (tangential ghosts
+        # are synthesized in-kernel from the hoisted tables), run the
+        # internal fused step. CFL runs keep the per-step route (the
+        # carried corrector reduction predates the refreshed faces).
+        b0, f0 = sim._resolve_timedep(jnp.zeros((), sim.grid.dtype))
+        probe = sim._timedep_resolved(b0, f0)
+        if probe._fused3d_ok():
+            from .ops import pallas_kernels
+
+            tile3, _ = sim._tile_db_3d()
+            iu = pallas_kernels.to_internal_3d(sim.grid, state.u, tile3)
+            itheta = (pallas_kernels.pad_theta_3d(
+                          sim.grid, state.theta, tile3)
+                      if state.theta is not None else None)
+            fm = sim.face_masks
+
+            def body_td(carry, _):
+                st, t = carry
+                bt, ft = sim._resolve_timedep(t)
+                sim_t = sim._timedep_resolved(bt, ft)
+                u_ref = pallas_kernels.refresh_dirichlet_faces_internal_3d(
+                    sim.grid, bt, st.u, fm
+                )
+                st2, diag, _ = sim_t._step_fused3d_internal(
+                    dataclasses.replace(st, u=u_ref)
+                )
+                return (st2, t + diag.dt), diag
+
+            (istate, t_end), diags = jax.lax.scan(
+                body_td,
+                (State(u=iu, p=state.p, theta=itheta,
+                       p_prev=state.p_prev), state.t),
+                xs=None, length=n_steps,
+            )
+            # exit conversion uses the LAST step's resolved values (the
+            # per-step route's exact state carries exactly those)
+            b_end, _ = sim._resolve_timedep(t_end - sim.params.dt)
+            u0, u1, u2e, face = pallas_kernels.from_internal_3d(
+                sim.grid, b_end, istate.u
+            )
+            u2 = jnp.concatenate([u2e, face], axis=2)
+            n0, n1, n2 = sim.grid.shape
+            theta = (istate.theta[:n0, :n1, :n2]
+                     if istate.theta is not None else None)
+            return State(u=(u0, u1, u2), p=istate.p, theta=theta,
+                         p_prev=istate.p_prev, t=t_end), diags
     step_fn = sim.make_step_fn()
     if sim.diff_solve:
         # Reverse-mode runs remat each step from its carry (the standard
