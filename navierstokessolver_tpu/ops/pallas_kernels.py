@@ -1551,6 +1551,25 @@ def refresh_dirichlet_faces_internal_3d(grid: GridSpec, bcs: BCTable, iu,
     return iu0, iu1, iu2
 
 
+def vel_inv_internal_3d(grid: GridSpec, bcs: BCTable, iu):
+    """max_a max|u_a| / h_a over the INTERNAL carried layout -- equal to
+    solver._vel_inv on the exact arrays: pad regions are identically zero
+    (corrector invariant) and the periodic ghost slots duplicate valid
+    rows, so whole-array maxes are exact; comp 2's lane-elided hi
+    boundary face contributes its Dirichlet value explicitly ('copy' /
+    'wrap' faces duplicate stored values already counted)."""
+    h = grid.spacing
+    inv = jnp.asarray(1e-12, iu[0].dtype)
+    for a in range(3):
+        inv = jnp.maximum(inv, jnp.max(jnp.abs(iu[a])) / h[a])
+    spec = _own_face_spec(bcs, 2, 1)
+    if spec[0] == "d":
+        inv = jnp.maximum(
+            inv, jnp.abs(jnp.asarray(spec[1], iu[2].dtype)) / h[2]
+        )
+    return inv
+
+
 def pad_theta_3d(grid: GridSpec, theta: Array, tile: int = 8) -> Array:
     """Cell-centered scalar -> the fused-step internal layout (rows pad to
     RP; the axis-0 ghost rows are refreshed per step by the corrector

@@ -1944,7 +1944,7 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         return State(u=(u0, u1, u2), p=istate.p, theta=theta,
                      p_prev=istate.p_prev), diags
     if (state.t is not None and bcs_mod.bcs_time_dependent(sim.bcs)
-            and not sim.diff_solve and sim.params.cfl is None
+            and not sim.diff_solve
             and sim.grid.ndim == 3 and sim.shardings is None):
         # BC-value-time-dependent fused runs: carry the INTERNAL layout
         # through the scan like the static fused branch above (the
@@ -1953,8 +1953,10 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         # Per step: resolve the callables at the carried t, refresh only
         # the stored own-axis Dirichlet face planes (tangential ghosts
         # are synthesized in-kernel from the hoisted tables), run the
-        # internal fused step. CFL runs keep the per-step route (the
-        # carried corrector reduction predates the refreshed faces).
+        # internal fused step. CFL runs recompute the entry reduction
+        # from the REFRESHED layout (vel_inv_internal_3d) -- the carried
+        # corrector reduction predates the refreshed faces, and the jnp
+        # route's dt comes from the post-BC field.
         b0, f0 = sim._resolve_timedep(jnp.zeros((), sim.grid.dtype))
         probe = sim._timedep_resolved(b0, f0)
         if probe._fused3d_ok():
@@ -1974,8 +1976,11 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
                 u_ref = pallas_kernels.refresh_dirichlet_faces_internal_3d(
                     sim.grid, bt, st.u, fm
                 )
+                vel = (pallas_kernels.vel_inv_internal_3d(
+                           sim.grid, bt, u_ref)
+                       if sim.params.cfl is not None else None)
                 st2, diag, _ = sim_t._step_fused3d_internal(
-                    dataclasses.replace(st, u=u_ref)
+                    dataclasses.replace(st, u=u_ref), vel
                 )
                 return (st2, t + diag.dt), diag
 
@@ -1987,7 +1992,7 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
             )
             # exit conversion uses the LAST step's resolved values (the
             # per-step route's exact state carries exactly those)
-            b_end, _ = sim._resolve_timedep(t_end - sim.params.dt)
+            b_end, _ = sim._resolve_timedep(t_end - diags.dt[-1])
             u0, u1, u2e, face = pallas_kernels.from_internal_3d(
                 sim.grid, b_end, istate.u
             )
