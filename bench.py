@@ -99,14 +99,16 @@ def main() -> None:
         if cand._fused2d_ok():
 
             def _time_chunk(s, probe=20, reps=2):
+                import jax.numpy as jnp
+
                 st0 = case.initial_state()
                 st, _ = s.run_scan(st0, probe)     # compile + warm
-                jax.block_until_ready(st.p)
+                float(jnp.max(jnp.abs(st.p)))      # true sync (see below)
                 best = float("inf")
                 for _ in range(reps):
                     t0 = time.perf_counter()
                     st, _ = s.run_scan(st0, probe)
-                    jax.block_until_ready(st.p)
+                    float(jnp.max(jnp.abs(st.p)))
                     best = min(best, time.perf_counter() - t0)
                 return best
 
@@ -166,6 +168,13 @@ def main() -> None:
     t0 = time.perf_counter()
     state, diag = sim.run_scan(state, chunk)
     jax.block_until_ready(state.p)
+    # belt-and-braces sync: a scalar device->host transfer cannot complete
+    # before the value exists, so the timing stays honest even if the
+    # experimental tunnel's block_until_ready returns early (observed on
+    # the axon platform: dispatch-only "timings" 100x too fast). One
+    # float per CHUNK -- negligible against the chunk's compute.
+    import jax.numpy as jnp
+    float(jnp.max(jnp.abs(state.p)))
     elapsed = time.perf_counter() - t0
 
     import numpy as np

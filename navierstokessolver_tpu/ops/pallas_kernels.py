@@ -1517,7 +1517,21 @@ def refresh_dirichlet_faces_internal_3d(grid: GridSpec, bcs: BCTable, iu,
 
     def dval(a, side):
         spec = _own_face_spec(bcs, a, side)
-        return spec[1] if spec[0] == "d" else None
+        if spec[0] != "d":
+            return None
+        # STATIC (plain-float) Dirichlet values need no refresh: the
+        # carried faces already hold them (predictor in-kernel BC writes
+        # + corrector preservation). Only per-step-resolved values --
+        # tracers inside the scan -- can differ from the carry. This
+        # makes the refresh FREE for tangential time dependence
+        # (oscillating lids: the moving value is ghost-only, no stored
+        # plane changes) and one plane-write per genuinely time-dependent
+        # normal value (pulsatile inflows). Measured on v5e at
+        # 256x128x128: unconditional 5-plane refresh cost 0.67 ms/step
+        # against a 1.80 ms/step fused step.
+        if isinstance(spec[1], (int, float)):
+            return None
+        return spec[1]
 
     def plane(arr, axis, pos, a, valid_axes, side):
         shape = list(arr.shape)
