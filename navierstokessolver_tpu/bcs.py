@@ -318,9 +318,14 @@ def apply_convective_outlets(
             bc = bcs[(a, side)]
             if bc.kind is not BCKind.CONVECTIVE:
                 continue
-            speed = float(bc.velocity[0]) if bc.velocity else 1.0
-            # dt may be a traced scalar (CFL-adaptive mode / inside scan)
-            c = jnp.clip(speed * jnp.asarray(dt) / grid.spacing[a], 0.0, 1.0)
+            # speed may be a TRACED scalar (a time-dependent phase speed
+            # resolved inside jit) -- keep it symbolic; dt may be traced
+            # too (CFL-adaptive mode / inside scan)
+            speed = bc.velocity[0] if bc.velocity else 1.0
+            c = jnp.clip(
+                jnp.asarray(speed) * jnp.asarray(dt) / grid.spacing[a],
+                0.0, 1.0,
+            )
             comp_old = u_old[a]
             u_b = _face_slice(comp_old, a, slice(0, 1) if side == 0 else slice(-1, None))
             u_i = _face_slice(out[a], a, inner)

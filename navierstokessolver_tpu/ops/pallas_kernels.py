@@ -1231,7 +1231,18 @@ def _scalar_bcs_all_axes(bcs: BCTable, ndim: int = 3,
     for ax in range(ndim):
         for side in (0, 1):
             if bcs[(ax, side)].kind is BCKind.CONVECTIVE:
-                continue   # velocity slot holds the phase speed, not a BC
+                # velocity slot holds the phase speed, not a BC value; the
+                # kernels bake it as a compile-time float (_own_face_spec),
+                # so a TRACED phase speed (time-dependent callable) must
+                # keep the run on the jnp step even when allow_traced
+                # admits traced Dirichlet values.
+                vel = bcs[(ax, side)].velocity
+                if vel:
+                    try:
+                        float(vel[0])
+                    except Exception:
+                        return False
+                continue
             for c in range(ndim):
                 if _scalar_bc(bcs, (ax, side), c, ndim,
                               allow_traced=allow_traced) is None:
@@ -1308,8 +1319,14 @@ def _tangential_ghost(bcs: BCTable, c: int, ax: int, side: int):
 
     bc = bcs[(ax, side)]
     if bc.kind in (BCKind.WALL, BCKind.INFLOW):
-        return (-1.0, 2.0 * _scalar_bc(bcs, (ax, side), c, 3,
-                                       allow_traced=True))
+        v = _scalar_bc(bcs, (ax, side), c, 3, allow_traced=True)
+        if isinstance(v, (int, float)):
+            return (-1.0, 2.0 * v)
+        # TRACED value: defer the 2x reflection factor to marker-resolve
+        # time so _hoist_tables can dedupe on the RAW resolved scalar --
+        # one SMEM slot per distinct BC value, not one per derived 2*v
+        # tracer per (component, axis, side).
+        return (-1.0, ("x2", v))
     return (1.0, 0.0)
 
 
@@ -1417,27 +1434,34 @@ def _ghost_tables(grid: GridSpec, bcs: BCTable):
 
 
 def _is_sc_marker(v) -> bool:
-    return type(v) is tuple and len(v) == 2 and v[0] == "sc"
+    return type(v) is tuple and len(v) in (2, 3) and v[0] == "sc"
 
 
 def _hoist_tables(tg: dict, own: dict, parts: list):
-    """Traced ghost-table values -> ``('sc', idx)`` markers, appending
-    each distinct traced scalar to ``parts`` (the kernels' SMEM scalar
-    vector, stacked by the caller AFTER this runs). Static float values
-    pass through untouched, so static-BC configs bake exactly as before
-    (bit-identical kernels). Only Dirichlet values are hoistable: the
-    alpha coefficients and the convective phase speed are structural
-    compile-time floats."""
+    """Traced ghost-table values -> ``('sc', idx[, scale])`` markers,
+    appending each distinct traced scalar to ``parts`` (the kernels' SMEM
+    scalar vector, stacked by the caller AFTER this runs). Static float
+    values pass through untouched, so static-BC configs bake exactly as
+    before (bit-identical kernels). Only Dirichlet values are hoistable:
+    the alpha coefficients and the convective phase speed are structural
+    compile-time floats. Tangential-reflection betas arrive as
+    ``('x2', raw)`` so the dedupe keys on the RAW resolved scalar (one
+    slot per distinct BC value) and the 2x factor becomes the marker's
+    static scale, applied at kernel resolve time."""
     seen: dict = {}
 
     def hv(v):
         if isinstance(v, (int, float)):
             return v
+        scale = None
+        if type(v) is tuple and v[0] == "x2":
+            scale, v = 2.0, v[1]
         key = id(v)
         if key not in seen:
             seen[key] = len(parts)
             parts.append(jnp.asarray(v, jnp.float32))
-        return ("sc", seen[key])
+        idx = seen[key]
+        return ("sc", idx) if scale is None else ("sc", idx, scale)
 
     tg_k = {k: (a, hv(b)) for k, (a, b) in tg.items()}
     own_k = {k: (("d", hv(s[1])) if s[0] == "d" else s)
@@ -1447,11 +1471,14 @@ def _hoist_tables(tg: dict, own: dict, parts: list):
 
 def _resolve_tables(tg, own, sc_ref):
     """Kernel-body inverse of :func:`_hoist_tables`: ``('sc', i)``
-    markers become SMEM scalar reads (traced per-step BC values); floats
-    pass through. Runs once at trace time at the top of each fused
-    kernel body."""
+    markers become SMEM scalar reads (traced per-step BC values) times
+    the marker's optional static scale; floats pass through. Runs once
+    at trace time at the top of each fused kernel body."""
     def rs(v):
-        return sc_ref[v[1]] if _is_sc_marker(v) else v
+        if not _is_sc_marker(v):
+            return v
+        r = sc_ref[v[1]]
+        return v[2] * r if len(v) == 3 else r
 
     tg_r = ({k: (a, rs(b)) for k, (a, b) in tg.items()}
             if tg is not None else None)
@@ -1565,22 +1592,31 @@ def refresh_dirichlet_faces_internal_3d(grid: GridSpec, bcs: BCTable, iu,
     return iu0, iu1, iu2
 
 
-def vel_inv_internal_3d(grid: GridSpec, bcs: BCTable, iu):
+def vel_inv_internal_3d(grid: GridSpec, bcs: BCTable, iu, face_masks=None):
     """max_a max|u_a| / h_a over the INTERNAL carried layout -- equal to
     solver._vel_inv on the exact arrays: pad regions are identically zero
     (corrector invariant) and the periodic ghost slots duplicate valid
     rows, so whole-array maxes are exact; comp 2's lane-elided hi
     boundary face contributes its Dirichlet value explicitly ('copy' /
-    'wrap' faces duplicate stored values already counted)."""
+    'wrap' faces duplicate stored values already counted). When
+    ``face_masks`` (exact layout) is given, the explicit contribution is
+    scaled by that face plane's max mask bit -- an obstacle closing the
+    whole hi-z boundary face zeroes its velocities on the jnp route
+    (apply_velocity_bcs multiplies by face_masks), and a partially open
+    face holds the full Dirichlet value somewhere, so the plane max
+    reproduces the jnp post-BC field's max exactly."""
     h = grid.spacing
     inv = jnp.asarray(1e-12, iu[0].dtype)
     for a in range(3):
         inv = jnp.maximum(inv, jnp.max(jnp.abs(iu[a])) / h[a])
     spec = _own_face_spec(bcs, 2, 1)
     if spec[0] == "d":
-        inv = jnp.maximum(
-            inv, jnp.abs(jnp.asarray(spec[1], iu[2].dtype)) / h[2]
-        )
+        contrib = jnp.abs(jnp.asarray(spec[1], iu[2].dtype))
+        if face_masks is not None:
+            contrib = contrib * jnp.max(
+                face_masks[2][:, :, -1].astype(iu[2].dtype)
+            )
+        inv = jnp.maximum(inv, contrib / h[2])
     return inv
 
 

@@ -1944,8 +1944,11 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
         return State(u=(u0, u1, u2), p=istate.p, theta=theta,
                      p_prev=istate.p_prev), diags
     if (state.t is not None and bcs_mod.bcs_time_dependent(sim.bcs)
-            and not sim.diff_solve
+            and not sim.diff_solve and n_steps > 0
             and sim.grid.ndim == 3 and sim.shardings is None):
+        # (n_steps == 0 falls through to the plain scan below: this
+        # branch's exit conversion reads diags.dt[-1], which a zero-length
+        # scan cannot provide)
         # BC-value-time-dependent fused runs: carry the INTERNAL layout
         # through the scan like the static fused branch above (the
         # per-step _step_timedep -> _step_fused3d route would pay
@@ -1977,7 +1980,7 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
                     sim.grid, bt, st.u, fm
                 )
                 vel = (pallas_kernels.vel_inv_internal_3d(
-                           sim.grid, bt, u_ref)
+                           sim.grid, bt, u_ref, fm)
                        if sim.params.cfl is not None else None)
                 st2, diag, _ = sim_t._step_fused3d_internal(
                     dataclasses.replace(st, u=u_ref), vel

@@ -249,6 +249,144 @@ def test_oscillating_lid_3d_fused_parity():
     _fused_timedep_parity(Simulation.build(grid, bcs, params_rk2))
 
 
+def test_traced_convective_phase_speed_falls_back_to_jnp():
+    """Advisor r4 (medium): a CALLABLE convective phase speed resolves to
+    a tracer inside the jitted scan. The fused gate must reject it (the
+    kernels bake the speed as a compile-time float) and the jnp step must
+    accept the traced scalar (apply_convective_outlets keeps it
+    symbolic). A constant callable must reproduce the static run
+    exactly."""
+    from navierstokessolver_tpu.bcs import BCKind, BCSpec, no_slip_box
+    from navierstokessolver_tpu.ops import pallas_kernels as pk
+
+    g = GridSpec(shape=(16, 16, 16), lengths=(1.0, 1.0, 1.0))
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="cg", tol=1e-6, max_iters=400),
+        use_pallas=True,
+    )
+    speed = 0.7
+
+    def bcs_with(conv_speed_entry):
+        bcs = no_slip_box(g)
+        bcs[(0, 0)] = BCSpec.inflow((speed, 0.0, 0.0))
+        bcs[(0, 1)] = BCSpec(BCKind.CONVECTIVE, (conv_speed_entry,))
+        return bcs
+
+    sim_td = dataclasses.replace(
+        Simulation.build(g, bcs_with(lambda t: speed + 0.0 * t), params),
+        pallas_interpret=True,
+    )
+    assert sim_td._time_dependent()
+    # the fused gate must be CLOSED for the resolved (traced-speed)
+    # clone -- check under tracing, where the speed is a real tracer
+    import jax
+
+    import navierstokessolver_tpu.bcs as bcs_mod
+
+    def gate(t):
+        resolved = bcs_mod.resolve_bcs(sim_td.bcs, t)
+        assert not pk._scalar_bcs_all_axes(resolved, allow_traced=True)
+        return t
+
+    jax.make_jaxpr(gate)(jnp.float32(0.0))
+    out_td, _ = sim_td.run_scan(sim_td.initial_state(), 4)
+
+    sim_st = dataclasses.replace(
+        Simulation.build(g, bcs_with(speed), params),
+        pallas_interpret=True,
+    )
+    out_st, _ = sim_st.run_scan(sim_st.initial_state(), 4)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out_td.u[c]), np.asarray(out_st.u[c]), atol=1e-6
+        )
+
+
+def test_hoist_dedupes_on_raw_bc_value():
+    """Advisor r4 (low): one traced lid value must occupy ONE SMEM slot,
+    not one per derived 2*v tangential-ghost tracer -- _tangential_ghost
+    defers the reflection factor to the marker's static scale and
+    _hoist_tables dedupes on the raw resolved scalar."""
+    import jax
+
+    from navierstokessolver_tpu.bcs import resolve_bcs
+    from navierstokessolver_tpu.grid import GridSpec as GS
+    from navierstokessolver_tpu.ops import pallas_kernels as pk
+
+    g = GS(shape=(8, 8, 8), lengths=(1.0, 1.0, 1.0))
+
+    def probe(t):
+        bcs = no_slip_box(g)
+        bcs[(2, 1)] = BCSpec.wall((lambda tt: jnp.cos(tt), 0.0, 0.0))
+        b = resolve_bcs(bcs, t)
+        tg, own = pk._ghost_tables(g, b)
+        parts = []
+        tg_k, own_k = pk._hoist_tables(tg, own, parts)
+        # exactly one distinct traced scalar: the resolved lid value
+        assert len(parts) == 1, len(parts)
+        # tangential markers carry the x2 reflection as a static scale
+        tang = [m for _, m in tg_k.values() if pk._is_sc_marker(m)]
+        assert tang and all(len(m) == 3 and m[2] == 2.0 for m in tang)
+        # resolve round-trip: marker -> 2 * raw
+        sc = jnp.stack(parts)
+        tg_r, own_r = pk._resolve_tables(tg_k, own_k, sc)
+        return tg_r[(0, 2, 1)][1] - 2.0 * parts[0]
+
+    zero = jax.jit(probe)(jnp.float32(0.3))
+    np.testing.assert_allclose(float(zero), 0.0, atol=1e-7)
+
+
+def test_vel_inv_internal_respects_face_masks():
+    """Advisor r4 (low): the comp-2 hi-face Dirichlet contribution to the
+    CFL reduction must honor an obstacle that closes that boundary face
+    (the jnp route's post-BC field holds 0 there)."""
+    from navierstokessolver_tpu.ops import pallas_kernels as pk
+
+    g = GridSpec(shape=(8, 8, 8), lengths=(1.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(2, 1)] = BCSpec.wall((0.0, 0.0, 0.8))   # normal Dirichlet value
+    u0 = tuple(jnp.zeros(s, jnp.float32) for s in
+               ((9, 8, 8), (8, 9, 8), (8, 8, 9)))
+    iu = pk.to_internal_3d(g, u0)
+    h2 = g.spacing[2]
+    # unmasked: the lane-elided hi face contributes |0.8|/h2
+    v_open = float(pk.vel_inv_internal_3d(g, bcs, iu))
+    np.testing.assert_allclose(v_open, 0.8 / h2, rtol=1e-6)
+    # fully closed hi-z boundary face: contribution vanishes
+    fm = [jnp.ones(s, jnp.float32) for s in
+          ((9, 8, 8), (8, 9, 8), (8, 8, 9))]
+    fm[2] = fm[2].at[:, :, -1].set(0.0)
+    v_closed = float(pk.vel_inv_internal_3d(g, bcs, iu, tuple(fm)))
+    assert v_closed < 1e-6
+    # partially open face keeps the full value (max over the plane)
+    fm[2] = fm[2].at[0, 0, -1].set(1.0)
+    v_part = float(pk.vel_inv_internal_3d(g, bcs, iu, tuple(fm)))
+    np.testing.assert_allclose(v_part, 0.8 / h2, rtol=1e-6)
+
+
+def test_timedep_run_scan_zero_steps():
+    """Advisor r4 (low): n_steps=0 must not trace diags.dt[-1] in the
+    timedep fused-scan branch."""
+    grid = GridSpec(shape=(16, 16, 16), lengths=(1.0, 1.0, 1.0))
+    bcs = no_slip_box(grid)
+    bcs[(0, 1)] = BCSpec.wall((0.0, lambda t: jnp.cos(t), 0.0))
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="cg", tol=1e-6, max_iters=200),
+        use_pallas=True,
+    )
+    sim = dataclasses.replace(Simulation.build(grid, bcs, params),
+                              pallas_interpret=True)
+    st0 = sim.initial_state()
+    out, diags = sim.run_scan(st0, 0)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[c]), np.asarray(st0.u[c]), atol=0.0
+        )
+    assert np.asarray(diags.dt).shape[0] == 0
+
+
 def test_oscillating_lid_case_registry():
     """The oscillating_lid registry case drives a Stokes-layer flow: one
     scan, t advances, fields finite, and the near-lid tangential flow
