@@ -395,11 +395,60 @@ def _perm_bwd(n, ring: bool = False):
             for k in range(n if ring else n - 1)]
 
 
+def _probe_resolved_bcs(bcs: BCTable):
+    """BC table with callables resolved at t=0.0 (CONCRETE values): the
+    structural probe for timedep builds -- kinds and which-slots are
+    time-invariant, so structure decisions (conv detection, gate checks)
+    read this table."""
+    from ..bcs import resolve_bcs
+
+    return resolve_bcs(bcs, 0.0)
+
+
+def _timedep_slots(bcs: BCTable) -> dict:
+    """Deterministic slot order for the per-step resolved BC values: one
+    slot per callable velocity entry, keyed (face, component)."""
+    td = {}
+    for face in sorted(bcs):
+        for i, v in enumerate(bcs[face].velocity):
+            if callable(v):
+                td[(face, i)] = len(td)
+    return td
+
+
+def _timedep_tables(bcs: BCTable, grid: GridSpec, td_slots: dict, bcv):
+    """(tg, own, resolved_bcs) rebuilt from the replicated per-step value
+    vector ``bcv`` (traced scalars in the callable slots). Traced
+    tangential betas arrive from pk._tangential_ghost as ('x2', raw)
+    dedupe markers; this jnp-level consumer wants numbers, so they are
+    unwrapped here (the kernels re-derive their own tables from the
+    resolved bcs and dedupe through the markers)."""
+    import dataclasses as _dc
+
+    bt = {}
+    for face, spec in bcs.items():
+        if any(callable(v) for v in spec.velocity):
+            vel = tuple(
+                bcv[td_slots[(face, i)]] if callable(v) else v
+                for i, v in enumerate(spec.velocity)
+            )
+            spec = _dc.replace(spec, velocity=vel)
+        bt[face] = spec
+    tg_t, own_t = pk._ghost_tables(grid, bt)
+    tg_t = {
+        k: (a, 2.0 * bv[1]
+            if (type(bv) is tuple and bv and bv[0] == "x2") else bv)
+        for k, (a, bv) in tg_t.items()
+    }
+    return tg_t, own_t, bt
+
+
 def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                             thermal: bool = False,
                             codes=None, fcode=None, ifld=None,
                             rdma: bool = False,
-                            ibm_h=None, fluid_x=None):
+                            ibm_h=None, fluid_x=None,
+                            timedep: bool = False):
     """Returns step_fn mapping ((iu0, iu1, iu2), p, theta, p_prev) ->
     (same structure, diag) with the iu arrays in the global halo-mode
     layout sharded over 'sx'. ``thermal`` must reflect whether the scan
@@ -410,14 +459,42 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
     the shard_map as ordinary sharded inputs and stream through the
     kernels' code windows exactly like the unsharded masked path -- no
     per-step code exchange (they are loop-invariant, and only comp 0's
-    prefilled shared-face row b is ever read beyond the local rows)."""
+    prefilled shared-face row b is ever read beyond the local rows).
+
+    ``timedep`` (round 5, VERDICT r4 item 3): time-dependent BC VALUES
+    through the sharded fused tier. The carry gains the simulation time
+    ``t``; each step resolves ``sim.bcs``'s callables at the carried t,
+    stacks the resolved traced scalars into one replicated vector that
+    rides the shard_map alongside the field blocks, and the bodies
+    rebuild the resolved BC table from it (static structure + traced
+    values) -- the kernels then hoist those values into their SMEM
+    scalar vector exactly like the unsharded timedep path
+    (pallas_kernels._hoist_tables). Stored Dirichlet face planes are
+    refreshed per step on the GLOBAL halo-layout arrays before the
+    shard_map (plain jnp updates; GSPMD keeps them local). Scope v1:
+    unmasked, no IBM, no convective outlet, static forcing only
+    (solver._fused3d_sharded_timedep_ok gates)."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
     db = None
     if tile is None:
         tile, db = sharded_tile_db(grid, mesh)
     n_dev, b, local_grid, (T, G, RP, S0, S1, L) = _dims(grid, mesh, tile)
     n1, n2 = grid.shape[1], grid.shape[2]
-    tg, own = pk._ghost_tables(grid, bcs)
+    tg, own = pk._ghost_tables(
+        grid, bcs if not timedep else _probe_resolved_bcs(bcs)
+    )
+    # timedep: deterministic slot order for the per-step resolved values
+    td_slots = _timedep_slots(bcs) if timedep else {}
+    if timedep:
+        assert td_slots, "timedep=True but no callable BC entries"
+
+    def _resolved_tables(bcv):
+        """(tg, own, bcs) for this call: the build-time tables, or -- in
+        timedep mode -- rebuilt from the replicated per-step resolved
+        value vector ``bcv`` (traced scalars in the velocity slots)."""
+        if bcv is None:
+            return tg, own, bcs
+        return _timedep_tables(bcs, grid, td_slots, bcv)
     masked = codes is not None
     forced = ifld is not None
     # masked + thermal composes (round 4): heated/adiabatic/buoyant
@@ -499,12 +576,15 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             ))
         return tuple(out)
 
-    def _refresh_ghosts(iu, first, last, cface=None):
+    def _refresh_ghosts(iu, first, last, cface=None, tables=None):
         """Fill each component's ghost slots: ppermute halos at interior
         boundaries, BC synthesis at the true edges (wrap halos everywhere
         on a periodic ring). ``cface``: the field's OWN held convective
         face plane -- the comp-0 hi ghost on the last shard (the stencil
-        at row b-1 reads the true carried face n0 value)."""
+        at row b-1 reads the true carried face n0 value). ``tables``:
+        (tg, own) override for the timedep path's per-step resolved
+        values (traced betas from the replicated value vector)."""
+        tg_, own_ = tables if tables is not None else (tg, own)
         if rdma:
             return _refresh_ghosts_rdma(iu, first, last)
         out = []
@@ -518,7 +598,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                 if a == 0:
                     bc_lo = x[0:1]         # apron; face 0 is BC-overwritten
                 else:
-                    al, bl = tg[(a, 0, 0)]
+                    al, bl = tg_[(a, 0, 0)]
                     bc_lo = al * x[0:1] + bl
                 lo = jnp.where(first, bc_lo, lo_halo)
             hi_halo = jax.lax.ppermute(x[0:2], AXIS, _perm_bwd(n_dev, ring))
@@ -526,15 +606,16 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                 hi = hi_halo
             else:
                 if a == 0:
-                    sp = own[(0, 1)]
+                    sp = own_[(0, 1)]
                     if conv and cface is not None:
                         row = cface
                     elif sp[0] == "copy":
                         row = x[b - 1:b]
                     else:
-                        row = jnp.full((1,) + x.shape[1:], sp[1], x.dtype)
+                        row = jnp.full((1,) + x.shape[1:], 0.0, x.dtype) \
+                            + jnp.asarray(sp[1], x.dtype)
                 else:
-                    ah, bh = tg[(a, 0, 1)]
+                    ah, bh = tg_[(a, 0, 1)]
                     row = ah * x[b - 1:b] + bh
                 bc_hi = jnp.concatenate([row, row], axis=0)
                 hi = jnp.where(last, bc_hi, hi_halo)
@@ -580,11 +661,14 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
 
     def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
                   codes_=None, fc_=None, fld_=None, ibm_=None, flu_=None,
-                  cface=None, cface_base=None):
+                  cface=None, cface_base=None, bcv=None):
+        tg_b, own_b, bcs_b = _resolved_tables(bcv)
+        tbl = (tg_b, own_b) if bcv is not None else None
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
-        iu = _refresh_ghosts((iu0, iu1, iu2), first, last, cface=cface)
+        iu = _refresh_ghosts((iu0, iu1, iu2), first, last, cface=cface,
+                             tables=tbl)
         if ibm_ is not None and base is None:
             # step/stage entry: re-impose the interpolated surface values
             # the previous correction perturbed (jnp step's bcs+ibm entry
@@ -599,7 +683,8 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             # rk2 stage 2: the base (step-start) field streams through the
             # same stripe windows -- its ghost slots need the same refresh
             # so the in-register shared-face star anchors correctly
-            base = _refresh_ghosts(base, first, last, cface=cface_base)
+            base = _refresh_ghosts(base, first, last, cface=cface_base,
+                                   tables=tbl)
             if ibm_ is not None:
                 base = _refresh_ghosts(
                     _ibm_local(ibm_).apply(base), first, last,
@@ -607,7 +692,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                 )
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
         us, rhs = pk.predictor_rhs_3d_internal(
-            local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
+            local_grid, bcs_b, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
             tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff, base=base,
             forcing=sim._static_forcing(),
@@ -686,19 +771,21 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         if ring:
             hi = hi_halo
         else:
-            sp = own[(0, 1)]
+            sp = own_b[(0, 1)]
             if conv:
                 bc_row = plane
             elif sp[0] == "copy":
                 bc_row = us[0][b - 1:b]
             else:
-                bc_row = jnp.full((1, S0, L), sp[1], us[0].dtype)
+                bc_row = (jnp.zeros((1, S0, L), us[0].dtype)
+                          + jnp.asarray(sp[1], us[0].dtype))
             hi = jnp.where(last, bc_row, hi_halo)
         us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
         return us0, us[1], us[2], rhs
 
     def corr_body(dt, us0, us1, us2, p_local, theta=None,
-                  codes_=None, fc_=None):
+                  codes_=None, fc_=None, bcv=None):
+        _, _, bcs_b = _resolved_tables(bcv)
         idx = jax.lax.axis_index(AXIS)
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
@@ -724,7 +811,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         if theta is not None:
             theta = _refresh_theta_ghosts(theta, first, last)
         res = pk.correct_diag_3d_internal(
-            local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
+            local_grid, bcs_b, (us0, us1, us2), p_local, dt / pr.rho,
             tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff, pp=pp,
             theta=theta,
@@ -845,10 +932,14 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                 if based:
                     cfb = arrs[k]
                     k += 1
+            bcv = None
+            if timedep:
+                bcv = arrs[k]
+                k += 1
             return pred_body(dt, *iu, theta=th, base=base,
                              codes_=cds, fc_=fcd, fld_=fl,
                              ibm_=ib, flu_=flu,
-                             cface=cf, cface_base=cfb)
+                             cface=cf, cface_base=cfb, bcv=bcv)
 
         in_specs = (sc,) + (spec3,) * n_arr
         if with_ibm:
@@ -858,6 +949,9 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         if conv:
             # the held convective face plane(s) are replicated
             in_specs = in_specs + (P(),) * (2 if based else 1)
+        if timedep:
+            # the per-step resolved BC value vector is replicated
+            in_specs = in_specs + (P(),)
         return jax.shard_map(
             body, mesh=mesh,
             in_specs=in_specs,
@@ -884,15 +978,20 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             if with_codes:
                 cds = arrs[k:k + 3]
                 fcd = arrs[k + 3]
+                k += 4
+            bcv = arrs[k] if timedep else None
             return corr_body(dt, us0, us1, us2, p_local, theta=th,
-                             codes_=cds, fc_=fcd)
+                             codes_=cds, fc_=fcd, bcv=bcv)
 
         out_specs = (spec3,) * (4 if with_theta else 3) + (P(), P())
         if conv:
             out_specs = out_specs + (P(),)   # the corrected face plane
+        in_specs = (sc,) + (spec3,) * n_arr
+        if timedep:
+            in_specs = in_specs + (P(),)
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * n_arr,
+            in_specs=in_specs,
             out_specs=out_specs,
             check_vma=False,
         )
@@ -908,12 +1007,100 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
 
     dt_cap = jnp.asarray(pr.dt, grid.dtype)
 
+    # timedep plumbing: which own-axis Dirichlet STORED planes hold
+    # per-step-resolved (callable-derived) values, and the valid-row mask
+    # for exact whole-array reductions over the halo layout (data rows
+    # [0, b) per shard block; ghost slots / margin rows excluded).
+    def _own_traced(a, side):
+        if own[(a, side)][0] != "d":
+            return False
+        spec = sim.bcs[(a, side)]
+        return bool(spec.velocity) and callable(spec.velocity[a])
+
+    if timedep:
+        _vrow = (np.arange(n_dev * RP) % RP) < b
+        valid_row = jnp.asarray(_vrow)[:, None, None]
+
+    def _refresh_planes(iu, bt):
+        """Re-impose per-step-resolved own-axis Dirichlet values on the
+        STORED face planes of the global halo-layout arrays (the carry
+        holds the previous step's values; tangential ghosts are
+        synthesized per step from the resolved tables). Plain jnp on the
+        sharded global arrays -- row 0 lives on shard 0, columns/lanes
+        are local to every shard, so GSPMD adds no communication.
+        Comp 0's hi face n0 and comp 2's hi face n2 are not stored
+        (synthesized at exit / in-kernel). Pad regions stay zero."""
+        iu0, iu1, iu2 = iu
+        upd = jax.lax.dynamic_update_slice
+        if _own_traced(0, 0):
+            v = jnp.asarray(bt[(0, 0)].velocity[0], iu0.dtype)
+            plane = jnp.zeros((1, S0, L), iu0.dtype)
+            plane = plane.at[:, :n1, :n2].set(v)
+            iu0 = upd(iu0, plane, (0, 0, 0))
+        for side, col in ((0, 0), (1, n1)):
+            if _own_traced(1, side):
+                v = jnp.asarray(bt[(1, side)].velocity[1], iu1.dtype)
+                colv = jnp.where(
+                    valid_row & (pk._ax_iota((n_dev * RP, 1, L), 2) < n2),
+                    v, 0.0,
+                ).astype(iu1.dtype)
+                iu1 = upd(iu1, colv, (0, col, 0))
+        if _own_traced(2, 0):
+            v = jnp.asarray(bt[(2, 0)].velocity[2], iu2.dtype)
+            lane = jnp.where(
+                valid_row & (pk._ax_iota((n_dev * RP, S0, 1), 1) < n1),
+                v, 0.0,
+            ).astype(iu2.dtype)
+            iu2 = upd(iu2, lane, (0, 0, 0))
+        return iu0, iu1, iu2
+
+    def _vel_inv_halo(iu, bt):
+        """max_a max|u_a|/h_a over the refreshed halo layout == the jnp
+        route's post-BC reduction: data rows masked in, the two
+        non-stored hi faces contribute their Dirichlet values
+        explicitly ('copy'/'wrap' faces duplicate counted values)."""
+        h = grid.spacing
+        inv = jnp.asarray(1e-12, iu[0].dtype)
+        for a in range(3):
+            inv = jnp.maximum(
+                inv,
+                jnp.max(jnp.where(valid_row, jnp.abs(iu[a]), 0.0)) / h[a],
+            )
+        for (a, side), hh in (((0, 1), h[0]), ((2, 1), h[2])):
+            if own[(a, side)][0] == "d":
+                inv = jnp.maximum(
+                    inv,
+                    jnp.abs(jnp.asarray(bt[(a, side)].velocity[a]
+                                        if sim.bcs[(a, side)].velocity
+                                        else 0.0, iu[0].dtype)) / hh,
+                )
+        return inv
+
     def step_fn(carry):
+        t = None
+        if timedep:
+            *carry, t = carry
+            carry = tuple(carry)
         if conv:
             iu, p, theta, p_prev, vel, cface = carry
         else:
             iu, p, theta, p_prev, vel = carry
             cface = None
+        bcv = None
+        if timedep:
+            from ..bcs import resolve_bcs
+
+            bt = resolve_bcs(sim.bcs, t)
+            bcv = jnp.stack([
+                jnp.asarray(bt[face].velocity[i], jnp.float32)
+                for (face, i) in sorted(td_slots, key=td_slots.get)
+            ])
+            iu = _refresh_planes(iu, bt)
+            if pr.cfl is not None:
+                # dt from the REFRESHED field, matching the jnp route's
+                # post-BC reduction (the carried corrector reduction
+                # predates the refreshed planes)
+                vel = _vel_inv_halo(iu, bt)
         if pr.cfl is None:
             dt = dt_cap
         else:
@@ -933,29 +1120,34 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                          ibm_h.ub, ibm_h.wet, ibm_h.ub_wet), fluid_x)
         extra = (*th_args, *fld_args, *code_args, *ibm_args)
         cf_args = (cface,) if conv else ()
+        bcv_args = (bcv,) if timedep else ()
         it_extra = 0
         if rk2:
             # midpoint rule, both stages fused+sharded: stage 1 advances
             # half a step and projects; stage 2 streams the midpoint field
             # as the stencil source anchored at the step-start state
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra, *cf_args)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra, *cf_args,
+                                          *bcv_args)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
-            ch = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)
+            ch = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args,
+                           *bcv_args)
             iuh = ch[:3]
             # rk2's stage 2 reads the MIDPOINT field's corrected face for
             # its stencils while the transport update stays anchored at
             # the step-start face (cface)
             cf2 = (ch[-1], cface) if conv else ()
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra, *cf2)
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra, *cf2,
+                                            *bcv_args)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu, *extra, *cf_args)
+            us0, us1, us2, rhs = pred(dt, *iu, *extra, *cf_args, *bcv_args)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
         if thermal:
-            cres = corr(dt, us0, us1, us2, p_new, theta, *code_args)
+            cres = corr(dt, us0, us1, us2, p_new, theta, *code_args,
+                        *bcv_args)
             iu0n, iu1n, iu2n, theta_new, divm, velm = cres[:6]
             if solid_halo is not None:
                 # isothermal body: re-clamp solid cells to the body value
@@ -969,7 +1161,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                     theta_new,
                 )
         else:
-            cres = corr(dt, us0, us1, us2, p_new, *code_args)
+            cres = corr(dt, us0, us1, us2, p_new, *code_args, *bcv_args)
             iu0n, iu1n, iu2n, divm, velm = cres[:5]
             theta_new = None
         cface_new = cres[-1] if conv else None
@@ -985,6 +1177,8 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
                      velm)
         if conv:
             out_carry = out_carry + (cface_new,)
+        if timedep:
+            out_carry = out_carry + (t + dt,)
         return out_carry, diag
 
     return step_fn
@@ -1168,14 +1362,16 @@ def from_internal_pencil(grid: GridSpec, bcs: BCTable, iu, mesh: Mesh,
 def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
                            thermal: bool = False,
                            codes=None, fcode=None, ifld=None,
-                           ibm_h=None, fluid_x=None):
+                           ibm_h=None, fluid_x=None,
+                           timedep: bool = False):
     """step_fn over the pencil halo layout: ((iu0,iu1,iu2), p, theta,
     p_prev, vel) -> (same, diag). euler/rk2, fixed or CFL dt; ``thermal``
     must reflect whether the carry actually holds a theta.
     ``codes``/``fcode`` (build_face_codes_pencil / pad_fluid_code_pencil)
     enable obstacle masking -- static per-shard blocks with the comp-0
     shared row AND comp-1 shared column prefilled, no per-step
-    exchange."""
+    exchange. ``timedep``: per-step resolved BC VALUES, same contract as
+    make_sharded_fused_step (round 5)."""
     grid, bcs, pr = sim.grid, sim.bcs, sim.params
     db = None
     if tile is None:
@@ -1200,7 +1396,18 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         grid, mesh, tile
     )
     n2 = grid.shape[2]
-    tg, own = pk._ghost_tables(grid, bcs)
+    tg, own = pk._ghost_tables(
+        grid, bcs if not timedep else _probe_resolved_bcs(bcs)
+    )
+    td_slots = _timedep_slots(bcs) if timedep else {}
+    if timedep:
+        assert td_slots, "timedep=True but no callable BC entries"
+
+    def _resolved_tables(bcv):
+        if bcv is None:
+            return tg, own, bcs
+        return _timedep_tables(bcs, grid, td_slots, bcv)
+
     from ..bcs import periodic_axes
 
     per = periodic_axes(grid, bcs)
@@ -1239,10 +1446,12 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         th = jax.lax.dynamic_update_slice(th, hi0, (b0, 0, 0))
         return jax.lax.dynamic_update_slice(th, lo0, (RP - 1, 0, 0))
 
-    def _refresh_cols(iu, first1, last1):
+    def _refresh_cols(iu, first1, last1, tables=None):
         """Axis-1 ghost columns: sy-ppermute halos at interior seams, BC
         synthesis at the true edges (wrap halos on a periodic ring). Slots:
-        hi at sublanes [m1, m1+2), lo at SH-1."""
+        hi at sublanes [m1, m1+2), lo at SH-1. ``tables``: (tg, own)
+        override for the timedep path's per-step resolved values."""
+        tg_, own_ = tables if tables is not None else (tg, own)
         out = []
         for a, x in enumerate(iu):
             lo_halo = jax.lax.ppermute(
@@ -1259,14 +1468,15 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
                     # face 0 on the first shard (finite placeholder);
                     # the hi slot is the global face-n1 BC value
                     bc_lo = x[:, 0:1]
-                    sp = own[(1, 1)]
+                    sp = own_[(1, 1)]
                     row = (x[:, m1 - 1:m1] if sp[0] == "copy"
-                           else jnp.full_like(x[:, 0:1], sp[1]))
+                           else jnp.zeros_like(x[:, 0:1])
+                           + jnp.asarray(sp[1], x.dtype))
                     bc_hi = jnp.concatenate([row, row], axis=1)
                 else:
-                    al, bl = tg[(a, 1, 0)]
+                    al, bl = tg_[(a, 1, 0)]
                     bc_lo = al * x[:, 0:1] + bl
-                    ah, bh = tg[(a, 1, 1)]
+                    ah, bh = tg_[(a, 1, 1)]
                     row = ah * x[:, m1 - 1:m1] + bh
                     bc_hi = jnp.concatenate([row, row], axis=1)
                 lo = jnp.where(first1, bc_lo, lo_halo)
@@ -1276,10 +1486,11 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             out.append(x)
         return tuple(out)
 
-    def _refresh_rows(iu, first0, last0):
+    def _refresh_rows(iu, first0, last0, tables=None):
         """Axis-0 ghost rows (slab-path scheme on the SH-wide blocks);
         runs AFTER the column refresh so the exchanged rows carry the
         corner ghost slots."""
+        tg_, own_ = tables if tables is not None else (tg, own)
         out = []
         for a, x in enumerate(iu):
             lo_halo = jax.lax.ppermute(
@@ -1292,14 +1503,15 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
                 if a == 0:
                     bc_lo = x[0:1]
                 else:
-                    al, bl = tg[(a, 0, 0)]
+                    al, bl = tg_[(a, 0, 0)]
                     bc_lo = al * x[0:1] + bl
                 if a == 0:
-                    sp = own[(0, 1)]
+                    sp = own_[(0, 1)]
                     row = (x[b0 - 1:b0] if sp[0] == "copy"
-                           else jnp.full((1,) + x.shape[1:], sp[1], x.dtype))
+                           else jnp.zeros((1,) + x.shape[1:], x.dtype)
+                           + jnp.asarray(sp[1], x.dtype))
                 else:
-                    ah, bh = tg[(a, 0, 1)]
+                    ah, bh = tg_[(a, 0, 1)]
                     row = ah * x[b0 - 1:b0] + bh
                 bc_hi = jnp.concatenate([row, row], axis=0)
                 lo = jnp.where(first0, bc_lo, lo_halo)
@@ -1318,40 +1530,47 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         return _dc.replace(ibm_h, masks=masks, w=w, band=band,
                            ub=ub, wet=wet, ub_wet=ub_wet)
 
-    def _refresh_both(x, first0, last0, first1, last1):
+    def _refresh_both(x, first0, last0, first1, last1, tables=None):
         return _refresh_rows(
-            _refresh_cols(x, first1, last1), first0, last0
+            _refresh_cols(x, first1, last1, tables=tables), first0, last0,
+            tables=tables,
         )
 
     def pred_body(dt, iu0, iu1, iu2, theta=None, base=None,
-                  codes_=None, fc_=None, fld_=None, ibm_=None, flu_=None):
+                  codes_=None, fc_=None, fld_=None, ibm_=None, flu_=None,
+                  bcv=None):
+        tg_b, own_b, bcs_b = _resolved_tables(bcv)
+        tbl = (tg_b, own_b) if bcv is not None else None
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
         last0 = (ix == ndx - 1) & (not ring0)
         first1 = (iy == 0) & (not ring1)
         last1 = (iy == ndy - 1) & (not ring1)
-        iu = _refresh_both((iu0, iu1, iu2), first0, last0, first1, last1)
+        iu = _refresh_both((iu0, iu1, iu2), first0, last0, first1, last1,
+                           tables=tbl)
         if ibm_ is not None and base is None:
             # step entry: re-impose the interpolated surface values (see
             # the slab pred_body note; the two-stage re-refresh restores
             # post-apply ghosts, corners included)
             iu = _refresh_both(
-                _ibm_local(ibm_).apply(iu), first0, last0, first1, last1
+                _ibm_local(ibm_).apply(iu), first0, last0, first1, last1,
+                tables=tbl,
             )
         if base is not None:
             # rk2 stage 2: the step-start field streams through the same
             # windows; its ghost slots need the same two-stage refresh
-            base = _refresh_both(base, first0, last0, first1, last1)
+            base = _refresh_both(base, first0, last0, first1, last1,
+                                 tables=tbl)
             if ibm_ is not None:
                 base = _refresh_both(
                     _ibm_local(ibm_).apply(base),
-                    first0, last0, first1, last1,
+                    first0, last0, first1, last1, tables=tbl,
                 )
         ff0 = (first0.astype(jnp.float32), last0.astype(jnp.float32))
         ff1 = (first1.astype(jnp.float32), last1.astype(jnp.float32))
         us, rhs = pk.predictor_rhs_3d_internal(
-            local_grid, bcs, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
+            local_grid, bcs_b, iu, dt, pr.nu, pr.upwind_gamma, rho=pr.rho,
             tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
             base=base,
@@ -1400,9 +1619,10 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         if ring0:
             hi0 = hi_halo
         else:
-            sp = own[(0, 1)]
+            sp = own_b[(0, 1)]
             bc_row = (us[0][b0 - 1:b0] if sp[0] == "copy"
-                      else jnp.full((1, SH, L), sp[1], us[0].dtype))
+                      else jnp.zeros((1, SH, L), us[0].dtype)
+                      + jnp.asarray(sp[1], us[0].dtype))
             hi0 = jnp.where(last0, bc_row, hi_halo)
         us0 = jax.lax.dynamic_update_slice(us[0], hi0, (b0, 0, 0))
         hi1_halo = jax.lax.ppermute(
@@ -1411,15 +1631,17 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         if ring1:
             hi1 = hi1_halo
         else:
-            sp1 = own[(1, 1)]
+            sp1 = own_b[(1, 1)]
             bc_col = (us[1][:, m1 - 1:m1] if sp1[0] == "copy"
-                      else jnp.full_like(us[1][:, 0:1], sp1[1]))
+                      else jnp.zeros_like(us[1][:, 0:1])
+                      + jnp.asarray(sp1[1], us[1].dtype))
             hi1 = jnp.where(last1, bc_col, hi1_halo)
         us1 = jax.lax.dynamic_update_slice(us[1], hi1, (0, m1, 0))
         return us0, us1, us[2], rhs
 
     def corr_body(dt, us0, us1, us2, p_local, theta=None,
-                  codes_=None, fc_=None):
+                  codes_=None, fc_=None, bcv=None):
+        _, _, bcs_b = _resolved_tables(bcv)
         ix = jax.lax.axis_index(AXIS)
         iy = jax.lax.axis_index(AXIS_Y)
         first0 = (ix == 0) & (not ring0)
@@ -1461,7 +1683,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         if theta is not None:
             theta = _refresh_theta(theta, first0, last0, first1, last1)
         res = pk.correct_diag_3d_internal(
-            local_grid, bcs, (us0, us1, us2), p_local, dt / pr.rho,
+            local_grid, bcs_b, (us0, us1, us2), p_local, dt / pr.rho,
             tile=tile, db=db, interpret=sim.pallas_interpret,
             halo=True, edge_flags=ff0, halo1=True, edge_flags1=ff1,
             pp=pp,
@@ -1515,13 +1737,17 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             ib = flu = None
             if with_ibm:
                 ib, flu = arrs[k], arrs[k + 1]
+                k += 2
+            bcv = arrs[k] if timedep else None
             return pred_body(dt, *iu, theta=th, base=base,
                              codes_=cds, fc_=fcd, fld_=fl,
-                             ibm_=ib, flu_=flu)
+                             ibm_=ib, flu_=flu, bcv=bcv)
 
         in_specs = (sc,) + (spec3,) * n_arr
         if with_ibm:
             in_specs = in_specs + (spec3, spec3)
+        if timedep:
+            in_specs = in_specs + (P(),)
         return jax.shard_map(
             body, mesh=mesh,
             in_specs=in_specs,
@@ -1547,12 +1773,17 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             if with_codes:
                 cds = arrs[k:k + 3]
                 fcd = arrs[k + 3]
+                k += 4
+            bcv = arrs[k] if timedep else None
             return corr_body(dt, us0, us1, us2, p_local, theta=th,
-                             codes_=cds, fc_=fcd)
+                             codes_=cds, fc_=fcd, bcv=bcv)
 
+        in_specs = (sc,) + (spec3,) * n_arr
+        if timedep:
+            in_specs = in_specs + (P(),)
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(sc,) + (spec3,) * n_arr,
+            in_specs=in_specs,
             out_specs=(spec3,) * (4 if with_theta else 3) + (P(), P()),
             check_vma=False,
         )
@@ -1566,8 +1797,84 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
 
     dt_cap = jnp.asarray(pr.dt, grid.dtype)
 
+    # timedep: traced-value stored-plane refresh + exact CFL reduction
+    # over the global pencil layout (see the slab builder's twins; here
+    # comp 0/1/2's hi faces are ALL elided, so three explicit Dirichlet
+    # contributions and three stored lo planes).
+    def _own_traced(a, side):
+        if own[(a, side)][0] != "d":
+            return False
+        spec = sim.bcs[(a, side)]
+        return bool(spec.velocity) and callable(spec.velocity[a])
+
+    if timedep:
+        _vr = (np.arange(ndx * RP) % RP) < b0
+        _vs = (np.arange(ndy * SH) % SH) < m1
+        valid_row = jnp.asarray(_vr)[:, None, None]
+        valid_sub = jnp.asarray(_vs)[None, :, None]
+
+    def _refresh_planes(iu, bt):
+        iu0, iu1, iu2 = iu
+        upd = jax.lax.dynamic_update_slice
+        lane_ok = pk._ax_iota((1, ndy * SH, L), 2) < n2
+        if _own_traced(0, 0):
+            v = jnp.asarray(bt[(0, 0)].velocity[0], iu0.dtype)
+            plane = jnp.where(valid_sub & lane_ok, v, 0.0
+                              ).astype(iu0.dtype)
+            iu0 = upd(iu0, plane, (0, 0, 0))
+        if _own_traced(1, 0):
+            v = jnp.asarray(bt[(1, 0)].velocity[1], iu1.dtype)
+            col = jnp.where(
+                valid_row & (pk._ax_iota((ndx * RP, 1, L), 2) < n2),
+                v, 0.0,
+            ).astype(iu1.dtype)
+            iu1 = upd(iu1, col, (0, 0, 0))
+        if _own_traced(2, 0):
+            v = jnp.asarray(bt[(2, 0)].velocity[2], iu2.dtype)
+            lane = jnp.where(valid_row & valid_sub, v, 0.0
+                             ).astype(iu2.dtype)
+            iu2 = upd(iu2, lane[:, :, 0:1], (0, 0, 0))
+        return iu0, iu1, iu2
+
+    def _vel_inv_pencil(iu, bt):
+        h = grid.spacing
+        inv = jnp.asarray(1e-12, iu[0].dtype)
+        for a in range(3):
+            inv = jnp.maximum(
+                inv,
+                jnp.max(jnp.where(valid_row & valid_sub,
+                                  jnp.abs(iu[a]), 0.0)) / h[a],
+            )
+        for a in range(3):
+            if own[(a, 1)][0] == "d":
+                inv = jnp.maximum(
+                    inv,
+                    jnp.abs(jnp.asarray(
+                        bt[(a, 1)].velocity[a]
+                        if sim.bcs[(a, 1)].velocity else 0.0,
+                        iu[0].dtype)) / h[a],
+                )
+        return inv
+
     def step_fn(carry):
-        iu, p, theta, p_prev, vel = carry
+        t = None
+        if timedep:
+            iu, p, theta, p_prev, vel, t = carry
+        else:
+            iu, p, theta, p_prev, vel = carry
+        bcv_args = ()
+        if timedep:
+            from ..bcs import resolve_bcs
+
+            bt = resolve_bcs(sim.bcs, t)
+            bcv = jnp.stack([
+                jnp.asarray(bt[face].velocity[i], jnp.float32)
+                for (face, i) in sorted(td_slots, key=td_slots.get)
+            ])
+            bcv_args = (bcv,)
+            iu = _refresh_planes(iu, bt)
+            if pr.cfl is not None:
+                vel = _vel_inv_pencil(iu, bt)
         if pr.cfl is None:
             dt = dt_cap
         else:
@@ -1588,20 +1895,23 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         extra = (*th_args, *fld_args, *code_args, *ibm_args)
         it_extra = 0
         if rk2:
-            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra)
+            us0h, us1h, us2h, rhsh = pred(0.5 * dt, *iu, *extra,
+                                          *bcv_args)
             ph, it_extra, _ = sim._solve_pressure(rhsh, p_start)
             ph = jax.lax.with_sharding_constraint(ph, pspec)
-            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args)[:3]
-            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra)
+            iuh = corr_half(0.5 * dt, us0h, us1h, us2h, ph, *code_args,
+                            *bcv_args)[:3]
+            us0, us1, us2, rhs = pred_based(dt, *iuh, *iu, *extra,
+                                            *bcv_args)
             p_start = ph
         else:
-            us0, us1, us2, rhs = pred(dt, *iu, *extra)
+            us0, us1, us2, rhs = pred(dt, *iu, *extra, *bcv_args)
         p_new, iters, res = sim._solve_pressure(rhs, p_start)
         iters = iters + it_extra
         p_new = jax.lax.with_sharding_constraint(p_new, pspec)
         if thermal:
             iu0n, iu1n, iu2n, theta_new, divm, velm = corr(
-                dt, us0, us1, us2, p_new, theta, *code_args
+                dt, us0, us1, us2, p_new, theta, *code_args, *bcv_args
             )
             if solid_halo is not None:
                 # isothermal body: re-clamp solid cells to the body value
@@ -1616,7 +1926,7 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
                 )
         else:
             iu0n, iu1n, iu2n, divm, velm = corr(
-                dt, us0, us1, us2, p_new, *code_args
+                dt, us0, us1, us2, p_new, *code_args, *bcv_args
             )
             theta_new = None
         diag = StepDiagnostics(
@@ -1627,8 +1937,11 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
             dt=dt,
         )
         p_prev_new = p if p_prev is not None else None
-        return ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new,
-                velm), diag
+        out_carry = ((iu0n, iu1n, iu2n), p_new, theta_new, p_prev_new,
+                     velm)
+        if timedep:
+            out_carry = out_carry + (t + dt,)
+        return out_carry, diag
 
     return step_fn
 
@@ -1654,7 +1967,8 @@ def theta_from_pencil(grid: GridSpec, th, mesh: Mesh, tile=None):
     return x.reshape(n0, n1, n2)
 
 
-def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
+def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int,
+                          timedep: bool = False):
     grid, bcs = sim.grid, sim.bcs
     spec3 = NamedSharding(mesh, P(AXIS, AXIS_Y, None))
     iu = tuple(
@@ -1705,30 +2019,43 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int):
         fluid_x = cst(sim.op.fluid, spec3)
     step_fn = make_pencil_fused_step(sim, mesh, thermal=theta is not None,
                                      codes=codes, fcode=fcode, ifld=ifld,
-                                     ibm_h=ibm_h, fluid_x=fluid_x)
+                                     ibm_h=ibm_h, fluid_x=fluid_x,
+                                     timedep=timedep)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
             else jnp.zeros((), grid.dtype))
-    (iu, p, theta, p_prev, _), diags = jax.lax.scan(
-        lambda c, _: step_fn(c), (iu, p, theta, p_prev, vel0),
-        xs=None, length=n_steps,
+    carry = (iu, p, theta, p_prev, vel0)
+    if timedep:
+        carry = carry + (state.t,)
+    carry, diags = jax.lax.scan(
+        lambda c, _: step_fn(c), carry, xs=None, length=n_steps,
     )
-    u0, u1, u2 = from_internal_pencil(grid, bcs, iu, mesh)
+    t_end = None
+    bcs_exit = bcs
+    if timedep:
+        *carry, t_end = carry
+        from ..bcs import resolve_bcs
+
+        bcs_exit = resolve_bcs(bcs, t_end - diags.dt[-1])
+    iu, p, theta, p_prev, _ = carry
+    u0, u1, u2 = from_internal_pencil(grid, bcs_exit, iu, mesh)
     theta_out = (theta_from_pencil(grid, theta, mesh)
                  if theta is not None else None)
     return State(u=(u0, u1, u2), p=p, theta=theta_out,
-                 p_prev=p_prev), diags
+                 p_prev=p_prev, t=t_end), diags
 
 
 def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int,
-                           rdma: bool = False):
+                           rdma: bool = False, timedep: bool = False):
     """The sharded-fused analog of the internal-layout scan in
     solver._run_scan_jit: convert once, scan the fused sharded step,
     convert back. Dispatches to the pencil tier on ('sx','sy') meshes.
     ``rdma=True`` (slab tier, prototype): the velocity ghost refresh runs
     as kernel-initiated remote DMAs (parallel/remote_dma.py) instead of
-    jnp ppermutes."""
+    jnp ppermutes. ``timedep=True`` (round 5): time-dependent BC VALUES
+    resolved per step inside the scan -- see make_sharded_fused_step."""
     if tuple(mesh.axis_names) == (AXIS, AXIS_Y):
-        return run_scan_pencil_fused(sim, mesh, state, n_steps)
+        return run_scan_pencil_fused(sim, mesh, state, n_steps,
+                                     timedep=timedep)
     grid, bcs = sim.grid, sim.bcs
     spec3 = NamedSharding(mesh, P(AXIS, None, None))
     iu = tuple(
@@ -1785,13 +2112,15 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int,
     step_fn = make_sharded_fused_step(sim, mesh, thermal=theta is not None,
                                       codes=codes, fcode=fcode, ifld=ifld,
                                       rdma=rdma, ibm_h=ibm_h,
-                                      fluid_x=fluid_x)
+                                      fluid_x=fluid_x, timedep=timedep)
     # CFL-adaptive runs carry the corrector's global max|u_a|/h_a pmax
     # through the scan (entry value from one jnp reduction outside it)
     vel0 = (sim._vel_inv(state.u) if sim.params.cfl is not None
             else jnp.zeros((), grid.dtype))
     carry = (iu, p, theta, p_prev, vel0)
-    _, own = pk._ghost_tables(grid, bcs)
+    _, own = pk._ghost_tables(
+        grid, bcs if not timedep else _probe_resolved_bcs(bcs)
+    )
     conv = own[(0, 1)][0] == "conv"
     if conv:
         # the held convective face n0 is a STATE: it rides the carry as
@@ -1802,17 +2131,32 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int,
             state.u[0][n0:n0 + 1], [(0, 0), (0, S0 - n1), (0, L - n2)]
         )
         carry = carry + (cface0,)
+    if timedep:
+        assert not conv, "timedep sharded fused excludes convective"
+        carry = carry + (state.t,)
     carry, diags = jax.lax.scan(
         lambda c, _: step_fn(c), carry, xs=None, length=n_steps,
     )
+    t_end = None
+    if timedep:
+        *carry, t_end = carry
+        carry = tuple(carry)
     if conv:
         iu, p, theta, p_prev, _, cface = carry
     else:
         iu, p, theta, p_prev, _ = carry
-    u0, u1, u2 = from_internal_halo(grid, bcs, iu, mesh)
+    bcs_exit = bcs
+    if timedep:
+        # exit face synthesis at the LAST step's resolved values (the
+        # per-step route's exact state carries exactly those)
+        from ..bcs import resolve_bcs
+
+        bcs_exit = resolve_bcs(bcs, t_end - diags.dt[-1])
+    u0, u1, u2 = from_internal_halo(grid, bcs_exit, iu, mesh)
     if conv:
         n0, n1, n2 = grid.shape
         u0 = u0.at[n0].set(cface[0, :n1, :n2])
     theta_out = (theta_from_halo(grid, theta, mesh)
                  if theta is not None else None)
-    return State(u=(u0, u1, u2), p=p, theta=theta_out, p_prev=p_prev), diags
+    return State(u=(u0, u1, u2), p=p, theta=theta_out, p_prev=p_prev,
+                 t=t_end), diags
