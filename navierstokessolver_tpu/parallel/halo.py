@@ -87,11 +87,11 @@ class ShardedPoissonSolver:
         if cfg.method == "dctcg":
             if dctcg is None:
                 raise ValueError("method 'dctcg' needs the DCTPCGSolver")
-            if grid.ndim != 2 or len(names) != 1:
+            if grid.ndim not in (2, 3) or len(names) != 1:
                 raise ValueError(
-                    "explicit-halo dctcg covers 2D grids on a 1D 'sx' "
-                    "slab mesh (the production cylinder topology); use "
-                    "poisson_comm='gspmd' elsewhere"
+                    "explicit-halo dctcg covers 2D/3D grids on a 1D 'sx' "
+                    "slab mesh (the production cylinder/sphere "
+                    "topologies); use poisson_comm='gspmd' elsewhere"
                 )
         if op.ap is not None:
             raise ValueError(
@@ -161,13 +161,16 @@ class ShardedPoissonSolver:
             hc0 = dctcg.halo_consts()
             if hc0 is None:
                 raise ValueError(
-                    "explicit-halo dctcg needs the 2D matmul-mode "
-                    "spectral arrays (DCTPCGSolver.halo_consts)"
+                    "explicit-halo dctcg needs the matmul-mode spectral "
+                    "arrays (DCTPCGSolver.halo_consts; 2D spectral-"
+                    "Woodbury or 3D slab form)"
                 )
             axis = names[0]
             # per-leaf shard specs: k1-sliced leaves ride the mesh axis
+            # (the 3D inv_nat (k0, k1, k2) shards over its middle axis)
             hc_specs = {
-                k: (P(None, axis) if k in ("inv_nat", "vy")
+                k: (P(None, axis, None) if k == "inv_nat" and grid.ndim == 3
+                    else P(None, axis) if k in ("inv_nat", "vy")
                     else P(axis, None) if k == "fy" else P())
                 for k in hc0
             }
