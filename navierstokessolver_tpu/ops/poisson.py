@@ -604,22 +604,40 @@ def _solve_cg(op, b, p0, inv_bnorm, tol, max_iters, ctx=None):
     rs0 = dot(r0, r0)
 
     def cond(carry):
-        p, r, d, rs, k = carry
-        return jnp.logical_and(k < max_iters, jnp.sqrt(rs) * inv_bnorm > tol)
+        p, r, d, rs, k, ok = carry
+        return jnp.logical_and(
+            ok,
+            jnp.logical_and(k < max_iters,
+                            jnp.sqrt(rs) * inv_bnorm > tol),
+        )
 
     def body(carry):
-        p, r, d, rs, k = carry
+        p, r, d, rs, k, _ = carry
         Ad = matvec(d)
-        alpha = rs / jnp.maximum(dot(d, Ad), jnp.asarray(1e-30, d.dtype))
+        dAd = dot(d, Ad)
+        # Curvature-breakdown guard: when the search direction degrades
+        # to f32 noise (tol below the achievable floor on a badly
+        # conditioned operator -- e.g. strongly anisotropic spacing),
+        # d.Ad can round NEGATIVE; the old max(dAd, 1e-30) clamp then
+        # produced alpha ~ rs/1e-30 -> overflow -> NaN fields with the
+        # loop exiting on the NaN compare. Instead: take no step and
+        # STOP, reporting the last true residual (the solve is at its
+        # f32 floor; callers' CAPPED labeling applies).
+        ok = dAd > jnp.asarray(0.0, d.dtype)
+        alpha = jnp.where(
+            ok, rs / jnp.maximum(dAd, jnp.asarray(1e-30, d.dtype)), 0.0
+        )
         p = p + alpha * d
         r = r - alpha * Ad
         rs_new = dot(r, r)
-        beta = rs_new / jnp.maximum(rs, jnp.asarray(1e-30, d.dtype))
+        beta = jnp.where(
+            ok, rs_new / jnp.maximum(rs, jnp.asarray(1e-30, d.dtype)), 0.0
+        )
         d = r + beta * d
-        return p, r, d, rs_new, k + 1
+        return p, r, d, rs_new, k + 1, ok
 
-    p, r, d, rs, iters = jax.lax.while_loop(
-        cond, body, (p0, r0, d0, rs0, jnp.int32(0))
+    p, r, d, rs, iters, _ = jax.lax.while_loop(
+        cond, body, (p0, r0, d0, rs0, jnp.int32(0), jnp.bool_(True))
     )
     if op.singular:
         p = deflate(op, p, ctx)

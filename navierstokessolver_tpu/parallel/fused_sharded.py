@@ -530,6 +530,11 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
     # diagnostics back in.
     conv = own[(0, 1)][0] == "conv"
     conv_U = float(own[(0, 1)][1]) if conv else 0.0
+    # rdma scope: the steady velocity/pressure exchanges (zero ppermutes
+    # on that path); the held-convective-face carry and the per-step
+    # traced-value tables stay on the ppermute route
+    assert not (rdma and (conv or timedep)), \
+        "rdma=True does not compose with convective outlets or timedep"
     h0, h1_, h2_ = (float(x) for x in grid.spacing)
 
     def _bc_rows(a, x):
@@ -548,33 +553,37 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             row = ah * x[b - 1:b] + bh
         return bc_lo, jnp.concatenate([row, row], axis=0)
 
-    def _refresh_ghosts_rdma(iu, first, last):
-        """Remote-DMA ghost refresh (round 4, VERDICT r3 item 7): the
-        per-component exchange is a Pallas kernel issuing paired
-        kernel-initiated ICI transfers (parallel/remote_dma.py) instead
-        of jnp-level ppermutes. Edge shards' BC rows are STAGED into the
-        ghost slots first; the kernel preserves them (it only overwrites
-        slots an inbound message targets). Interpret-runnable on the
-        virtual mesh via the TPU interpret machinery."""
-        from . import remote_dma
-
-        interp = False
+    def _rdma_interp():
         if sim.pallas_interpret:
             from jax.experimental.pallas import tpu as pltpu
 
-            interp = pltpu.InterpretParams()
+            return pltpu.InterpretParams()
+        return False
+
+    def _refresh_ghosts_rdma(iu, first, last):
+        """Remote-DMA ghost refresh (rounds 4-5, VERDICT r3 item 7 / r4
+        item 2): ONE Pallas kernel launch issues all six paired
+        kernel-initiated ICI transfers (three volumes x two directions,
+        parallel/remote_dma.exchange_rows_multi) instead of jnp-level
+        ppermutes -- every message is in flight before any wait. Edge
+        shards' BC rows are STAGED into the ghost slots first; the
+        kernel preserves them (it only overwrites slots an inbound
+        message targets). Interpret-runnable on the virtual mesh."""
+        from . import remote_dma
+
         upd = jax.lax.dynamic_update_slice
-        out = []
+        staged = []
         for a, x in enumerate(iu):
             if not ring:
                 bc_lo, bc_hi = _bc_rows(a, x)
                 x = upd(x, jnp.where(last, bc_hi, x[b:b + 2]), (b, 0, 0))
                 x = upd(x, jnp.where(first, bc_lo, x[RP - 1:RP]),
                         (RP - 1, 0, 0))
-            out.append(remote_dma.exchange_ghost_rows(
-                x, b, AXIS, n_dev, ring, interpret=interp
-            ))
-        return tuple(out)
+            staged.append(x)
+        return tuple(remote_dma.exchange_rows_multi(
+            staged, ((b - 1, 1, RP - 1, "fwd"), (0, 2, b, "bwd")),
+            AXIS, n_dev, ring, interpret=_rdma_interp(),
+        ))
 
     def _refresh_ghosts(iu, first, last, cface=None, tables=None):
         """Fill each component's ghost slots: ppermute halos at interior
@@ -765,12 +774,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             )
         # the corrector's divergence diagnostic needs the corrected SHARED
         # face: exchange the neighbor's fresh face-0 star into row b
-        hi_halo = jax.lax.ppermute(
-            us[0][0:1], AXIS, _perm_bwd(n_dev, ring)
-        )
-        if ring:
-            hi = hi_halo
-        else:
+        if not ring:
             sp = own_b[(0, 1)]
             if conv:
                 bc_row = plane
@@ -779,8 +783,25 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             else:
                 bc_row = (jnp.zeros((1, S0, L), us[0].dtype)
                           + jnp.asarray(sp[1], us[0].dtype))
-            hi = jnp.where(last, bc_row, hi_halo)
-        us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
+        if rdma:
+            # kernel-initiated variant: stage the BC row, one bwd message
+            from . import remote_dma
+
+            x = us[0]
+            if not ring:
+                x = jax.lax.dynamic_update_slice(
+                    x, jnp.where(last, bc_row, x[b:b + 1]), (b, 0, 0)
+                )
+            us0 = remote_dma.exchange_rows_multi(
+                (x,), ((0, 1, b, "bwd"),), AXIS, n_dev, ring,
+                interpret=_rdma_interp(),
+            )[0]
+        else:
+            hi_halo = jax.lax.ppermute(
+                us[0][0:1], AXIS, _perm_bwd(n_dev, ring)
+            )
+            hi = hi_halo if ring else jnp.where(last, bc_row, hi_halo)
+            us0 = jax.lax.dynamic_update_slice(us[0], hi, (b, 0, 0))
         return us0, us[1], us[2], rhs
 
     def corr_body(dt, us0, us1, us2, p_local, theta=None,
@@ -790,23 +811,41 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         first = (idx == 0) & (not ring)
         last = (idx == n_dev - 1) & (not ring)
         ff = (first.astype(jnp.float32), last.astype(jnp.float32))
-        lo_halo = jax.lax.ppermute(
-            p_local[b - 1:b], AXIS, _perm_fwd(n_dev, ring)
-        )
-        hi_halo = jax.lax.ppermute(
-            p_local[0:1], AXIS, _perm_bwd(n_dev, ring)
-        )
-        if ring:
-            lo, hi = lo_halo, hi_halo   # wrap gradient at the seam faces
+        if rdma:
+            # kernel-initiated pressure halo fill: zero slots staged (the
+            # bounded edges' correct contents -- faces are BC-preserved),
+            # one fwd + one bwd message in one launch
+            from . import remote_dma
+
+            z1 = jnp.zeros_like(p_local[0:1])
+            pbuf = jnp.concatenate(
+                [z1, p_local,
+                 jnp.zeros((RP + 1 - b,) + p_local.shape[1:],
+                           p_local.dtype)],
+                axis=0,
+            )
+            pp = remote_dma.exchange_rows_multi(
+                (pbuf,), ((b, 1, 0, "fwd"), (1, 1, b + 1, "bwd")),
+                AXIS, n_dev, ring, interpret=_rdma_interp(),
+            )[0]
         else:
-            zrow = jnp.zeros_like(p_local[0:1])
-            lo = jnp.where(first, zrow, lo_halo)   # edge: zero pad, faces
-            hi = jnp.where(last, zrow, hi_halo)    # are BC-preserved anyway
-        pp = jnp.concatenate(
-            [lo, p_local, hi, jnp.zeros((RP - b,) + p_local.shape[1:],
-                                        p_local.dtype)],
-            axis=0,
-        )
+            lo_halo = jax.lax.ppermute(
+                p_local[b - 1:b], AXIS, _perm_fwd(n_dev, ring)
+            )
+            hi_halo = jax.lax.ppermute(
+                p_local[0:1], AXIS, _perm_bwd(n_dev, ring)
+            )
+            if ring:
+                lo, hi = lo_halo, hi_halo   # wrap gradient at seam faces
+            else:
+                zrow = jnp.zeros_like(p_local[0:1])
+                lo = jnp.where(first, zrow, lo_halo)   # edge: zero pad,
+                hi = jnp.where(last, zrow, hi_halo)    # faces BC-preserved
+            pp = jnp.concatenate(
+                [lo, p_local, hi,
+                 jnp.zeros((RP - b,) + p_local.shape[1:], p_local.dtype)],
+                axis=0,
+            )
         pp = jnp.pad(pp, [(0, 0), (0, S0 - n1), (0, L - n2)])
         if theta is not None:
             theta = _refresh_theta_ghosts(theta, first, last)

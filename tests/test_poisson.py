@@ -237,3 +237,27 @@ def test_mgcg_end_to_end_cylinder_smoke():
     st, diag = case.sim.run_scan(st, 20)
     assert float(diag.max_div[-1]) < 1e-3
     assert np.isfinite(np.asarray(st.p)).all()
+
+
+def test_cg_anisotropic_breakdown_stays_finite():
+    """Advisor-class robustness (round 5): on a strongly anisotropic
+    operator with tol at/below the f32 floor, the CG search direction
+    can round to NEGATIVE curvature (d.Ad < 0); the old max(dAd, 1e-30)
+    clamp then exploded alpha to ~1e30 and the fields went NaN with the
+    while_loop exiting on the NaN compare. The breakdown guard must
+    take no step, stop, and report a finite (floor-level) residual."""
+    g = GridSpec(shape=(64, 16, 16), lengths=(1.0, 1.0, 1.0))  # 16:1 h
+    bcs = no_slip_box(g)
+    op = build_poisson_op(g, bcs)
+    r = np.random.default_rng(1)
+    b = r.standard_normal(g.shape).astype(np.float32)
+    b -= b.mean()
+    b = jnp.asarray(b, g.dtype)
+    cfg = PoissonConfig(method="cg", tol=1e-9, max_iters=5000)  # << floor
+    p, iters, res = solve_poisson(op, b, jnp.zeros(g.shape, g.dtype),
+                                  g, cfg)
+    assert np.isfinite(np.asarray(p)).all()
+    assert np.isfinite(float(res))
+    # it actually solved the system to the f32 floor's order, not junk
+    bn = float(jnp.sqrt(jnp.sum(b * b)))
+    assert float(residual_norm(op, p, deflate(op, b))) / bn < 1e-4
