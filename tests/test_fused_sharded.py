@@ -951,3 +951,50 @@ def test_pencil_fused_timedep_oscillating_lid():
     sharded axes exchange ghosts around the per-step resolved values."""
     sim = _timedep_lid_sim((16, 16, 16), integrator="euler")
     _timedep_parity(sim, make_mesh((2, 2)))
+
+
+@requires_8
+def test_sharded_fused_timedep_thermal():
+    """Scalar transport + buoyancy + an oscillating lid through the
+    sharded timedep fused tier (the gate admits thermal; this pins it):
+    theta rides the carry with static scalar BCs while the velocity BC
+    values resolve per step."""
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.ops.poisson import PoissonConfig
+    from navierstokessolver_tpu.scalar import ScalarBC, ScalarConfig
+    from navierstokessolver_tpu.solver import SimParams, Simulation
+
+    g = GridSpec(shape=(32, 16, 16), lengths=(2.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(2, 1)] = BCSpec.wall((lambda t: jnp.cos(4.0 * t), 0.0, 0.0))
+    scfg = ScalarConfig(
+        bcs={(0, 0): ScalarBC.dirichlet(1.0),
+             (0, 1): ScalarBC.dirichlet(0.0),
+             **{(a, s): ScalarBC.adiabatic()
+                for a in (1, 2) for s in (0, 1)}},
+        diffusivity=5e-3,
+        buoyancy=(0.0, 0.0, 0.5),   # transverse to the sharded axis
+    )
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=80),
+    )
+    sim = Simulation.build(g, bcs, params, scalar=scfg)
+    ref, _ = sim.run_scan(sim.initial_state(), 6)
+    mesh = make_mesh(4)
+    sim_sp = _sharded_pallas(sim, mesh)
+    assert sim_sp._fused3d_sharded_timedep_ok()
+    out, d = sim_sp.run_scan(
+        shard_state(sim.initial_state(), mesh, sim.grid), 6
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
+    )
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
