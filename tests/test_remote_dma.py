@@ -111,3 +111,47 @@ def test_rdma_steady_path_has_zero_ppermutes():
     jaxpr_pp = str(jax.make_jaxpr(lambda c: step_pp(c))(carry))
     assert "ppermute" in jaxpr_pp          # the baseline really uses them
     assert "ppermute" not in jaxpr_rdma    # the rdma path uses none
+
+
+@requires_8
+@pytest.mark.parametrize("ring", [False, True])
+def test_exchange_rows_multi_generic_msgs(ring):
+    """The generalized multi-volume exchange (round 5): two volumes of
+    different widths, a custom message set (one fwd single-row, one bwd
+    single-row at distinct slots) -- each shard's dst slots receive
+    exactly the neighbor rows, untargeted rows pass through, bounded
+    edges keep staged contents."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from navierstokessolver_tpu.parallel.remote_dma import (
+        exchange_rows_multi,
+    )
+
+    n_dev, RP = 4, 12
+    b = 8
+    msgs = ((b - 1, 1, RP - 1, "fwd"), (0, 1, b, "bwd"))
+    rng = np.random.default_rng(3)
+    xs = [
+        jnp.asarray(rng.standard_normal((n_dev * RP, 8, 128)), jnp.float32),
+        jnp.asarray(rng.standard_normal((n_dev * RP, 16, 128)), jnp.float32),
+    ]
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sx",))
+    fn = jax.shard_map(
+        lambda a, c: exchange_rows_multi(
+            (a, c), msgs, "sx", n_dev, ring,
+            interpret=pltpu.InterpretParams(),
+        ),
+        mesh=mesh, in_specs=(P("sx"), P("sx")),
+        out_specs=(P("sx"), P("sx")), check_vma=False,
+    )
+    outs = jax.jit(fn)(*xs)
+    for x, out in zip(xs, outs):
+        xb = np.asarray(x).reshape(n_dev, RP, *x.shape[1:])
+        ob = np.asarray(out).reshape(n_dev, RP, *x.shape[1:])
+        for k in range(n_dev):
+            exp = xb[k].copy()
+            if ring or k > 0:
+                exp[RP - 1] = xb[(k - 1) % n_dev][b - 1]
+            if ring or k < n_dev - 1:
+                exp[b] = xb[(k + 1) % n_dev][0]
+            np.testing.assert_array_equal(ob[k], exp, err_msg=f"shard {k}")
