@@ -485,8 +485,14 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
     )
     # timedep: deterministic slot order for the per-step resolved values
     td_slots = _timedep_slots(bcs) if timedep else {}
+    # time-dependent body FORCING (round 5): resolved per step and
+    # packed to per-shard halo blocks inside the scan (one jnp packing
+    # pass per step; the kernels stream the blocks like static fields)
+    td_force = (timedep and sim.forcing is not None
+                and any(callable(f) for f in sim.forcing))
     if timedep:
-        assert td_slots, "timedep=True but no callable BC entries"
+        assert td_slots or td_force, \
+            "timedep=True but no callable BC/forcing entries"
 
     def _resolved_tables(bcv):
         """(tg, own, bcs) for this call: the build-time tables, or -- in
@@ -496,7 +502,7 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             return tg, own, bcs
         return _timedep_tables(bcs, grid, td_slots, bcv)
     masked = codes is not None
-    forced = ifld is not None
+    forced = ifld is not None or td_force
     # masked + thermal composes (round 4): heated/adiabatic/buoyant
     # obstacles stream their code blocks AND theta through the same
     # kernels as unsharded; the isothermal clamp applies per step on the
@@ -1126,20 +1132,29 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
             iu, p, theta, p_prev, vel = carry
             cface = None
         bcv = None
+        fld_step = None
         if timedep:
-            from ..bcs import resolve_bcs
-
-            bt = resolve_bcs(sim.bcs, t)
-            bcv = jnp.stack([
+            bt, ft = sim._resolve_timedep(t)
+            vals = [
                 jnp.asarray(bt[face].velocity[i], jnp.float32)
                 for (face, i) in sorted(td_slots, key=td_slots.get)
-            ])
+            ]
+            # forcing-only timedep runs: static BC tables, dummy vector
+            bcv = (jnp.stack(vals) if vals
+                   else jnp.zeros((1,), jnp.float32))
             iu = _refresh_planes(iu, bt)
             if pr.cfl is not None:
                 # dt from the REFRESHED field, matching the jnp route's
                 # post-BC reduction (the carried corrector reduction
                 # predates the refreshed planes)
                 vel = _vel_inv_halo(iu, bt)
+            if td_force:
+                # per-step resolved body force -> per-shard halo blocks
+                # (one jnp packing pass; streamed like static fields)
+                sim_t = sim._timedep_resolved(bt, ft)
+                fld_step = forcing_to_halo(
+                    grid, bcs, sim_t._forcing_fields_exact(), mesh, tile
+                )
         if pr.cfl is None:
             dt = dt_cap
         else:
@@ -1151,7 +1166,8 @@ def make_sharded_fused_step(sim, mesh: Mesh, tile=None,
         else:
             p_start = p
         th_args = (theta,) if thermal else ()
-        fld_args = tuple(ifld) if forced else ()
+        fld_args = (tuple(fld_step) if td_force
+                    else tuple(ifld) if forced else ())
         code_args = (*codes, fcode) if masked else ()
         ibm_args = ()
         if ibm_h is not None:
@@ -1416,7 +1432,9 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
     if tile is None:
         tile, db = sharded_tile_db(grid, mesh)
     masked = codes is not None
-    forced = ifld is not None
+    td_force = (timedep and sim.forcing is not None
+                and any(callable(f) for f in sim.forcing))
+    forced = ifld is not None or td_force
     # masked + thermal composes (round 4): same treatment as the slab
     # tier -- code blocks and theta stream together; the isothermal clamp
     # applies per step on the sharded pencil-layout theta.
@@ -1440,7 +1458,8 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
     )
     td_slots = _timedep_slots(bcs) if timedep else {}
     if timedep:
-        assert td_slots, "timedep=True but no callable BC entries"
+        assert td_slots or td_force, \
+            "timedep=True but no callable BC/forcing entries"
 
     def _resolved_tables(bcv):
         if bcv is None:
@@ -1902,18 +1921,24 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         else:
             iu, p, theta, p_prev, vel = carry
         bcv_args = ()
+        fld_step = None
         if timedep:
-            from ..bcs import resolve_bcs
-
-            bt = resolve_bcs(sim.bcs, t)
-            bcv = jnp.stack([
+            bt, ft = sim._resolve_timedep(t)
+            vals = [
                 jnp.asarray(bt[face].velocity[i], jnp.float32)
                 for (face, i) in sorted(td_slots, key=td_slots.get)
-            ])
+            ]
+            bcv = (jnp.stack(vals) if vals
+                   else jnp.zeros((1,), jnp.float32))
             bcv_args = (bcv,)
             iu = _refresh_planes(iu, bt)
             if pr.cfl is not None:
                 vel = _vel_inv_pencil(iu, bt)
+            if td_force:
+                sim_t = sim._timedep_resolved(bt, ft)
+                fld_step = forcing_to_pencil(
+                    grid, bcs, sim_t._forcing_fields_exact(), mesh, tile
+                )
         if pr.cfl is None:
             dt = dt_cap
         else:
@@ -1925,7 +1950,8 @@ def make_pencil_fused_step(sim, mesh: Mesh, tile=None,
         else:
             p_start = p
         th_args = (theta,) if thermal else ()
-        fld_args = tuple(ifld) if forced else ()
+        fld_args = (tuple(fld_step) if td_force
+                    else tuple(ifld) if forced else ())
         code_args = (*codes, fcode) if masked else ()
         ibm_args = ()
         if ibm_h is not None:
@@ -2030,7 +2056,9 @@ def run_scan_pencil_fused(sim, mesh: Mesh, state: State, n_steps: int,
         )
         fcode = jax.lax.with_sharding_constraint(fcode, spec3)
     ifld = None
-    if sim.forcing is not None and sim._static_forcing() is None:
+    if (sim.forcing is not None and sim._static_forcing() is None
+            and not any(callable(f) for f in sim.forcing)):
+        # (callable forcing resolves PER STEP inside the timedep scan)
         ifld = tuple(
             jax.lax.with_sharding_constraint(f, spec3)
             for f in forcing_to_pencil(
@@ -2119,8 +2147,10 @@ def run_scan_sharded_fused(sim, mesh: Mesh, state: State, n_steps: int,
         )
         fcode = jax.lax.with_sharding_constraint(fcode, spec3)
     ifld = None
-    if sim.forcing is not None and sim._static_forcing() is None:
+    if (sim.forcing is not None and sim._static_forcing() is None
+            and not any(callable(f) for f in sim.forcing)):
         # spatially-varying forcing: per-shard slab blocks, loop-invariant
+        # (callable forcing resolves PER STEP inside the timedep scan)
         ifld = tuple(
             jax.lax.with_sharding_constraint(f, spec3)
             for f in forcing_to_halo(

@@ -602,9 +602,10 @@ class Simulation:
         traced scalars into the shard_map bodies as one replicated
         vector (the kernels hoist them into their SMEM scalar vector
         like the unsharded timedep path), and refreshes the stored
-        Dirichlet face planes on the global halo-layout arrays. Scope:
-        BC-value time dependence only (no callable forcing -- the
-        per-shard forcing re-layout is per-step work not yet fused), no
+        Dirichlet face planes on the global halo-layout arrays. Callable
+        body FORCING composes too: the per-step resolved force packs to
+        per-shard blocks inside the scan (forcing_to_halo/_to_pencil)
+        and streams through the kernels' forced operand set. Scope: no
         obstacles/IBM/cut-cell, no convective outlet (the held-face
         carry machinery predates per-step values), euler + rk2, fixed or
         CFL-adaptive dt, scalar transport with STATIC scalar BCs
@@ -617,10 +618,7 @@ class Simulation:
                    and not self.pallas_interpret)
         if not use:
             return False
-        if not bcs_mod.bcs_time_dependent(self.bcs):
-            return False
-        if self.forcing is not None and any(
-                callable(f) for f in self.forcing):
+        if not self._time_dependent():
             return False
         if self.params.integrator not in ("euler", "rk2"):
             return False
@@ -1931,12 +1929,12 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
             sim, sim.shardings.p.mesh, state, n_steps
         )
     if (state.t is not None and n_steps > 0
-            and bcs_mod.bcs_time_dependent(sim.bcs)
             and sim._fused3d_sharded_timedep_ok()):
-        # BC-value time-dependent SHARDED runs keep the fused tiers
-        # (round 5): per-step resolution inside the sharded scan -- see
-        # _fused3d_sharded_timedep_ok. (n_steps == 0 falls through: the
-        # exit conversion reads diags.dt[-1].)
+        # Time-dependent SHARDED runs (BC values and/or callable body
+        # forcing) keep the fused tiers (round 5): per-step resolution
+        # inside the sharded scan -- see _fused3d_sharded_timedep_ok.
+        # (n_steps == 0 falls through: the exit conversion reads
+        # diags.dt[-1].)
         from .parallel.fused_sharded import run_scan_sharded_fused
 
         return run_scan_sharded_fused(

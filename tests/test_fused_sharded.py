@@ -998,3 +998,54 @@ def test_sharded_fused_timedep_thermal():
         np.asarray(out.theta), np.asarray(ref.theta), atol=5e-5
     )
     np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
+
+
+@requires_8
+def test_sharded_fused_timedep_forcing():
+    """Callable body FORCING through the sharded timedep fused tier
+    (round 5): the per-step resolved force packs to per-shard halo
+    blocks inside the scan. Forcing-only (static BCs) AND mixed
+    (oscillating lid + pulsing force) both match the single-device jnp
+    timedep run."""
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.ops.poisson import PoissonConfig
+    from navierstokessolver_tpu.solver import SimParams, Simulation
+
+    g = GridSpec(shape=(32, 16, 16), lengths=(2.0, 1.0, 1.0))
+    prof = jnp.asarray(
+        np.cos(2.0 * np.pi * (np.arange(16) + 0.5) / 16.0)[None, :, None],
+        jnp.float32,
+    )
+    forcing = (lambda t: (0.05 * jnp.sin(8.0 * t) + 0.02) * prof,
+               None, None)
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=80),
+    )
+    mesh = make_mesh(4)
+
+    for tag, bcs in (
+        ("forcing-only", no_slip_box(g)),
+        ("mixed", {**no_slip_box(g),
+                   (2, 1): BCSpec.wall(
+                       (lambda t: 0.3 * jnp.cos(4.0 * t), 0.0, 0.0))}),
+    ):
+        sim = Simulation.build(g, bcs, params, forcing=forcing)
+        assert sim._time_dependent()
+        ref, _ = sim.run_scan(sim.initial_state(), 6)
+        sim_sp = _sharded_pallas(sim, mesh)
+        assert sim_sp._fused3d_sharded_timedep_ok(), tag
+        out, d = sim_sp.run_scan(
+            shard_state(sim.initial_state(), mesh, sim.grid), 6
+        )
+        for a in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5,
+                err_msg=tag,
+            )
+        np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
+        # the force actually drove flow
+        assert float(np.abs(np.asarray(out.u[0])).max()) > 1e-4, tag
