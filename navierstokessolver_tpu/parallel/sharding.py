@@ -99,7 +99,8 @@ def shard_state(state: State, mesh: Mesh, grid: GridSpec) -> State:
     return jax.device_put(state, shardings)
 
 
-def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
+def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd",
+                       rdma: bool = False):
     """Return a copy of ``sim`` whose step constrains fields to the mesh.
 
     ``poisson_comm`` selects the distributed pressure-solve mechanism:
@@ -111,6 +112,12 @@ def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
         Requires an iterative method (jacobi/gs/sor/cg/mg/mgcg; the
         multigrid V-cycle runs fine levels block-local with ppermute
         ghosts and gathers the tiny coarse levels).
+
+    ``rdma=True`` (round 5): when the slab fused whole-step tier
+    dispatches, run its steady exchanges (velocity ghosts, shared face,
+    pressure halos) as kernel-initiated remote DMAs instead of
+    ppermutes (parallel/remote_dma.py) -- zero jnp-level ppermutes on
+    that path. Ignored where the tier doesn't apply.
     """
     import dataclasses
 
@@ -138,6 +145,7 @@ def sharded_simulation(sim, mesh: Mesh, poisson_comm: str = "gspmd"):
         shardings=state_shardings(mesh, sim.grid),
         halo_solver=halo_solver,
         mg_solver=mg_solver,
+        rdma=rdma,
     )
 
 

@@ -120,6 +120,12 @@ class Simulation:
     # iterative solver's while_loop (which is not reverse-differentiable).
     # Set via adjoint.differentiable(sim); forces the jnp step.
     diff_solve: bool = False
+    # Kernel-initiated remote-DMA ghost exchange on the sharded fused
+    # slab tier (parallel/remote_dma.py): zero jnp-level ppermutes on
+    # the steady path. Opt-in via sharded_simulation(rdma=True); only
+    # honored where the slab fused tier dispatches (plain/thermal/
+    # forced configs -- no convective outlet, no timedep).
+    rdma: bool = False
 
     @staticmethod
     def build(
@@ -1925,8 +1931,11 @@ def _run_scan_jit(sim: Simulation, consts, state: State, n_steps: int):
     if sim._fused3d_sharded_ok():
         from .parallel.fused_sharded import run_scan_sharded_fused
 
+        rdma = (sim.rdma
+                and tuple(sim.shardings.p.mesh.axis_names) == ("sx",)
+                and not bcs_mod.has_convective_outlet(sim.grid, sim.bcs))
         return run_scan_sharded_fused(
-            sim, sim.shardings.p.mesh, state, n_steps
+            sim, sim.shardings.p.mesh, state, n_steps, rdma=rdma
         )
     if (state.t is not None and n_steps > 0
             and sim._fused3d_sharded_timedep_ok()):

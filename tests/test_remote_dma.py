@@ -155,3 +155,31 @@ def test_exchange_rows_multi_generic_msgs(ring):
             if ring or k < n_dev - 1:
                 exp[b] = xb[(k + 1) % n_dev][0]
             np.testing.assert_array_equal(ob[k], exp, err_msg=f"shard {k}")
+
+
+@requires_8
+def test_rdma_via_public_sharded_simulation():
+    """rdma is a first-class option: sharded_simulation(rdma=True) routes
+    run_scan through the remote-DMA exchanges (and silently ignores the
+    flag where the slab fused tier doesn't dispatch)."""
+    from navierstokessolver_tpu.cases import make_case
+    from navierstokessolver_tpu.parallel import (
+        make_mesh, shard_state, sharded_simulation,
+    )
+
+    case = make_case("cavity3d", shape=(32, 16, 16), re=100.0,
+                     poisson_method="mg")
+    sim = case.sim
+    ref, _ = sim.run_scan(case.initial_state(), 4)
+    mesh = make_mesh(4)
+    params = dataclasses.replace(sim.params, use_pallas=True)
+    sim_p = dataclasses.replace(sim, params=params, pallas_interpret=True)
+    sim_sp = sharded_simulation(sim_p, mesh, rdma=True)
+    assert sim_sp.rdma
+    out, _ = sim_sp.run_scan(
+        shard_state(case.initial_state(), mesh, sim.grid), 4
+    )
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
