@@ -113,6 +113,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     choices=["gspmd", "halo"],
                     help="distributed pressure solve: GSPMD auto-collectives "
                          "or the explicit shard_map+ppermute halo ring")
+    ap.add_argument("--rdma", action="store_true",
+                    help="kernel-initiated remote-DMA ghost exchange on "
+                         "the sharded fused slab tier (zero jnp-level "
+                         "ppermutes on the steady path; ignored where "
+                         "that tier doesn't dispatch)")
     ap.add_argument("--platform", default=None,
                     help="force the jax platform (e.g. cpu, tpu). Set "
                          "programmatically before first backend use -- works "
@@ -183,7 +188,8 @@ def main(argv=None) -> int:
         from .parallel import make_mesh, shard_state, sharded_simulation
 
         mesh = make_mesh(args.devices)
-        sim = sharded_simulation(sim, mesh, poisson_comm=args.poisson_comm)
+        sim = sharded_simulation(sim, mesh, poisson_comm=args.poisson_comm,
+                                 rdma=args.rdma)
 
     cfg_hash = io_mod.config_hash(sim.grid, sim.params, sim.scalar, sim.les,
                                   ibm=sim.ibm is not None,
