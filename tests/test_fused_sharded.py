@@ -1049,3 +1049,39 @@ def test_sharded_fused_timedep_forcing():
         np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
         # the force actually drove flow
         assert float(np.abs(np.asarray(out.u[0])).max()) > 1e-4, tag
+
+
+@requires_8
+def test_sharded_fused_timedep_halo_poisson():
+    """Timedep sharded fused tier + the EXPLICIT-halo Poisson solve
+    (poisson_comm='halo'): the per-step resolved kernels wrap around the
+    shard_map mg ring exactly like the static tier."""
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.ops.poisson import PoissonConfig
+    from navierstokessolver_tpu.solver import SimParams, Simulation
+
+    g = GridSpec(shape=(32, 16, 16), lengths=(2.0, 1.0, 1.0))
+    bcs = no_slip_box(g)
+    bcs[(2, 1)] = BCSpec.wall((lambda t: jnp.cos(4.0 * t), 0.0, 0.0))
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=80),
+    )
+    sim = Simulation.build(g, bcs, params)
+    ref, _ = sim.run_scan(sim.initial_state(), 4)
+    mesh = make_mesh(4)
+    simp = dataclasses.replace(
+        sim, params=dataclasses.replace(params, use_pallas=True),
+        pallas_interpret=True,
+    )
+    sh = sharded_simulation(simp, mesh, poisson_comm="halo")
+    assert sh._fused3d_sharded_timedep_ok()
+    out, _ = sh.run_scan(shard_state(sim.initial_state(), mesh, g), 4)
+    for a in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[a]), np.asarray(ref.u[a]), atol=5e-5
+        )
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
