@@ -107,6 +107,15 @@ class DCTPoissonSolver:
     # problem with the constant mode pinned; any Dirichlet axis makes the
     # operator nonsingular and the solve exact at every mode.
     kinds: tuple[str, ...] = ()
+    # Fused trailing-two-axes route (ops/pallas_dct.py): 3D direct
+    # solves in 4 HBM passes instead of 6. MEASURED NEGATIVE on v5e at
+    # 256^3 (7.87 fused vs 7.74 chain ms/step): Mosaic cannot lower
+    # Precision.HIGH dots, and the manual 3-pass bf16 split-product the
+    # kernel substitutes costs more VPU/MXU time than the one saved HBM
+    # pass buys; at 512^3 the (8,512,512) blocks exceed the 16MB scoped
+    # VMEM. Kept opt-in (parity-tested) for shapes/precisions where the
+    # trade could differ; default stays the XLA chain.
+    fuse_trailing: bool = False
 
     @property
     def singular(self) -> bool:
@@ -269,6 +278,8 @@ class DCTPoissonSolver:
                     f"for shape {grid.shape}, mode {mode!r}, even with "
                     "dense transforms; refusing to produce corrupt physics"
                 )
+        if solver._fused3d_route_ok(None):
+            solver._fused3d_consts()   # eager: concrete, survives _bind
         return solver
 
     def _self_check_error(self, kinds: tuple[str, ...]) -> float:
@@ -371,11 +382,82 @@ class DCTPoissonSolver:
                 )
         return x
 
+    def _fused3d_consts(self):
+        """Dense per-axis transform matrices for the fused trailing-axes
+        route, built EAGERLY at build() time (concrete; a few MB of
+        program constants at n<=512 -- far under the threading
+        threshold). The natural-order spectral multiplier is NOT cached:
+        it derives from the (bind-threaded, traced) ``inv_eig`` by one
+        transpose inside the jitted program, which XLA hoists out of the
+        scan as loop-invariant."""
+        cache = getattr(self, "_f3d_cache", None)
+        if cache is None:
+            hi = jax.lax.Precision.HIGHEST
+            mats = []
+            for a, n in enumerate(self.grid.shape):
+                plan = self.plans[a]
+                eye = jnp.eye(n, dtype=self.grid.dtype)
+                if hasattr(plan, "apply_fwd"):
+                    F = plan.apply_fwd(eye, 0, hi)
+                    V = plan.apply_inv(eye, 0, hi)
+                else:
+                    F = dct_mod.split_dct_apply(plan, eye, 0, hi,
+                                                block_order=True)
+                    V = dct_mod.split_idct_apply(plan, eye, 0, hi,
+                                                 block_order=True)
+                mats.append((jnp.asarray(F), jnp.asarray(V)))
+            cache = tuple(mats)
+            object.__setattr__(self, "_f3d_cache", cache)
+        return cache
+
+    def _fused3d_route_ok(self, precision: Optional[str]) -> bool:
+        """Fused trailing-axes direct solve (ops/pallas_dct.py): 3D
+        matmul-mode f32 on TPU, HIGH/DEFAULT precision only ('highest'
+        keeps the chain -- the capacitance BUILD vmaps _direct at
+        'highest', and vmapping the pallas_call buys nothing there)."""
+        if not self.fuse_trailing:
+            return False
+        if self.grid.ndim != 3 or self.mode != "matmul":
+            return False
+        if (precision or self.precision) == "highest":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from . import pallas_dct
+
+        return pallas_dct.direct_applicable(self.grid.shape,
+                                            self.grid.dtype)
+
+    def _direct_fused3d(self, b: Array, prec,
+                        interpret: bool = False) -> Array:
+        """Natural-order direct solve in 4 HBM passes: axis-0 forward
+        matmul, fused trailing forward (+ spectral multiply), axis-0
+        inverse matmul, fused trailing inverse."""
+        from . import pallas_dct
+
+        (F0, V0), (F1, V1), (F2, V2) = self._fused3d_consts()
+        # natural-order multiplier from the (possibly traced) stored
+        # reversed-layout tensor; loop-invariant, hoisted by XLA
+        inv_nat = jnp.transpose(self.inv_eig, (2, 1, 0))
+        n0, n1, n2 = self.grid.shape
+        t = jnp.matmul(F0, b.reshape(n0, -1),
+                       precision=prec).reshape(n0, n1, n2)
+        that = pallas_dct.fused_trailing(
+            t, F1, F2, eig=inv_nat, precision=prec, interpret=interpret
+        )
+        z = jnp.matmul(V0, that.reshape(n0, -1),
+                       precision=prec).reshape(n0, n1, n2)
+        return pallas_dct.fused_trailing(
+            z, V1, V2, precision=prec, interpret=interpret
+        )
+
     def _direct(self, b: Array, precision: Optional[str] = None) -> Array:
         """One application of the diagonalized inverse Laplacian."""
         nd = self.grid.ndim
         prec = self._prec(precision, self.precision)
         if self.mode == "matmul":
+            if self._fused3d_route_ok(precision):
+                return self._direct_fused3d(b, prec)
             return self._inv(self._fwd(b, prec) * self.inv_eig, prec)
         x = b
         for a in range(nd):

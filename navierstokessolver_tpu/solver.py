@@ -1750,12 +1750,25 @@ class Simulation:
         dct = self.dct_solver
         if dct is not None:
             dct = dataclasses.replace(dct, inv_eig=c["inv_eig"])
+            if hasattr(self.dct_solver, "_f3d_cache"):
+                # the fused trailing-axes route's dense matrices are
+                # small eager constants; replace() drops instance attrs
+                object.__setattr__(
+                    dct, "_f3d_cache", self.dct_solver._f3d_cache
+                )
         dctcg = self.dctcg_solver
         if dctcg is not None:
             wbox, cinv, vx, vy, fx, fy, va, vb = c["dctcg_cap"]
+            inner = dataclasses.replace(
+                dctcg.dct, inv_eig=c["dctcg_inv_eig"]
+            )
+            if hasattr(dctcg.dct, "_f3d_cache"):
+                object.__setattr__(
+                    inner, "_f3d_cache", dctcg.dct._f3d_cache
+                )
             dctcg = dataclasses.replace(
                 dctcg,
-                dct=dataclasses.replace(dctcg.dct, inv_eig=c["dctcg_inv_eig"]),
+                dct=inner,
                 cap_wbox=wbox, cap_cinv=cinv, cap_vx=vx, cap_vy=vy,
                 cap_fx=fx, cap_fy=fy, cap_va=va, cap_vb=vb,
             )
