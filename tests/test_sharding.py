@@ -480,3 +480,47 @@ def test_dctcg_halo_3d_matches_single_device():
         np.asarray(d.poisson_res), np.asarray(dref.poisson_res), atol=5e-6
     )
     assert len(out.p.sharding.device_set) == 8
+
+
+@requires_8
+def test_timedep_masked_sharded_falls_back_to_jnp():
+    """Obstacle masks + time-dependent BC values under sharding: the
+    round-5 sharded timedep FUSED gate must reject the combination
+    (stored-plane refresh and the CFL reduction are not mask-aware
+    under sharding), and the jnp GSPMD fallback must still match
+    single-device."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from navierstokessolver_tpu.bcs import BCSpec, no_slip_box
+    from navierstokessolver_tpu.grid import GridSpec
+    from navierstokessolver_tpu.ops.poisson import PoissonConfig
+    from navierstokessolver_tpu.solver import SimParams, Simulation
+
+    grid = GridSpec(shape=(32, 16, 16), lengths=(2.0, 1.0, 1.0))
+    bcs = no_slip_box(grid)
+    bcs[(2, 1)] = BCSpec.wall((lambda t: jnp.cos(4.0 * t), 0.0, 0.0))
+    solid = np.zeros(grid.shape, bool)
+    solid[14:18, 6:10, 6:10] = True
+    params = SimParams(
+        dt=2e-3, nu=0.01,
+        poisson=PoissonConfig(method="mg", tol=1e-6, max_iters=80),
+    )
+    sim = Simulation.build(grid, bcs, params, solid=solid)
+    ref, _ = sim.run_scan(sim.initial_state(), 6)
+    mesh = make_mesh(4)
+    simp = dataclasses.replace(
+        sim, params=dataclasses.replace(params, use_pallas=True),
+        pallas_interpret=True,
+    )
+    sim_sh = sharded_simulation(simp, mesh)
+    assert not sim_sh._fused3d_sharded_timedep_ok()   # masked: gate shut
+    out, _ = sim_sh.run_scan(
+        shard_state(sim.initial_state(), mesh, sim.grid), 6
+    )
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.u[c]), np.asarray(ref.u[c]), atol=1e-4
+        )
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
